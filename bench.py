@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from retail_datawarehouse_spark.registry import catalog  # noqa: E402
+from retail_datawarehouse_spark.session import get_spark  # noqa: E402
+
+# Headline set: the reference's five analytical queries + the heavy
+# engine pieces (ETL clean, snapshot build, dedup, ANN). Queries not yet
+# implemented are skipped silently so bench always runs.
+HEADLINE = [
+    "q51_sales_by_hour",
+    "q52_top10_products",
+    "q53_sales_by_shipping_tier",
+    "q54_rising_spend_customers",
+    "q55_snapshot_lifetime_read",
+    "q_etl_clean_staging",
+    "q_fact_monthly_snapshot",
+    "q_dedup_minhash_lsh",
+    "q_ann_cosine_topk",
+    "q_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="retail-dw-bench")
+    cat = catalog()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in cat:
+            continue
+        builder = cat[name].builder
+        builder(spark, sf_dir).count()  # warm: JVM/code paths, file listing
+        t0 = time.perf_counter()
+        n = builder(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_headline_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,22 @@
+from retail_datawarehouse_spark.functions.keys import (
+    calendar_attrs,
+    date_key,
+    month_key,
+    surrogate_key_hash,
+    time_bucket_12hr,
+    time_bucket_period,
+    time_key,
+)
+from retail_datawarehouse_spark.functions.money import dec, dec_sum
+
+__all__ = [
+    "calendar_attrs",
+    "date_key",
+    "dec",
+    "dec_sum",
+    "month_key",
+    "surrogate_key_hash",
+    "time_bucket_12hr",
+    "time_bucket_period",
+    "time_key",
+]

@@ -1,0 +1,82 @@
+"""Smart-key and calendar column expressions (SURVEY.md P9/P10/P15/P16).
+
+Fidelity decisions F1/F2 (SURVEY.md §2.6): all smart keys are
+zero-padded STRINGS — exactly what the reference's executed layer
+produces (reference ``scripts/clean_data.py:97-104``) — because as
+integers the leading zeros vanish (00:05:09 → 90500). ``time_key`` is
+SSMMHH, seconds FIRST (reference ``clean_data.py:104``).
+
+All pure ``pyspark.sql.functions`` expressions — JVM-side, codegen'd,
+zero Python UDFs (SURVEY.md §2.5 target).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def date_key(d: Column) -> Column:
+    """DDMMYYYY string (reference clean_data.py:97)."""
+    return F.date_format(d, "ddMMyyyy")
+
+
+def month_key(d: Column) -> Column:
+    """MMYYYY string (reference clean_data.py:98).
+
+    Does not sort chronologically (F2) — internally always carry a real
+    date column and emit this only at the warehouse edge.
+    """
+    return F.date_format(d, "MMyyyy")
+
+
+def time_key(t: Column) -> Column:
+    """SSMMHH zero-padded string — seconds first (reference clean_data.py:100-104)."""
+    return F.format_string("%02d%02d%02d", F.second(t), F.minute(t), F.hour(t))
+
+
+def time_bucket_period(hour: Column) -> Column:
+    """Morning/Afternoon/Evening/Night bucket (reference README.md:57)."""
+    return (
+        F.when(hour.between(6, 11), "Morning")
+        .when(hour.between(12, 17), "Afternoon")
+        .when(hour.between(18, 22), "Evening")
+        .otherwise("Night")
+    )
+
+
+def time_bucket_12hr(t: Column) -> Column:
+    """'8:00 AM - 8:59 AM'-style hourly label (reference README.md:57)."""
+    start = F.date_format(t, "h:00 a")
+    end = F.date_format(t, "h:59 a")
+    return F.concat_ws(" - ", start, end)
+
+
+def calendar_attrs(d: Column) -> dict[str, Column]:
+    """DimDate attribute block (reference README.md:51).
+
+    ``dayofweek`` is 1=Sunday..7=Saturday; weekend = Sun|Sat.
+    ``is_holiday_flag`` is nullable per spec (populated via a lookup
+    join against a holiday table when one exists).
+    """
+    return {
+        "day_of_week": F.dayofweek(d),
+        "day_name": F.date_format(d, "EEEE"),
+        "month": F.month(d),
+        "month_name": F.date_format(d, "MMMM"),
+        "quarter": F.quarter(d),
+        "year": F.year(d),
+        "is_weekend": F.dayofweek(d).isin(1, 7),
+        "is_holiday_flag": F.lit(None).cast("boolean"),
+    }
+
+
+def surrogate_key_hash(*natural_key: Column | str) -> Column:
+    """Deterministic, shuffle-free surrogate key: xxhash64(natural key).
+
+    Preferred at 100 TB over ``row_number()`` (which needs a global
+    sort/exchange); collisions over 64 bits are negligible at warehouse
+    dimension cardinalities (SURVEY.md §1.1). Oracle-checked queries use
+    ``row_number`` ordering instead only because DuckDB lacks xxhash64.
+    """
+    return F.xxhash64(*natural_key)

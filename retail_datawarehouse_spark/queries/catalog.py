@@ -1,0 +1,295 @@
+"""The analytical query catalog — reference README §5 re-expressed.
+
+Each query exists in its reference shape (star join → group → order/top-k)
+but mapped onto the driver fixtures per FIXTURES.md §3:
+``lineitem`` = transaction-line fact, ``orders`` = transactions,
+``part`` = DimProduct, ``customer`` = DimCustomer, ``events`` carries
+time-of-day, ``o_orderpriority`` plays the shipping service level.
+
+Scale notes (100 TB posture):
+- Fact-dim joins are explicit ``broadcast()`` — zero fact-side shuffle.
+- Top-K is ``orderBy().limit(k)`` → Catalyst plans TakeOrderedAndProject
+  (per-partition heap + driver merge, never a global sort).
+- Consecutive-month growth (5.4) uses ``lag()`` over one window instead
+  of the reference's self-join (reference README.md:249) — one shuffle by
+  customer key instead of two, and it fixes the reference's MMYYYY
+  ``month_key + 1`` arithmetic bug (SURVEY.md F3): intent form, windowed.
+- Monetary sums go through exact decimals (functions.money) so results
+  are bit-identical with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.functions.keys import time_bucket_period
+from retail_datawarehouse_spark.functions.money import dec, dec_sum
+from retail_datawarehouse_spark.registry import register
+from retail_datawarehouse_spark.sources.readers import load_table
+
+# DuckDB-side CASE mirroring functions.keys.time_bucket_period.
+_PERIOD_SQL = """
+    CASE WHEN {h} BETWEEN 6 AND 11 THEN 'Morning'
+         WHEN {h} BETWEEN 12 AND 17 THEN 'Afternoon'
+         WHEN {h} BETWEEN 18 AND 22 THEN 'Evening'
+         ELSE 'Night' END
+"""
+
+
+@register(
+    "q51_sales_by_hour",
+    oracle=f"""
+    SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_24,
+           {_PERIOD_SQL.format(h="EXTRACT(hour FROM ts)")} AS time_bucket_period,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_sales,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def q51_sales_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5.1 sales-by-hour (reference README.md:209-215): group fact rows by
+    DimTimeOfDay hour + period bucket, SUM the additive measure.
+
+    Shape: scan → project (hour derivation stays in codegen) → partial
+    agg → one shuffle on (hour, period) → final agg → order. 24 output
+    groups regardless of input size — the shuffle carries only partial
+    aggregates, so this scales linearly with the scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("long")
+    return (
+        events.select(
+            hour.alias("hour_24"),
+            time_bucket_period(hour).alias("time_bucket_period"),
+            F.col("value"),
+        )
+        .groupBy("hour_24", "time_bucket_period")
+        .agg(
+            dec_sum("value", "total_sales"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("hour_24")
+    )
+
+
+@register(
+    "q52_top10_products",
+    oracle="""
+    SELECT p.p_brand, p.p_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, p_brand, p_name
+    LIMIT 10
+    """,
+)
+def q52_top10_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5.2 top-10 products by revenue (reference README.md:221-227).
+
+    Fact ⋈ broadcast(DimProduct) → hash agg on (brand, name) → top-k.
+    ``broadcast(part)`` keeps the 100 TB fact scan shuffle-free until the
+    (small, grouped) aggregate; top-k is TakeOrderedAndProject, not a
+    global sort. Ties broken by (brand, name) so the limit is
+    deterministic across engines.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue_term = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_name")
+        .agg(
+            F.sum(revenue_term).cast("double").alias("revenue"),
+            dec_sum("l_quantity", "total_qty"),
+        )
+        .orderBy(F.desc("revenue"), "p_brand", "p_name")
+        .limit(10)
+    )
+
+
+@register(
+    "q53_sales_by_shipping_tier",
+    oracle="""
+    SELECT o.o_orderpriority AS service_level,
+           CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'Express'
+                WHEN o.o_orderpriority = '3-MEDIUM' THEN 'Standard'
+                ELSE 'Economy' END AS speed_tier,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_sales,
+           COUNT(DISTINCT l.l_orderkey) AS n_orders
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    ORDER BY total_sales DESC
+    """,
+)
+def q53_sales_by_shipping_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5.3 sales by shipping tier (reference README.md:232-237): fact ⋈
+    DimShipping(hierarchy ServiceLevel→SpeedTier, reference README.md:91)
+    → SUM + COUNT DISTINCT degenerate transaction_id (README.md:189).
+
+    orders is 1:N with lineitem; at 100 TB this join shuffles both sides
+    on orderkey unless co-bucketed — the warehouse layout (writers) would
+    bucket both by orderkey; here AQE picks the strategy.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    speed_tier = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "Express")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "Standard")
+        .otherwise("Economy")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("service_level"),
+            speed_tier.alias("speed_tier"),
+        )
+        .agg(
+            dec_sum("l_extendedprice", "total_sales"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_sales"))
+    )
+
+
+_MONTHLY_SPEND_SQL = """
+    SELECT o_custkey AS customer_key,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS month_spend
+    FROM orders
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "q54_rising_spend_customers",
+    oracle=f"""
+    WITH monthly AS ({_MONTHLY_SPEND_SQL}),
+    w AS (
+        SELECT customer_key, month_start, month_spend,
+               lag(month_start) OVER
+                   (PARTITION BY customer_key ORDER BY month_start) AS prev_month,
+               lag(month_spend) OVER
+                   (PARTITION BY customer_key ORDER BY month_start) AS prev_spend
+        FROM monthly
+    )
+    SELECT customer_key,
+           CAST(SUM(month_spend - prev_spend) AS DOUBLE) AS total_growth,
+           COUNT(*) AS n_rising_months
+    FROM w
+    WHERE prev_month = month_start - INTERVAL 1 MONTH
+      AND month_spend > prev_spend
+    GROUP BY 1
+    ORDER BY total_growth DESC, customer_key
+    LIMIT 50
+    """,
+)
+def q54_rising_spend_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5.4 rising-spend customers (reference README.md:242-253), intent form.
+
+    The reference self-joins the snapshot on ``m1.month_key + 1`` — broken
+    under MMYYYY keys (SURVEY.md F3) and a second shuffle. Here: one
+    window partitioned by customer_key gives lag(month, spend); filter to
+    truly consecutive months; aggregate growth; top-50.
+
+    Spend stays DECIMAL through the window and subtraction so the growth
+    sum is exact (oracle-bit-identical); cast to double only at the edge.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_custkey").alias("customer_key"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    ).agg(F.sum(dec("o_totalprice")).alias("month_spend"))
+    w = Window.partitionBy("customer_key").orderBy("month_start")
+    return (
+        monthly.withColumn("prev_month", F.lag("month_start").over(w))
+        .withColumn("prev_spend", F.lag("month_spend").over(w))
+        .filter(
+            (F.col("prev_month") == F.add_months(F.col("month_start"), -1))
+            & (F.col("month_spend") > F.col("prev_spend"))
+        )
+        .groupBy("customer_key")
+        .agg(
+            F.sum(F.col("month_spend") - F.col("prev_spend"))
+            .cast("double")
+            .alias("total_growth"),
+            F.count(F.lit(1)).alias("n_rising_months"),
+        )
+        .orderBy(F.desc("total_growth"), "customer_key")
+        .limit(50)
+    )
+
+
+@register(
+    "q55_snapshot_lifetime_read",
+    oracle=f"""
+    WITH monthly AS ({_MONTHLY_SPEND_SQL}),
+    months AS (SELECT DISTINCT month_start FROM monthly),
+    spine AS (
+        SELECT c.c_custkey AS customer_key, m.month_start
+        FROM customer c CROSS JOIN months m
+    ),
+    snap AS (
+        SELECT s.customer_key, s.month_start,
+               COALESCE(mo.month_spend, 0) AS month_total_spent,
+               SUM(COALESCE(mo.month_spend, 0)) OVER (
+                   PARTITION BY s.customer_key ORDER BY s.month_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS lifetime
+        FROM spine s
+        LEFT JOIN monthly mo
+          ON mo.customer_key = s.customer_key AND mo.month_start = s.month_start
+    )
+    SELECT customer_key,
+           CAST(month_total_spent AS DOUBLE) AS month_total_spent,
+           CAST(lifetime AS DOUBLE) AS customer_lifetime_spent
+    FROM snap
+    WHERE month_start = DATE '1998-06-01'
+    ORDER BY customer_key
+    """,
+)
+def q55_snapshot_lifetime_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5.5 semi-additive snapshot read (reference README.md:256-258): the
+    lifetime-spend measure is read at ONE month — never summed across
+    months (W2 discipline). Snapshot built the window way (A3/F6): month
+    spine × customers densifies zero-activity months, cumulative window
+    replaces the reference's cross-join-per-month re-scan
+    (reference README.md:190-196; incremental note README.md:199).
+
+    At scale the snapshot is a materialized table partitioned by month —
+    this read is then a single pruned partition scan with zero shuffles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    monthly = orders.groupBy(
+        F.col("o_custkey").alias("customer_key"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    ).agg(F.sum(dec("o_totalprice")).alias("month_spend"))
+    months = monthly.select("month_start").distinct()
+    spine = customer.select(F.col("c_custkey").alias("customer_key")).crossJoin(
+        F.broadcast(months)
+    )
+    snap = spine.join(monthly, ["customer_key", "month_start"], "left").withColumn(
+        "month_total_spent", F.coalesce(F.col("month_spend"), F.lit(0).cast("decimal(18,4)"))
+    )
+    w = (
+        Window.partitionBy("customer_key")
+        .orderBy("month_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        snap.withColumn("lifetime", F.sum("month_total_spent").over(w))
+        .filter(F.col("month_start") == F.lit("1998-06-01").cast("date"))
+        .select(
+            "customer_key",
+            F.col("month_total_spent").cast("double").alias("month_total_spent"),
+            F.col("lifetime").cast("double").alias("customer_lifetime_spent"),
+        )
+        .orderBy("customer_key")
+    )

@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Local test mode runs ``local[$SPARK_GRAFT_CPUS]`` in one JVM, but every
+config here is chosen for the real target: a 1000-executor cluster
+reading ~100 TB of Parquet.
+
+Scale rationale per knob:
+
+- ``spark.sql.adaptive.*`` — AQE re-plans at shuffle-materialization
+  points: coalesces tiny post-shuffle partitions (small SF locally) and
+  splits skewed ones (hot customer keys at 100 TB).
+- ``spark.sql.shuffle.partitions`` — sized to cores locally; on a real
+  cluster this is a starting point that AQE coalesce/split corrects.
+- ``spark.sql.session.timeZone=UTC`` — deterministic date/time semantics
+  and parity with the (UTC-naive) DuckDB correctness oracle.
+- ``spark.sql.execution.arrow.pyspark.enabled`` — Arrow transfer for the
+  few Pandas-UDF extension operators and fast ``toPandas`` in tests.
+- ``spark.sql.autoBroadcastJoinThreshold`` left at default (10 MB): all
+  reference dimensions are far below it, so every fact-dim join planned
+  here is a broadcast-hash join with zero shuffle on the fact side.
+- ``spark.sql.ansi.enabled=false`` — the reference's coerce-or-drop
+  parse semantics (SURVEY.md P6): malformed dates become NULL, then a
+  NOT NULL filter drops them; no exception path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "retail-dw-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.crossJoin.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read as long and convert in sources.readers.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,203 @@
+"""Scan operators (SURVEY.md §2.1 S1-S3).
+
+Every reader declares an explicit ``StructType`` — schema inference is a
+full extra pass over the data and is banned at 100 TB (SURVEY.md §1.2).
+The schemas below are the authoritative DDL for the driver's test tables
+(TESTDATA.md / FIXTURES.md §3) plus the reference's raw retail CSV
+(reference ``scripts/clean_data.py:10``, reconstructed in FIXTURES.md §1).
+
+Declaring the schema (instead of ``inferSchema``) also keeps the Parquet
+scan prunable: Catalyst pushes filters and reads only referenced columns
+(verify with ``plans.pushed_filters``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- Driver test-table schemas (FIXTURES.md §3; verified against parquet) ---
+
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            # Parquet TIMESTAMP(NANOS): Spark reads it as epoch-nanos long
+            # (spark.sql.legacy.parquet.nanosAsLong); load_table converts
+            # to a µs TimestampType column.
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLE_NAMES: tuple[str, ...] = tuple(TABLE_SCHEMAS)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan with declared schema (S3 staging ingest analog).
+
+    At 100 TB the fact tables would be directory-partitioned (e.g. by
+    month); ``spark.read.parquet`` then gets partition pruning for free
+    on top of predicate pushdown + column pruning.
+    """
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ns → µs truncation, matching DuckDB's TIMESTAMP_NS→TIMESTAMP cast.
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for the ``spark.sql`` lifecycle."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --- Reference raw retail CSV (S1; reference scripts/clean_data.py:10) ---
+
+RAW_RETAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("Transaction_ID", T.LongType()),
+        T.StructField("Customer_ID", T.LongType()),
+        T.StructField("Name", T.StringType()),
+        T.StructField("Email", T.StringType()),
+        T.StructField("Phone", T.StringType()),
+        T.StructField("Address", T.StringType()),
+        T.StructField("City", T.StringType()),
+        T.StructField("State", T.StringType()),
+        T.StructField("Zipcode", T.LongType()),
+        T.StructField("Country", T.StringType()),
+        T.StructField("Age", T.LongType()),
+        T.StructField("Gender", T.StringType()),
+        T.StructField("Income", T.StringType()),
+        T.StructField("Customer_Segment", T.StringType()),
+        T.StructField("Date", T.StringType()),
+        T.StructField("Year", T.LongType()),
+        T.StructField("Month", T.StringType()),
+        T.StructField("Time", T.StringType()),
+        T.StructField("Total_Purchases", T.LongType()),
+        T.StructField("Amount", T.DoubleType()),
+        T.StructField("Total_Amount", T.DoubleType()),
+        T.StructField("Product_Category", T.StringType()),
+        T.StructField("Product_Brand", T.StringType()),
+        T.StructField("Product_Type", T.StringType()),
+        T.StructField("Shipping_Method", T.StringType()),
+        T.StructField("Payment_Method", T.StringType()),
+        T.StructField("Order_Status", T.StringType()),
+        T.StructField("Ratings", T.DoubleType()),
+        T.StructField("products", T.StringType()),
+        T.StructField("Feedback", T.StringType()),
+    ]
+)
+
+
+def read_retail_csv(spark: SparkSession, path: str, sep: str = ";") -> DataFrame:
+    """Semicolon-delimited retail CSV scan (reference clean_data.py:10).
+
+    ``mode=PERMISSIVE`` + non-ANSI casts reproduce the reference's
+    coerce-or-drop posture (SURVEY.md P6): bad cells become NULL and the
+    cleaning pipeline's NOT NULL filter drops them.
+    """
+    return (
+        spark.read.option("sep", sep)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .schema(RAW_RETAIL_SCHEMA)
+        .csv(path)
+    )

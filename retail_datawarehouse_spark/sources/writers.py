@@ -1,0 +1,47 @@
+"""Sink operators (SURVEY.md §2.1 S2/S4).
+
+The warehouse's physical layout decision lives here: facts are written
+partitioned by ``month_key`` so month-scoped queries (snapshot reads,
+period-over-period) get partition pruning, and per-partition file sizes
+stay near the Parquet sweet spot instead of one giant file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink (reference clean_data.py:136 writes one comma-CSV).
+
+    ``single_file`` coalesces to one output file for byte-compatibility
+    with the reference; leave False at scale (one file = one writer task).
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_parquet_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    buckets: tuple[int, str] | None = None,
+    table_name: str | None = None,
+) -> None:
+    """Warehouse table load (reference README.md:168-176,184).
+
+    ``partition_by=["month_key"]`` for facts → partition pruning.
+    ``buckets=(n, key)`` co-locates later joins/aggs on ``key`` without a
+    shuffle (requires ``saveAsTable``).
+    """
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if buckets is not None:
+        n, key = buckets
+        name = table_name or path.rstrip("/").rsplit("/", 1)[-1]
+        writer.bucketBy(n, key).sortBy(key).option("path", path).format(
+            "parquet"
+        ).saveAsTable(name)
+    else:
+        writer.parquet(path)

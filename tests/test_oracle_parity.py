@@ -1,0 +1,31 @@
+"""The gate: every catalog query with an oracle must hash-match DuckDB.
+
+This replicates the driver's t2 correctness check (sf0.01) locally, at
+exact-equality strictness, so mismatches surface before a round ends.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from retail_datawarehouse_spark.registry import catalog
+from tests.oracle import compare_to_oracle, duck_connection
+
+
+def _oracle_names():
+    return [name for name, q in sorted(catalog().items()) if q.oracle is not None]
+
+
+@pytest.fixture(scope="module")
+def con(sf_correctness_dir):
+    con = duck_connection(sf_correctness_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_oracle_parity(name, spark, sf_correctness_dir, con):
+    q = catalog()[name]
+    res = compare_to_oracle(name, q.builder(spark, sf_correctness_dir), con, q.oracle)
+    assert res.ok, res.message()
+    assert res.spark_rows > 0, f"{name}: empty result — not exercising anything"
