@@ -1,0 +1,451 @@
+"""The cleaning ETL — the reference's executed layer, re-expressed lazily.
+
+Reference: ``scripts/clean_data.py`` (pandas, eager, in-place). Here each
+stage is a pure ``DataFrame -> DataFrame`` function using only built-in
+``pyspark.sql.functions`` (zero Python UDFs — SURVEY.md §2.5 target), and
+the whole pipeline is ONE lazy plan: Catalyst pushes the critical-null
+filters into the scan, prunes unused columns, and the only shuffle in the
+entire pipeline is the collision-removal aggregate (SURVEY.md §3.1).
+
+Stage order preserves reference fidelity (SURVEY.md F5, clean_data.py:33-126):
+rename → dropna(critical) → fillna(categoricals) → parse dates → cast ids
+→ remove collisions → derive smart keys → final casts → project.
+
+At 100 TB: stateless row-level stages scale linearly with the scan; the
+collision check is a groupBy(transaction_id) partial-aggregate (tiny
+shuffle payload: id + two count-distinct sketches) followed by a
+broadcast-able anti join when the offender set is small, or a shuffled
+left_anti otherwise — AQE picks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.functions.keys import date_key, month_key
+from retail_datawarehouse_spark.registry import register
+from retail_datawarehouse_spark.sources.readers import load_table
+
+# --- Stage functions (reference clean_data.py stage → Spark) ---
+
+RENAME_MAP = {
+    # reference clean_data.py:33-39 / README.md:300-311
+    "Transaction_ID": "transaction_id",
+    "Total_Purchases": "quantity",
+    "Amount": "unit_price",
+    "Total_Amount": "line_total_amount",
+    "products": "product_name",
+}
+
+CRITICAL_COLUMNS = [
+    # reference clean_data.py:42-46
+    "transaction_id",
+    "Customer_ID",
+    "Date",
+    "line_total_amount",
+    "quantity",
+    "unit_price",
+]
+
+CATEGORICAL_FILL_COLUMNS = [
+    # reference clean_data.py:49-56
+    "Income",
+    "Customer_Segment",
+    "Feedback",
+    "Shipping_Method",
+    "Payment_Method",
+    "Order_Status",
+    "Product_Category",
+    "Product_Brand",
+    "Product_Type",
+]
+
+
+def rename_columns(df: DataFrame, mapping: dict[str, str] | None = None) -> DataFrame:
+    """P1 — projection aliasing (clean_data.py:33-39)."""
+    m = {k: v for k, v in (mapping or RENAME_MAP).items() if k in df.columns}
+    return df.withColumnsRenamed(m)
+
+
+def drop_critical_nulls(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """P2 — drop rows missing critical fields (clean_data.py:42-46).
+
+    Expressed as ``na.drop(subset)`` ≡ conjunction of IsNotNull filters —
+    Catalyst pushes these into the Parquet/CSV scan (PushedFilters).
+    """
+    cols = [c for c in (cols or CRITICAL_COLUMNS) if c in df.columns]
+    return df.na.drop(subset=cols)
+
+
+def fill_unknown(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """P3 — constant-fill categorical nulls with 'Unknown' (clean_data.py:49-56)."""
+    cols = [c for c in (cols or CATEGORICAL_FILL_COLUMNS) if c in df.columns]
+    return df.na.fill("Unknown", subset=cols)
+
+
+def parse_date(df: DataFrame, col: str = "Date", fmt: str = "M/d/yyyy") -> DataFrame:
+    """P4/P6 — string→date with coerce-or-drop semantics (clean_data.py:59-68).
+
+    With ANSI off, ``to_date`` yields NULL on malformed input (including
+    impossible dates like 2/30); the subsequent critical-null drop removes
+    them — same net semantics as the reference's try/except + dropna,
+    with no exception path.
+    """
+    return df.withColumn(f"{col}_dt", F.to_date(F.col(col), fmt)).na.drop(
+        subset=[f"{col}_dt"]
+    )
+
+
+def cast_ids(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """P7 — integer casts on id/quantity columns (clean_data.py:70-71,109-111)."""
+    out = df
+    for c in cols or ["transaction_id", "Customer_ID", "quantity"]:
+        if c in df.columns:
+            out = out.withColumn(c, F.col(c).cast("long"))
+    return out
+
+
+def sentinel_fill(df: DataFrame, col: str = "Zipcode", sentinel: int = -1) -> DataFrame:
+    """P8 — NULL→sentinel + integer cast (clean_data.py:112)."""
+    if col not in df.columns:
+        return df
+    return df.withColumn(
+        col, F.coalesce(F.col(col).cast("long"), F.lit(sentinel).cast("long"))
+    )
+
+
+def remove_collisions(
+    df: DataFrame,
+    id_col: str = "transaction_id",
+    check_cols: tuple[str, ...] = ("Customer_ID", "Date_dt"),
+) -> DataFrame:
+    """A4/F4 — drop ALL rows of any transaction whose id maps to >1
+    distinct customer OR >1 distinct date (clean_data.py:73-92).
+
+    ``countDistinct().over(window)`` is unsupported in Spark, and the
+    window form would shuffle the full row payload anyway. This
+    formulation shuffles only (id, partial distinct-sketches), then
+    anti-joins the (small) offender set back — at 100 TB the offender
+    side broadcasts and the fact side never shuffles.
+    """
+    present = [c for c in check_cols if c in df.columns]
+    aggs = [F.countDistinct(c).alias(f"_n_{c}") for c in present]
+    cond = None
+    for c in present:
+        term = F.col(f"_n_{c}") > 1
+        cond = term if cond is None else (cond | term)
+    offenders = df.groupBy(id_col).agg(*aggs).filter(cond).select(id_col)
+    return df.join(offenders, id_col, "left_anti")
+
+
+def derive_smart_keys(df: DataFrame, date_col: str = "Date_dt") -> DataFrame:
+    """P9 — date_key DDMMYYYY + month_key MMYYYY as zero-padded strings
+    (clean_data.py:97-98; fidelity F1/F2)."""
+    return df.withColumn("date_key", date_key(F.col(date_col))).withColumn(
+        "month_key", month_key(F.col(date_col))
+    )
+
+
+def project_final(df: DataFrame, columns: list[str]) -> DataFrame:
+    """P12 — fixed-order projection with existence guard (clean_data.py:115-126)."""
+    return df.select(*[c for c in columns if c in df.columns])
+
+
+def clean_pipeline(staging: DataFrame, final_columns: list[str]) -> DataFrame:
+    """The full pipeline in reference order (F5). One lazy plan."""
+    df = rename_columns(staging)
+    df = drop_critical_nulls(df)
+    df = fill_unknown(df)
+    df = parse_date(df)
+    df = cast_ids(df)
+    df = remove_collisions(df)
+    df = derive_smart_keys(df)
+    df = sentinel_fill(df)
+    return project_final(df, final_columns)
+
+
+# --- Fixture adapter: retail staging frame from the driver tables ---
+#
+# The reference's raw CSV is a stripped blob (FIXTURES.md §1), so the
+# correctness gate runs the same pipeline over a staging frame built from
+# the driver fixtures (FIXTURES.md §3): lineitem = transaction line,
+# orders supplies customer + status, part supplies the product block.
+# Null/malformed injections (deterministic, keyed on ids) make dropna /
+# fillna / coerce-or-drop observable on otherwise-complete fixtures.
+
+
+def build_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    date_str = F.date_format("l_shipdate", "M/d/yyyy")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("Transaction_ID"),
+            F.col("l_linenumber").alias("line_number"),
+            F.col("o_custkey").alias("Customer_ID"),
+            # Injection: ~1% malformed, ~1% missing dates (coerce-or-drop).
+            F.when(F.col("l_orderkey") % 97 == 0, F.lit(None))
+            .when(F.col("l_orderkey") % 89 == 0, F.lit("not-a-date"))
+            .otherwise(date_str)
+            .alias("Date"),
+            F.col("l_quantity").alias("Total_Purchases"),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("Amount"),
+            F.col("l_extendedprice").alias("Total_Amount"),
+            F.col("p_name").alias("products"),
+            F.col("p_brand").alias("Product_Brand"),
+            F.col("p_type").alias("Product_Type"),
+            # Injection: status 'P' → NULL, refilled as 'Unknown' (P3).
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("Order_Status"),
+            F.col("o_orderpriority").alias("Shipping_Method"),
+        )
+    )
+
+
+_STAGING_SQL = """
+    SELECT l.l_orderkey AS Transaction_ID,
+           l.l_linenumber AS line_number,
+           o.o_custkey AS Customer_ID,
+           CASE WHEN l.l_orderkey % 97 = 0 THEN NULL
+                WHEN l.l_orderkey % 89 = 0 THEN 'not-a-date'
+                ELSE strftime(l.l_shipdate, '%-m/%-d/%Y') END AS Date,
+           l.l_quantity AS Total_Purchases,
+           l.l_extendedprice / l.l_quantity AS Amount,
+           l.l_extendedprice AS Total_Amount,
+           p.p_name AS products,
+           p.p_brand AS Product_Brand,
+           p.p_type AS Product_Type,
+           NULLIF(o.o_orderstatus, 'P') AS Order_Status,
+           o.o_orderpriority AS Shipping_Method
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+FINAL_COLUMNS = [
+    # analog of clean_data.py:115-123's fixed 30-column projection
+    "transaction_id",
+    "line_number",
+    "date_key",
+    "month_key",
+    "Customer_ID",
+    "quantity",
+    "unit_price",
+    "line_total_amount",
+    "product_name",
+    "Product_Brand",
+    "Product_Type",
+    "Order_Status",
+    "Shipping_Method",
+]
+
+
+@register(
+    "q_etl_clean_staging",
+    oracle=f"""
+    WITH staging AS ({_STAGING_SQL}),
+    renamed AS (
+        SELECT Transaction_ID AS transaction_id, line_number,
+               Customer_ID, Date,
+               Total_Purchases AS quantity, Amount AS unit_price,
+               Total_Amount AS line_total_amount, products AS product_name,
+               Product_Brand, Product_Type, Order_Status, Shipping_Method
+        FROM staging
+    ),
+    kept_rows AS (
+        SELECT * FROM renamed
+        WHERE transaction_id IS NOT NULL AND Customer_ID IS NOT NULL
+          AND Date IS NOT NULL AND line_total_amount IS NOT NULL
+          AND quantity IS NOT NULL AND unit_price IS NOT NULL
+    ),
+    filled AS (
+        SELECT * REPLACE (COALESCE(Order_Status, 'Unknown') AS Order_Status,
+                          COALESCE(Shipping_Method, 'Unknown') AS Shipping_Method)
+        FROM kept_rows
+    ),
+    parsed AS (
+        SELECT *, CAST(try_strptime(Date, '%-m/%-d/%Y') AS DATE) AS Date_dt
+        FROM filled
+        WHERE try_strptime(Date, '%-m/%-d/%Y') IS NOT NULL
+    ),
+    casted AS (
+        SELECT * REPLACE (CAST(transaction_id AS BIGINT) AS transaction_id,
+                          CAST(Customer_ID AS BIGINT) AS Customer_ID,
+                          CAST(quantity AS BIGINT) AS quantity)
+        FROM parsed
+    ),
+    offenders AS (
+        SELECT transaction_id FROM casted
+        GROUP BY transaction_id
+        HAVING COUNT(DISTINCT Customer_ID) > 1 OR COUNT(DISTINCT Date_dt) > 1
+    ),
+    decollided AS (
+        SELECT * FROM casted
+        WHERE transaction_id NOT IN (SELECT transaction_id FROM offenders)
+    )
+    SELECT transaction_id, line_number,
+           strftime(Date_dt, '%d%m%Y') AS date_key,
+           strftime(Date_dt, '%m%Y') AS month_key,
+           Customer_ID, quantity, unit_price, line_total_amount,
+           product_name, Product_Brand, Product_Type, Order_Status,
+           Shipping_Method
+    FROM decollided
+    """,
+)
+def q_etl_clean_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cleaning pipeline (reference clean_data.py:19-129) over the
+    fixture staging frame: rename → dropna → fillna → parse(coerce-or-drop)
+    → casts → collision removal → smart keys → fixed projection."""
+    return clean_pipeline(build_staging(spark, sf_dir), FINAL_COLUMNS)
+
+
+@register(
+    "q_etl_collision_removal",
+    oracle="""
+    WITH offenders AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING COUNT(DISTINCT l_suppkey) > 1
+            OR COUNT(DISTINCT CAST(l_shipdate AS DATE)) > 1
+    )
+    SELECT l_orderkey AS transaction_id, l_linenumber AS line_number,
+           l_suppkey, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT l_orderkey FROM offenders)
+    """,
+)
+def q_etl_collision_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/F4 isolated: transactions whose lines disagree on supplier or
+    ship date are dropped entirely (all lines, not just extras)."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("transaction_id"),
+        F.col("l_linenumber").alias("line_number"),
+        "l_suppkey",
+        # ISO string, not DateType: date-typed cells reach pandas as
+        # datetime.date from Spark but midnight Timestamp from DuckDB —
+        # strings keep the oracle hash representation-independent.
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+    return remove_collisions(
+        lineitem, id_col="transaction_id", check_cols=("l_suppkey", "ship_date")
+    )
+
+
+@register(
+    "q_etl_smart_keys",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%d%m%Y') AS date_key,
+           strftime(ts, '%m%Y') AS month_key,
+           printf('%02d%02d%02d',
+                  CAST(EXTRACT(second FROM CAST(ts AS TIMESTAMP)) AS INT),
+                  CAST(EXTRACT(minute FROM ts) AS INT),
+                  CAST(EXTRACT(hour FROM ts) AS INT)) AS time_key
+    FROM events
+    """,
+)
+def q_etl_smart_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/P10 — DDMMYYYY / MMYYYY / SSMMHH (seconds-first, F1) smart keys,
+    zero-padded strings exactly as the reference's executed layer emits."""
+    from retail_datawarehouse_spark.functions.keys import time_key
+
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        date_key(F.col("ts")).alias("date_key"),
+        month_key(F.col("ts")).alias("month_key"),
+        time_key(F.col("ts")).alias("time_key"),
+    )
+
+
+@register(
+    "q_etl_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'Unknown') AS segment,
+           COALESCE(CAST(CASE WHEN c_custkey % 13 = 0 THEN NULL
+                              ELSE c_nationkey END AS BIGINT), -1) AS nation_code
+    FROM customer
+    WHERE c_name IS NOT NULL
+    """,
+)
+def q_etl_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3/P8 — dropna + 'Unknown' fill + sentinel fill, with
+    deterministic null injection to make each visible on complete fixtures."""
+    customer = load_table(spark, sf_dir, "customer")
+    df = customer.select(
+        "c_custkey",
+        "c_name",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .cast("long")
+        .alias("nation_code"),
+    )
+    df = drop_critical_nulls(df, ["c_name"])
+    df = fill_unknown(df, ["segment"])
+    df = sentinel_fill(df, "nation_code", -1)
+    return df.drop("c_name")
+
+
+@register(
+    "q_etl_standardize",
+    oracle="""
+    SELECT DISTINCT
+           o_orderpriority AS raw_value,
+           trim(lower(o_orderpriority)) AS normalized,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'Express'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'Standard'
+                ELSE 'Economy' END AS standardized_tier
+    FROM orders
+    """,
+)
+def q_etl_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 — value standardization: trim/case-normalize + small mapping
+    (reference README.md:167 'Standardize payment/shipping/country names').
+
+    The mapping is a ``when`` chain here; at scale with a large mapping
+    table it becomes a broadcast join against a lookup DF.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderpriority").alias("raw_value"),
+        F.trim(F.lower("o_orderpriority")).alias("normalized"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "Express")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "Standard")
+        .otherwise("Economy")
+        .alias("standardized_tier"),
+    ).distinct()
+
+
+@register(
+    "q_customer_derived_attrs",
+    oracle="""
+    SELECT o_custkey AS customer_key,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order_date,
+           COUNT(*) AS n_orders,
+           CASE WHEN CAST(MAX(o_orderdate) AS DATE) >= DATE '2000-01-01'
+                THEN 'active' ELSE 'inactive' END AS customer_status
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_customer_derived_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17/A6 — first/last order dates + activity status vs a cutoff
+    (reference README.md:64 DimCustomer derived attributes)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("customer_key")).agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.when(
+            F.max(F.col("o_orderdate").cast("date")) >= F.lit("2000-01-01").cast("date"),
+            "active",
+        )
+        .otherwise("inactive")
+        .alias("customer_status"),
+    )
