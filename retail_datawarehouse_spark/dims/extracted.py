@@ -1,0 +1,179 @@
+"""Extracted dimensions (SURVEY.md A10): distinct over staging attributes
++ surrogate keys + derived attributes.
+
+Reference README.md:58-91 — DimCustomer, DimProduct, DimLocation,
+DimPayment, DimShipping are "1 row per <natural key>" extractions with
+denormalized hierarchy columns (star, not snowflake: Location's
+Region→Country→State→City levels live flat in the dim row).
+
+Surrogate keys: production path is ``xxhash64(natural key)``
+(functions.keys.surrogate_key_hash — deterministic, shuffle-free; see
+SURVEY.md §7 Phase 2). The oracle-checked queries here use
+``row_number() OVER (ORDER BY natural_key)`` instead purely because the
+oracle engine lacks xxhash64 — it costs a single-partition sort of a
+*dimension* (small by definition), never of a fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.registry import register
+from retail_datawarehouse_spark.sources.readers import load_table
+
+
+@register(
+    "q_dim_customer",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY c.c_custkey) AS customer_key,
+           c.c_custkey AS customer_id,
+           c.c_name AS name,
+           c.c_mktsegment AS customer_segment,
+           n.n_name AS nation,
+           r.r_name AS region,
+           CASE WHEN c.c_acctbal < 0 THEN 'negative'
+                WHEN c.c_acctbal < 3000 THEN 'low'
+                WHEN c.c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS income_segment
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DimCustomer (reference README.md:58-64): natural key retained,
+    surrogate assigned, location hierarchy denormalized in, income
+    bucketed (P17). Nation/region joins are broadcasts."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    df = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("customer_segment"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.when(F.col("c_acctbal") < 0, "negative")
+            .when(F.col("c_acctbal") < 3000, "low")
+            .when(F.col("c_acctbal") < 7000, "mid")
+            .otherwise("high")
+            .alias("income_segment"),
+        )
+    )
+    return df.withColumn(
+        "customer_key", F.row_number().over(Window.orderBy("customer_id")).cast("long")
+    )
+
+
+@register(
+    "q_dim_product",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY p_partkey) AS product_key,
+           p_partkey AS product_id,
+           p_name AS product_name,
+           p_brand AS product_brand,
+           p_type AS product_type,
+           p_size AS product_size,
+           p_retailprice AS retail_price
+    FROM part
+    """,
+)
+def q_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DimProduct (reference README.md:66-71): Category→Brand→Type→Name
+    hierarchy as flat columns."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_name").alias("product_name"),
+        F.col("p_brand").alias("product_brand"),
+        F.col("p_type").alias("product_type"),
+        F.col("p_size").alias("product_size"),
+        F.col("p_retailprice").alias("retail_price"),
+    ).withColumn(
+        "product_key", F.row_number().over(Window.orderBy("product_id")).cast("long")
+    )
+
+
+@register(
+    "q_dim_location",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY n.n_nationkey) AS location_key,
+           n.n_nationkey AS nation_id,
+           n.n_name AS nation,
+           r.r_name AS region
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DimLocation (reference README.md:73-78): Region→Country hierarchy
+    levels of the reference mapped onto region→nation fixtures."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("n_nationkey").alias("nation_id"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+        .withColumn(
+            "location_key", F.row_number().over(Window.orderBy("nation_id")).cast("long")
+        )
+    )
+
+
+@register(
+    "q_dim_payment",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY payment_method) AS payment_key,
+           payment_method
+    FROM (SELECT DISTINCT o_orderstatus AS payment_method FROM orders)
+    """,
+)
+def q_dim_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DimPayment (reference README.md:80-83): '1 row per payment method
+    type' — a distinct-extraction over staging (A10)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.col("o_orderstatus").alias("payment_method"))
+        .distinct()
+        .withColumn(
+            "payment_key",
+            F.row_number().over(Window.orderBy("payment_method")).cast("long"),
+        )
+    )
+
+
+@register(
+    "q_dim_shipping",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY service_level) AS shipping_key,
+           service_level,
+           CASE WHEN service_level IN ('1-URGENT', '2-HIGH') THEN 'Express'
+                WHEN service_level = '3-MEDIUM' THEN 'Standard'
+                ELSE 'Economy' END AS speed_tier
+    FROM (SELECT DISTINCT o_orderpriority AS service_level FROM orders)
+    """,
+)
+def q_dim_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DimShipping (reference README.md:85-91): ServiceLevel→SpeedTier→
+    Method hierarchy; distinct-extraction + derived tier."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.col("o_orderpriority").alias("service_level"))
+        .distinct()
+        .withColumn(
+            "speed_tier",
+            F.when(F.col("service_level").isin("1-URGENT", "2-HIGH"), "Express")
+            .when(F.col("service_level") == "3-MEDIUM", "Standard")
+            .otherwise("Economy"),
+        )
+        .withColumn(
+            "shipping_key",
+            F.row_number().over(Window.orderBy("service_level")).cast("long"),
+        )
+    )

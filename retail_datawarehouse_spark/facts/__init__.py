@@ -1,0 +1,1 @@
+from retail_datawarehouse_spark.facts import sales, snapshot  # noqa: F401

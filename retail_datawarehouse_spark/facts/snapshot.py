@@ -1,0 +1,136 @@
+"""Fact_Customer_MonthlySnapshot — the window formulation.
+
+Reference README.md:182-197 builds the snapshot with a month-spine ×
+customer CROSS JOIN re-scanned per month (``FILTER (WHERE date <= month_end)``
+per row) and itself warns to "derive monthly snapshots by incremental
+processing rather than full cross-join" at scale (README.md:199).
+
+This build IS that incremental form (SURVEY.md A3/F6):
+1. aggregate orders once per (customer, month)        — one shuffle
+2. densify against the month-spine × customer frame   — broadcast spine
+3. cumulative window per customer                     — one shuffle
+The semi-additive ``customer_lifetime_spent`` (README.md:115) falls out
+of the running window; zero-activity months survive densification with
+month_total 0 and the lifetime value carried forward (F6).
+
+At 100 TB: written partitioned by month; reads prune to one partition
+(the W2 discipline — read ONE month, never SUM lifetime across months).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.functions.money import dec
+from retail_datawarehouse_spark.registry import register
+from retail_datawarehouse_spark.sources.readers import load_table
+
+_SNAPSHOT_SQL = """
+    WITH monthly AS (
+        SELECT o_custkey AS customer_key,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS month_spend,
+               COUNT(DISTINCT o_orderkey) AS month_orders
+        FROM orders
+        GROUP BY 1, 2
+    ),
+    months AS (SELECT DISTINCT month_start FROM monthly),
+    spine AS (
+        SELECT c.c_custkey AS customer_key, m.month_start
+        FROM customer c CROSS JOIN months m
+    )
+    SELECT s.customer_key,
+           strftime(s.month_start, '%m%Y') AS month_key,
+           strftime(s.month_start, '%Y-%m-%d') AS month_iso,
+           CAST(COALESCE(mo.month_spend, 0) AS DOUBLE) AS month_total_spent,
+           COALESCE(mo.month_orders, 0) AS month_order_count,
+           CAST(SUM(COALESCE(mo.month_spend, 0)) OVER (
+               PARTITION BY s.customer_key ORDER BY s.month_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS customer_lifetime_spent
+    FROM spine s
+    LEFT JOIN monthly mo
+      ON mo.customer_key = s.customer_key AND mo.month_start = s.month_start
+"""
+
+
+def build_monthly_snapshot(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    monthly = orders.groupBy(
+        F.col("o_custkey").alias("customer_key"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    ).agg(
+        F.sum(dec("o_totalprice")).alias("month_spend"),
+        F.countDistinct("o_orderkey").alias("month_orders"),
+    )
+    months = monthly.select("month_start").distinct()
+    spine = customer.select(F.col("c_custkey").alias("customer_key")).crossJoin(
+        F.broadcast(months)
+    )
+    snap = (
+        spine.join(monthly, ["customer_key", "month_start"], "left")
+        .withColumn(
+            "month_total_dec",
+            F.coalesce(F.col("month_spend"), F.lit(0).cast("decimal(18,4)")),
+        )
+        .withColumn("month_order_count", F.coalesce(F.col("month_orders"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("customer_key")
+        .orderBy("month_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return snap.withColumn("lifetime_dec", F.sum("month_total_dec").over(w))
+
+
+@register("q_fact_monthly_snapshot", oracle=_SNAPSHOT_SQL)
+def q_fact_monthly_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full densified snapshot table (A2/A3/A5/A7/F6/J5/J6): one row
+    per customer per month, zero-filled, with running lifetime spend."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    snap = build_monthly_snapshot(orders, customer)
+    return snap.select(
+        "customer_key",
+        F.date_format("month_start", "MMyyyy").alias("month_key"),
+        F.date_format("month_start", "yyyy-MM-dd").alias("month_iso"),
+        F.col("month_total_dec").cast("double").alias("month_total_spent"),
+        "month_order_count",
+        F.col("lifetime_dec").cast("double").alias("customer_lifetime_spent"),
+    )
+
+
+@register(
+    "q_snapshot_mom_delta",
+    oracle=f"""
+    WITH snap AS ({_SNAPSHOT_SQL})
+    SELECT customer_key, month_iso,
+           customer_lifetime_spent
+             - lag(customer_lifetime_spent) OVER
+                   (PARTITION BY customer_key ORDER BY month_iso)
+               AS lifetime_delta
+    FROM snap
+    QUALIFY lag(customer_lifetime_spent) OVER
+        (PARTITION BY customer_key ORDER BY month_iso) IS NOT NULL
+    """,
+)
+def q_snapshot_mom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — period-over-period delta on the semi-additive measure
+    (reference README.md:258: lifetime growth = subtract the preceding
+    snapshot, never SUM across months). Delta of the cumulative equals
+    the month total — the window form makes that identity explicit.
+
+    month_iso sorts chronologically as a string, so the same ORDER BY
+    works in both engines (unlike MMYYYY month_key — F2).
+    """
+    snap = q_fact_monthly_snapshot(spark, sf_dir)
+    w = Window.partitionBy("customer_key").orderBy("month_iso")
+    return (
+        snap.withColumn(
+            "lifetime_delta",
+            F.col("customer_lifetime_spent")
+            - F.lag("customer_lifetime_spent").over(w),
+        )
+        .filter(F.col("lifetime_delta").isNotNull())
+        .select("customer_key", "month_iso", "lifetime_delta")
+    )

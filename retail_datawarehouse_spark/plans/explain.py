@@ -21,8 +21,11 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the physical plan."""
-    return len(re.findall(r"\bExchange (?:hash|range|Single)", formatted_plan(df)))
+    """Number of shuffle Exchange operators in the physical plan
+    (BroadcastExchange is data movement to every executor, not a shuffle,
+    and is excluded)."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
 def has_shuffle(df: DataFrame) -> bool:
@@ -34,7 +37,10 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 
 def wholestage_codegen_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Distinct whole-stage-codegen spans (formatted explain annotates
+    member operators with ``[codegen id : N]``)."""
+    ids = set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df)))
+    return len(ids)
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

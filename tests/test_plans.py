@@ -1,0 +1,75 @@
+"""Physical-plan contracts — the 100 TB design assertions.
+
+Parity tests prove correctness at sf0.01; these prove the PLANS are the
+ones that survive a 1000-executor scale-up: dims broadcast, filters reach
+the parquet scan, pipelines don't shuffle more than designed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.plans import (
+    broadcast_join_count,
+    pushed_filters,
+    shuffle_count,
+)
+from retail_datawarehouse_spark.registry import catalog
+from retail_datawarehouse_spark.sources.readers import load_table
+
+
+def test_fact_build_broadcasts_all_dims(spark, sf_dir):
+    """J2: every dim lookup in the fact load must be a broadcast-hash
+    join — the fact side must never shuffle for key resolution."""
+    fact = catalog()["q_fact_sales"].builder(spark, sf_dir)
+    assert broadcast_join_count(fact) >= 3
+
+
+def test_q52_broadcasts_product_dim(spark, sf_dir):
+    q52 = catalog()["q52_top10_products"].builder(spark, sf_dir)
+    assert broadcast_join_count(q52) >= 1
+
+
+def test_q52_plans_top_k_not_global_sort(spark, sf_dir):
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    q52 = catalog()["q52_top10_products"].builder(spark, sf_dir)
+    assert "TakeOrderedAndProject" in formatted_plan(q52)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f for f in pf), pf
+
+
+def test_column_pruning_reaches_read_schema(spark, sf_dir):
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = formatted_plan(li.select("l_orderkey"))
+    assert "l_extendedprice" not in plan  # unreferenced columns not scanned
+
+
+def test_clean_pipeline_single_shuffle(spark, sf_dir):
+    """The cleaning ETL's only exchange comes from collision removal
+    (SURVEY.md §3.1); row-level stages stay pipelined. Joins are
+    broadcasts; allow the aggregate + anti-join exchanges only."""
+    q = catalog()["q_etl_collision_removal"].builder(spark, sf_dir)
+    assert shuffle_count(q) <= 2
+
+
+def test_snapshot_window_formulation_shuffles(spark, sf_dir):
+    """Snapshot build: monthly agg + window = bounded shuffles (not a
+    per-month re-scan). Whole-stage codegen must cover the pipeline."""
+    snap = catalog()["q_fact_monthly_snapshot"].builder(spark, sf_dir)
+    # monthly agg (2-phase = 1 exchange), months-distinct (1), window (1),
+    # +1 slack for AQE re-plans — NOT one scan per month like the
+    # reference's cross-join formulation would need.
+    assert shuffle_count(snap) <= 4
+
+
+def test_smart_keys_no_shuffle(spark, sf_dir):
+    q = catalog()["q_etl_smart_keys"].builder(spark, sf_dir)
+    assert shuffle_count(q) == 0

@@ -1,0 +1,86 @@
+"""Semantic property tests on sf0.001 — invariants the oracle can't see
+(it would share a wrong assumption if both sides encoded it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.registry import catalog
+
+
+def _run(name, spark, sf_dir):
+    return catalog()[name].builder(spark, sf_dir)
+
+
+def test_snapshot_densified(spark, sf_dir):
+    """F6: every customer has a row for EVERY month in the spine, even
+    with zero activity, and zero-months carry lifetime forward."""
+    snap = _run("q_fact_monthly_snapshot", spark, sf_dir).cache()
+    n_customers = snap.select("customer_key").distinct().count()
+    n_months = snap.select("month_iso").distinct().count()
+    assert snap.count() == n_customers * n_months
+    zero_months = snap.filter(F.col("month_total_spent") == 0)
+    assert zero_months.count() > 0
+    assert zero_months.filter(F.col("customer_lifetime_spent") > 0).count() > 0
+    snap.unpersist()
+
+
+def test_snapshot_lifetime_monotone(spark, sf_dir):
+    from pyspark.sql import Window
+
+    snap = _run("q_fact_monthly_snapshot", spark, sf_dir)
+    w = Window.partitionBy("customer_key").orderBy("month_iso")
+    bad = (
+        snap.withColumn("prev", F.lag("customer_lifetime_spent").over(w))
+        .filter(F.col("prev").isNotNull())
+        .filter(F.col("customer_lifetime_spent") < F.col("prev"))
+    )
+    assert bad.count() == 0
+
+
+def test_scd2_ranges_partition_time(spark, sf_dir):
+    """SCD2: per natural key, exactly one current version; version ranges
+    chain (end_date == next effective_date)."""
+    scd = _run("q_scd2_build", spark, sf_dir).cache()
+    per_key = scd.groupBy("customer_key").agg(
+        F.sum(F.when(F.col("is_current"), 1).otherwise(0)).alias("n_current")
+    )
+    assert per_key.filter(F.col("n_current") != 1).count() == 0
+    # chaining: a version's end equals some later version's effective date
+    chained = scd.filter(F.col("end_date").isNotNull()).filter(
+        F.col("end_date") < F.col("effective_date")
+    )
+    assert chained.count() == 0
+    scd.unpersist()
+
+
+def test_collision_removal_drops_whole_transaction(spark, sf_dir):
+    """F4: no surviving transaction_id has >1 distinct supplier/date."""
+    out = _run("q_etl_collision_removal", spark, sf_dir)
+    bad = (
+        out.groupBy("transaction_id")
+        .agg(
+            F.countDistinct("l_suppkey").alias("ns"),
+            F.countDistinct("ship_date").alias("nd"),
+        )
+        .filter((F.col("ns") > 1) | (F.col("nd") > 1))
+    )
+    assert bad.count() == 0
+
+
+def test_dim_date_covers_full_range_no_gaps(spark, sf_dir):
+    dim = _run("q_dim_date", spark, sf_dir)
+    n = dim.count()
+    lo, hi = dim.agg(
+        F.min("date_iso").alias("lo"), F.max("date_iso").alias("hi")
+    ).first()
+    span = (
+        spark.sql(f"SELECT datediff(DATE '{hi}', DATE '{lo}') + 1 AS s").first().s
+    )
+    assert n == span  # contiguous daily spine
+
+
+def test_time_dim_exact_clock(spark, sf_dir):
+    dim = _run("q_dim_time_of_day", spark, sf_dir)
+    assert dim.count() == 86400
+    assert dim.select("time_key").distinct().count() == 86400
