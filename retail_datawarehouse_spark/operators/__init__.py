@@ -1,0 +1,6 @@
+from retail_datawarehouse_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    textual,
+)

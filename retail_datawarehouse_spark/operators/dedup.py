@@ -1,0 +1,318 @@
+"""Deduplication operators over ``documents`` — exact, n-gram Jaccard,
+MinHash-LSH, SimHash.
+
+The 100 TB shapes:
+
+- **Exact** — one hash-groupBy on ``md5(text)``: shuffle carries
+  (hash, doc_id) only, never the text.
+- **n-gram Jaccard** — shingle → inverted-index self-join on shingle →
+  per-pair intersection counts. Quadratic in docs-per-shingle: usable
+  for verification/small corpora; LSH is the scale path.
+- **MinHash-LSH** — k=12 signature in ONE aggregation pass (12 ``min``
+  aggregates over the exploded shingles — no per-seed job), banded
+  4×3; only same-band pairs are candidates, then exact Jaccard verify.
+  This is the classic shingle→minhash→band→bucket-join pipeline; cost
+  is linear in corpus + near-dup pairs, not all pairs.
+- **SimHash** — 32-bit fingerprint; one explode + one groupBy with 32
+  bit-sum aggregates; near-dup candidates = equal fingerprints
+  (hamming-0; banded hamming-k is the same join on fingerprint bands).
+
+Determinism across engines: every hash is md5 (identical hex in Spark
+and DuckDB); min/sum aggregates over them are order-insensitive.
+
+MinHash here uses min-over-md5(seed|shingle) rather than the
+universal-hash family of ``pyspark.ml.feature.MinHashLSH`` — same
+estimator, but reproducible in ANSI SQL for the oracle. The MLlib
+variant is a drop-in swap at production scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.registry import register
+from retail_datawarehouse_spark.sources.readers import load_table
+
+SHINGLE_N = 5
+MINHASH_K = 12
+BANDS = 4  # 4 bands × 3 rows
+JACCARD_THRESHOLD = 0.3
+
+# --- shared shingle builders (distinct word 5-grams per doc) ---
+
+_SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(0, size(split(text, ' ')) - {n}), "
+    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n}))))"
+).format(n=SHINGLE_N)
+
+_DUCK_SHINGLES_CTE = f"""
+    shingled AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - {SHINGLE_N - 1}),
+                   i -> array_to_string(string_split(text, ' ')[i:i+{SHINGLE_N - 1}], ' ')
+               ))) AS sh
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_N}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY 1)
+"""
+
+
+def shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= SHINGLE_N)
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
+    )
+
+
+def _pair_jaccard(shingled: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs from the exploded
+    shingle index: |A∩B| via co-shingle join, |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingled.withColumnsRenamed({"doc_id": "doc_a"})
+    b = shingled.withColumnsRenamed({"doc_id": "doc_b"})
+    inter = (
+        a.join(b, "sh")
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+    )
+
+
+# --- exact dedup (with deterministic duplicate injection) ---
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash, keep min doc_id as the
+    canonical copy. Fixture texts are all unique, so duplicates are
+    injected deterministically (every 50th doc re-appears under a new
+    id) to make the grouping observable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dupes)
+    return corpus.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --- n-gram Jaccard near-dup ---
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_sh AS na, sb.n_sh AS nb,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-5-gram Jaccard ≥ 0.3 via the inverted
+    shingle index (candidates = pairs sharing ≥1 shingle)."""
+    shingled = shingles_exploded(spark, sf_dir)
+    a = shingled.withColumnsRenamed({"doc_id": "doc_a"})
+    b = shingled.withColumnsRenamed({"doc_id": "doc_b"})
+    candidates = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _pair_jaccard(shingled, candidates).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+# --- MinHash-LSH ---
+
+_DUCK_SIGS = ", ".join(
+    f"MIN(md5(concat('{k}|', sh))) AS s{k}" for k in range(MINHASH_K)
+)
+_DUCK_BANDS = ", ".join(
+    "md5(concat_ws('|', s{0}, s{1}, s{2})) AS b{3}".format(3 * b, 3 * b + 1, 3 * b + 2, b)
+    for b in range(BANDS)
+)
+_DUCK_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, b{b} AS band_hash FROM banded"
+    for b in range(BANDS)
+)
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, {_DUCK_SIGS}
+        FROM shingled GROUP BY doc_id
+    ),
+    banded AS (SELECT doc_id, {_DUCK_BANDS} FROM sigs),
+    bands AS ({_DUCK_BAND_UNION}),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        JOIN candidates c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=12) + LSH(4 bands × 3): signatures in one aggregation
+    pass, banding join for candidates, exact-Jaccard verification of the
+    (tiny) candidate set — the near-dup pipeline that stays linear at
+    100 TB where the all-pairs join cannot."""
+    shingled = shingles_exploded(spark, sf_dir)
+    sigs = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"s{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col(f"s{3 * b}"),
+                                F.col(f"s{3 * b + 1}"),
+                                F.col(f"s{3 * b + 2}"),
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = banded.withColumnsRenamed({"doc_id": "doc_a"})
+    b = banded.withColumnsRenamed({"doc_id": "doc_b"})
+    candidates = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        _pair_jaccard(shingled, candidates)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash ---
+
+
+def _simhash_bit_sql(b: int, hash_expr: str) -> str:
+    """Bit ``b`` (0-31) of a 32-bit value read from the md5 hex prefix.
+    Pure arithmetic on instr/substr — identical in Spark SQL and DuckDB."""
+    hex_pos = b // 4 + 1
+    shift = 2 ** (b % 4)
+    return (
+        f"CAST(FLOOR((instr('0123456789abcdef', substr({hash_expr}, {hex_pos}, 1)) - 1)"
+        f" / {shift}) AS INT) % 2"
+    )
+
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(2 * ({_simhash_bit_sql(b, 'md5(tok)')}) - 1) AS bit{b}" for b in range(32)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN bit{b} >= 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END" for b in range(32)
+)
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    bitsums AS (
+        SELECT doc_id, {_SIMHASH_SUMS}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {_SIMHASH_FP} AS simhash
+    FROM bitsums
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 fingerprints: each distinct token votes ±1 per bit
+    (bit taken from the token's md5); the sign pattern is the
+    fingerprint. One explode + one groupBy; near-dup pairs are
+    fingerprint-equality (or banded hamming) joins downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    bitsums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * F.expr(_simhash_bit_sql(b, "md5(tok)")) - 1).alias(f"bit{b}")
+            for b in range(32)
+        ]
+    )
+    fp = None
+    for b in range(32):
+        term = F.when(F.col(f"bit{b}") >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else (fp + term)
+    return bitsums.select("doc_id", fp.alias("simhash"))

@@ -1,0 +1,123 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB (BASELINE.json north star):
+the payload is an opaque ``binary`` column riding next to typed metadata;
+decode / feature-extraction runs as Arrow-batched ``mapInPandas`` so the
+Python stage sees columnar batches, never rows, and the shuffle story is
+unchanged (payloads partition like any other column — size-aware
+``maxPartitionBytes`` matters more than row counts).
+
+The container has no image/audio libraries, so the decode step is a
+STUB: ``decode_image`` raises NotImplementedError, and the featurizer
+runs a clearly-marked deterministic fake (byte-statistics) through the
+REAL plumbing — schema, batching, UDF signature are production-shaped.
+The fixtures carry no binary column either; payloads are derived by
+UTF-8-encoding ``documents.text`` (same plumbing, checkable content).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from retail_datawarehouse_spark.registry import register
+from retail_datawarehouse_spark.sources.readers import load_table
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decoder slot (PIL/libvips at deploy time). Stubbed: the
+    container ships no imaging libraries."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "container; wire PIL/torchvision here at deploy time"
+    )
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque payload + typed metadata columns."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("payload_bytes"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_min", T.LongType()),
+        T.StructField("byte_max", T.LongType()),
+    ]
+)
+
+
+def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic FAKE featurizer (byte statistics) standing in for
+    decode→resize→embed. Arrow-batched: one pandas frame per batch, the
+    real shape a GPU feature-extractor consumes."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload_bytes": payloads.map(len).astype("int64"),
+                "byte_mean": payloads.map(
+                    lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                ),
+                "byte_min": payloads.map(lambda b: int(min(b)) if len(b) else 0),
+                "byte_max": payloads.map(lambda b: int(max(b)) if len(b) else 0),
+            }
+        )
+
+
+def featurize(df_with_payload: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over the binary column."""
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        _featurize_batches, FEATURE_SCHEMA
+    )
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           octet_length(encode(text)) AS payload_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over the opaque payload — the JVM-side half of the
+    multimodal pipeline (no Python): sizes, sniffed header byte, content
+    hash. This is the path metadata-only queries take (count by media
+    type, size histograms) without ever touching Python or the payload
+    decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.length(payload).cast("long").alias("payload_bytes"),
+        F.ascii(F.substring("text", 1, 1)).cast("long").alias("first_byte"),
+        F.md5("text").alias("payload_md5"),
+    )
+
+
+@register("q_multimodal_features", oracle=None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal plumbing: payload attach → Arrow-batched
+    mapInPandas featurizer (deterministic fake behind the real decode
+    slot). No SQL oracle — mapInPandas is not SQL-expressible; the
+    driver records a rows-only check, and tests assert the fake
+    features against JVM-side recomputation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return featurize(with_binary_payload(docs))

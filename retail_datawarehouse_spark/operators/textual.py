@@ -1,0 +1,221 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The LLM-data-pipeline text stack (BASELINE.json north star): language ID,
+quality scoring, token counting, and document fingerprinting — all as
+built-in column expressions (JVM-side, codegen'd, shuffle-free per row).
+At 100 TB these run as a single map-only pass over the corpus; nothing
+here exchanges data.
+
+Cross-engine determinism: marker counts use replace-length arithmetic,
+token counts use identical RE2/Java-compatible regexes, the rolling hash
+is an ordered left fold (``F.aggregate`` ≡ DuckDB ``list_reduce``), so
+every output is bit-identical with the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.registry import register
+from retail_datawarehouse_spark.sources.readers import load_table
+
+# Pre-tokenizer regex (BPE-ish: letter runs | digit runs | single symbol).
+# Identical semantics in Java regex (Spark) and RE2 (DuckDB).
+WORD_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for")
+
+# Language marker words; counts decide the prediction (fixed precedence
+# breaks ties deterministically). A real system uses character-n-gram
+# profiles; the operator shape (marker scoring, argmax) is the same.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "les", "des"),
+    "es": ("el", "los", "las"),
+}
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of ``needle`` via replace-length arithmetic — identical
+    integer result in any engine, no regex dialect involved."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    token = f" {needle} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(token), F.lit(""))))
+        / len(token)
+    ).cast("long")
+
+
+def _count_occurrences_sql(text_expr: str, needle: str) -> str:
+    token = f" {needle} "
+    padded = f"concat(' ', {text_expr}, ' ')"
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{token}', '')))"
+        f" / {len(token)} AS BIGINT)"
+    )
+
+
+@register(
+    "q_text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{WORD_TOKEN_RE}')) AS n_word_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokenizer counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(WORD_TOKEN_RE)).cast("long").alias("n_word_tokens"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("long").alias("n_number_tokens"),
+    )
+
+
+_SW_SQL = " + ".join(_count_occurrences_sql("text", w) for w in STOPWORDS)
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           ({_SW_SQL}) AS n_stopwords,
+           CAST(({_SW_SQL}) AS DOUBLE) / len(string_split(text, ' '))
+               AS stopword_ratio,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+               AS avg_token_len,
+           length(text) >= 100
+               AND CAST(({_SW_SQL}) AS DOUBLE)
+                   / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+               AS passes_quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio heuristics
+    (the Gopher-rule shape) as one map-only projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = F.size(F.split(text, " ")).cast("long")
+    n_stop = None
+    for w in STOPWORDS:
+        c = _count_occurrences(text, w)
+        n_stop = c if n_stop is None else (n_stop + c)
+    sw_ratio = n_stop.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        sw_ratio.alias("stopword_ratio"),
+        (
+            F.regexp_count(text, F.lit("[^A-Za-z0-9 ]")).cast("double")
+            / F.length(text)
+        ).alias("punct_ratio"),
+        (F.length(text).cast("double") / n_tokens).alias("avg_token_len"),
+        (
+            (F.length(text) >= 100) & sw_ratio.between(0.01, 0.6)
+        ).alias("passes_quality"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_count_occurrences_sql("text", w) for w in LANG_MARKERS[lang])
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+               ({_lang_score_sql("en")}) AS s_en,
+               ({_lang_score_sql("de")}) AS s_de,
+               ({_lang_score_sql("fr")}) AS s_fr,
+               ({_lang_score_sql("es")}) AS s_es
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang, s_en, s_de, s_fr, s_es,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM scored
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: marker-word scores + fixed-precedence argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for w in markers:
+            c = _count_occurrences(text, w)
+            s = c if s is None else (s + c)
+        scores[lang] = s
+    s_en, s_de, s_fr, s_es = (scores[lg] for lg in ("en", "de", "fr", "es"))
+    predicted = (
+        F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
+        .when((s_de >= s_fr) & (s_de >= s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        s_en.alias("s_en"),
+        s_de.alias("s_de"),
+        s_fr.alias("s_fr"),
+        s_es.alias("s_es"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+ROLLING_MOD = 1_000_000_007
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS content_md5,
+           list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                   list_transform(regexp_extract_all(text, '.'),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, ch) -> (acc * 31 + ch) % {ROLLING_MOD}) AS rolling_hash
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: (1) content hash of the normalized text
+    (lowercase, punctuation stripped, whitespace collapsed) — robust to
+    formatting-only edits; (2) polynomial rolling hash over the raw
+    characters — an ordered left fold, the building block of rolling
+    chunking. Both engines fold left → identical values."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    rolling = F.expr(
+        f"aggregate(regexp_extract_all(text, '.', 0), CAST(7 AS BIGINT), "
+        f"(acc, ch) -> (acc * 31 + ascii(ch)) % {ROLLING_MOD})"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("content_md5"),
+        rolling.alias("rolling_hash"),
+    )

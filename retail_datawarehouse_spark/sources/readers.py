@@ -132,10 +132,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # The driver hands us its own SparkSession, which may not carry
+        # our session-factory configs; events.parquet is TIMESTAMP(NANOS)
+        # which Spark's reader rejects unless read as a raw long.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ns → µs truncation, matching DuckDB's TIMESTAMP_NS→TIMESTAMP cast.
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # ns → µs truncation, matching DuckDB's TIMESTAMP_NS→TIMESTAMP
+        # cast. `div` is integral division: `/` would go through DOUBLE,
+        # which at ~1.7e18 ns has >1 µs ULP and rounds the value.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

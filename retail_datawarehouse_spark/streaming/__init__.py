@@ -1,0 +1,1 @@
+from retail_datawarehouse_spark.streaming import pipelines  # noqa: F401

@@ -1,0 +1,272 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference is batch-only and names latency as its shortcoming
+("loaded in batches (hourly/daily)... not suitable for real-time",
+reference README.md:274). This module supplies the streaming layer the
+reference lacks (SURVEY.md §2.5 extension): watermarked event-time
+windows (tumbling / sliding / session) and a ``foreachBatch`` upsert
+that keeps the monthly-snapshot fact incrementally fresh.
+
+Design notes for the real cluster:
+- Source: ``readStream`` over the landing directory (or Kafka at deploy);
+  schema DECLARED (streaming requires it anyway).
+- Watermark 10 minutes: late events inside the watermark revise their
+  window; later ones are dropped — state stays bounded, which is the
+  whole point at 100 TB/day ingest.
+- The same window expressions run IDENTICALLY in batch (Spark's
+  batch/streaming unification) — the oracle-checked q_stream_* catalog
+  entries below are the batch-mode images of these pipelines, which is
+  exactly how their correctness is testable at all.
+
+Window semantics reminders (encoded in the oracles):
+- tumbling/sliding windows are epoch-aligned half-open [start, end);
+- an event belongs to slide_count = window/slide sliding windows;
+- a session window ends gap after its LAST event; an event exactly at
+  ``prev + gap`` starts a NEW session (half-open again).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.functions.money import dec, dec_sum
+from retail_datawarehouse_spark.registry import register
+from retail_datawarehouse_spark.sources.readers import TABLE_SCHEMAS, load_table
+
+WATERMARK = "10 minutes"
+
+
+def make_landing_dir(sf_dir: str) -> str:
+    """Stage ``events.parquet`` into a fresh landing DIRECTORY.
+
+    Spark's FileStreamSource requires a directory (it watches for files
+    arriving in it); the driver fixture is a single parquet file, so the
+    local smoke path stages it the way a real ingest would land it. On a
+    cluster this is the landing path files are dropped into (or Kafka).
+    """
+    import shutil
+    import tempfile
+
+    landing = tempfile.mkdtemp(prefix="events_landing_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/batch-0.parquet")
+    return landing
+
+
+def stream_events(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """readStream over the events landing dir (parquet microbatches).
+
+    Same ns→µs conversion as the batch reader (events.parquet stores
+    TIMESTAMP(NANOS); integral `div`, not `/`, which rounds via DOUBLE —
+    see sources.readers.load_table).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(TABLE_SCHEMAS["events"]).parquet(landing_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_aggregation(events: DataFrame) -> DataFrame:
+    """Watermarked 1-hour tumbling counts/sums per event type."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(spark: SparkSession, sf_dir: str, name: str = "stream_out") -> DataFrame:
+    """Drive the streaming pipeline over everything currently in the
+    source (trigger=availableNow) into a memory sink — the local smoke
+    path; on a cluster the same query runs continuously with a real sink."""
+    events = stream_events(spark, make_landing_dir(sf_dir))
+    q = (
+        tumbling_aggregation(events)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def foreach_batch_upsert(spark: SparkSession, sf_dir: str, target_dir: str) -> None:
+    """Exactly-once-style sink: per micro-batch, merge new hourly
+    aggregates into the target (emulated MERGE: read target, anti-join
+    overwritten keys, union, rewrite — the Delta-less upsert pattern;
+    with Delta/Iceberg on the classpath this becomes a real MERGE INTO)."""
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.cache()
+        sess = batch.sparkSession
+        # The target is rewritten in place each batch; drop any cached
+        # file listing so reads see the current files, not prior ones.
+        sess.catalog.refreshByPath(target_dir)
+        try:
+            existing = sess.read.parquet(target_dir)
+            keep = existing.join(
+                batch.select("window_start_epoch", "event_type"),
+                ["window_start_epoch", "event_type"],
+                "left_anti",
+            )
+            merged = keep.unionByName(batch)
+        except Exception:  # first batch: target does not exist yet
+            merged = batch
+        merged.write.mode("overwrite").parquet(target_dir + "_tmp")
+        sess.catalog.refreshByPath(target_dir + "_tmp")
+        sess.read.parquet(target_dir + "_tmp").write.mode("overwrite").parquet(
+            target_dir
+        )
+        sess.catalog.refreshByPath(target_dir)
+        batch.unpersist()
+
+    events = stream_events(spark, make_landing_dir(sf_dir))
+    q = (
+        tumbling_aggregation(events)
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+# --- Batch-mode images of the streaming pipelines (oracle-checked) ---
+
+
+@register(
+    "q_stream_tumbling_1h",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS window_start_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregation (batch image of the streaming
+    pipeline; identical plan modulo the watermark/state operators)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding_1h_15m",
+    oracle="""
+    WITH expanded AS (
+        SELECT (epoch_us(ts) // 1000000 // 900) * 900 - k.k * 900
+                   AS window_start_epoch,
+               event_type, value
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    )
+    SELECT window_start_epoch, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 15 min slide): every event lands in
+    exactly 4 windows. The oracle materializes that expansion explicitly
+    (floor-to-slide minus k·slide) — the definition Spark's window
+    operator implements internally."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_stream_session_30m",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT *, CAST(SUM(new_session) OVER
+                   (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — ``session_window`` in
+    batch mode; the oracle derives the identical sessions with the
+    gaps-and-islands idiom (lag + cumulative new-session flags), which is
+    also the pre-``session_window`` Spark formulation. Session end =
+    last event + gap, half-open."""
+    events = load_table(spark, sf_dir, "events")
+    sessions = (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+    # session_seq: rank sessions per user by start time (matches the
+    # oracle's cumulative-flag numbering).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_start_us")
+    return sessions.withColumn(
+        "session_seq", F.row_number().over(w).cast("long")
+    ).select(
+        "user_id",
+        "session_seq",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        "total_value",
+    )

@@ -1,0 +1,109 @@
+"""Operator-semantics tests for the LLM-pipeline extensions (sf0.001/sf0.01)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.registry import catalog
+
+
+def _run(name, spark, sf_dir):
+    return catalog()[name].builder(spark, sf_dir)
+
+
+def test_minhash_lsh_recall_vs_exhaustive(spark, sf_correctness_dir):
+    """LSH must recover the high-Jaccard pairs the exhaustive shingle
+    join finds: at 4 bands × 3 rows, pairs with J ≥ 0.8 collide in some
+    band with prob ≥ 1-(1-0.8^3)^4 ≈ 0.94; the fixture's injected
+    near-dups sit at J ≈ 0.95+ → expect full recall of J ≥ 0.9 pairs."""
+    exhaustive = _run("q_dedup_ngram_jaccard", spark, sf_correctness_dir)
+    lsh = _run("q_dedup_minhash_lsh", spark, sf_correctness_dir)
+    high = set(
+        (r.doc_a, r.doc_b)
+        for r in exhaustive.filter(F.col("jaccard") >= 0.9).collect()
+    )
+    found = set((r.doc_a, r.doc_b) for r in lsh.collect())
+    assert high, "fixture should contain injected near-duplicates"
+    assert high <= found, f"LSH missed high-similarity pairs: {high - found}"
+
+
+def test_exact_dedup_finds_injected_copies(spark, sf_dir):
+    out = _run("q_dedup_exact", spark, sf_dir).filter(F.col("n_copies") > 1)
+    rows = out.collect()
+    assert rows and all(r.n_copies == 2 for r in rows)
+    assert all(r.canonical_doc_id % 50 == 0 for r in rows)
+
+
+def test_simhash_near_dups_are_close(spark, sf_correctness_dir):
+    """Near-identical docs (J ≥ 0.9) must have small simhash hamming
+    distance; random pairs average ~16/32 differing bits."""
+    sim = {
+        r.doc_id: r.simhash
+        for r in _run("q_dedup_simhash", spark, sf_correctness_dir).collect()
+    }
+    pairs = (
+        _run("q_dedup_ngram_jaccard", spark, sf_correctness_dir)
+        .filter(F.col("jaccard") >= 0.9)
+        .collect()
+    )
+    assert pairs
+    for r in pairs:
+        hamming = bin(sim[r.doc_a] ^ sim[r.doc_b]).count("1")
+        assert hamming <= 6, (r.doc_a, r.doc_b, hamming)
+
+
+def test_ann_lsh_is_subset_quality_of_bruteforce(spark, sf_correctness_dir):
+    """Bucketed ANN returns only same-bucket candidates; every returned
+    (query, candidate) cosine must match the brute-force score exactly
+    (same fold arithmetic), and rank-1 results must score ≤ brute-force
+    rank-1 (it searches a subset)."""
+    bf = {
+        (r.query_id, r.candidate_id): r.cosine
+        for r in _run("q_ann_cosine_topk", spark, sf_correctness_dir).collect()
+    }
+    bf_best = {}
+    for (q, c), cos in bf.items():
+        bf_best[q] = max(bf_best.get(q, -2.0), cos)
+    for r in _run("q_ann_lsh_bucketed", spark, sf_correctness_dir).collect():
+        if (r.query_id, r.candidate_id) in bf:
+            assert bf[(r.query_id, r.candidate_id)] == r.cosine
+        if r.rank == 1:
+            assert r.cosine <= bf_best[r.query_id] + 1e-12
+
+
+def test_multimodal_features_match_jvm_recompute(spark, sf_dir):
+    """The mapInPandas fake featurizer must agree with a JVM-side
+    recomputation of the same byte statistics (proves the Arrow batch
+    path transports payloads intact)."""
+    feats = _run("q_multimodal_features", spark, sf_dir)
+    docs = catalog()["q_multimodal_meta"].builder(spark, sf_dir).select(
+        "doc_id", "payload_bytes"
+    )
+    joined = feats.join(docs.withColumnsRenamed({"payload_bytes": "jvm_bytes"}), "doc_id")
+    assert joined.filter(F.col("payload_bytes") != F.col("jvm_bytes")).count() == 0
+    sample = feats.orderBy("doc_id").first()
+    assert 0 < sample.byte_min <= sample.byte_mean <= sample.byte_max <= 255
+
+
+def test_decode_stub_raises(spark):
+    import pytest
+
+    from retail_datawarehouse_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_langid_outputs_valid_labels(spark, sf_dir):
+    out = _run("q_text_langid", spark, sf_dir)
+    labels = {r.predicted_lang for r in out.select("predicted_lang").distinct().collect()}
+    assert labels <= {"en", "de", "fr", "es"}
+
+
+def test_quality_flags_are_consistent(spark, sf_dir):
+    out = _run("q_text_quality", spark, sf_dir)
+    bad = out.filter(
+        F.col("passes_quality")
+        & ((F.col("n_chars") < 100) | (F.col("stopword_ratio") > 0.6))
+    )
+    assert bad.count() == 0

@@ -1,0 +1,80 @@
+"""Structured Streaming pipeline tests: the streaming result must equal
+the batch image of the same computation (Spark's unification promise —
+and ours, since the batch image is what the oracle certifies)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.registry import catalog
+from retail_datawarehouse_spark.streaming.pipelines import (
+    foreach_batch_upsert,
+    run_available_now,
+)
+
+
+def _as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_streaming_matches_batch_image(spark, sf_dir):
+    stream_out = run_available_now(spark, sf_dir, name="t_stream_smoke")
+    batch_out = catalog()["q_stream_tumbling_1h"].builder(spark, sf_dir)
+    assert _as_set(stream_out) == _as_set(batch_out)
+    assert stream_out.count() > 0
+
+
+def test_foreach_batch_upsert_builds_target(spark, sf_dir):
+    target = tempfile.mkdtemp(prefix="snap_upsert_") + "/hourly"
+    try:
+        foreach_batch_upsert(spark, sf_dir, target)
+        merged = spark.read.parquet(target)
+        batch_out = catalog()["q_stream_tumbling_1h"].builder(spark, sf_dir)
+        merged_set = _as_set(merged)  # materialize BEFORE the rewrite below
+        assert merged_set == _as_set(batch_out)
+        # idempotency: re-running the upsert must not duplicate keys
+        foreach_batch_upsert(spark, sf_dir, target)
+        again = spark.read.parquet(target)
+        assert again.count() == len(merged_set)
+        assert (
+            again.groupBy("window_start_epoch", "event_type")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+            == 0
+        )
+    finally:
+        shutil.rmtree(target.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_sliding_window_multiplicity(spark, sf_dir):
+    """1h/15m slide: total (event, window) memberships = 4 × events."""
+    events_n = (
+        catalog()["q_stream_tumbling_1h"].builder(spark, sf_dir)
+        .agg(F.sum("n_events"))
+        .first()[0]
+    )
+    sliding_n = (
+        catalog()["q_stream_sliding_1h_15m"].builder(spark, sf_dir)
+        .agg(F.sum("n_events"))
+        .first()[0]
+    )
+    assert sliding_n == 4 * events_n
+
+
+def test_session_windows_disjoint_per_user(spark, sf_dir):
+    """Sessions of one user must not overlap: next start >= prev end
+    would violate the 30-min-gap closure; starts must be ≥ prev end."""
+    from pyspark.sql import Window
+
+    s = catalog()["q_stream_session_30m"].builder(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("session_start_us")
+    bad = (
+        s.withColumn("prev_end", F.lag("session_end_us").over(w))
+        .filter(F.col("prev_end").isNotNull())
+        .filter(F.col("session_start_us") < F.col("prev_end"))
+    )
+    assert bad.count() == 0
