@@ -1,0 +1,354 @@
+"""Query-surface extensions beyond the reference's own catalog.
+
+SURVEY.md §2 marks these operator families "not present in the
+reference" but natural, free extensions of the same warehouse: grouping
+sets (rollup/cube over the dimension hierarchies that the reference
+declares at README.md:71,78,91 but only ever groups at one level),
+pivot, set operations, exact percentiles, per-group top-k, as-of join,
+and semi-structured (JSON) extraction over ``events.props``.
+
+Every operator is a declarative DataFrame plan — Catalyst picks the
+physical strategy (Expand for rollup/cube, partial-agg pivot, hash
+set-ops, window top-k). The one place Spark lacks a built-in is the
+as-of join; it is implemented with the union-tag + last(ignoreNulls)
+window formulation, which is THE scale shape: one shuffle on the key,
+no range-join row explosion (a naive ``p.ts >= v.ts`` join is quadratic
+per user; this is linear after one sort).
+
+Cross-engine notes baked into the oracles:
+- rollup/cube subtotal rows are identified via the GROUPING bitmask
+  (identical semantics both engines), surfaced as ``lvl``;
+- pivot cells and as-of misses are COALESCEd so no engine-specific
+  null surface reaches the hash compare;
+- Spark ``percentile`` and DuckDB ``percentile_cont`` both do linear
+  interpolation on the sorted values — verified bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.functions.money import dec_sum
+from retail_datawarehouse_spark.registry import register
+from retail_datawarehouse_spark.sources.readers import load_table
+
+
+# --- grouping sets: ROLLUP over the product hierarchy -------------------
+
+
+@register(
+    "q_rollup_brand_type_revenue",
+    oracle="""
+    SELECT COALESCE(p_brand, 'ALL') AS brand,
+           COALESCE(p_type, 'ALL') AS ptype,
+           CAST(GROUPING(p_brand, p_type) AS BIGINT) AS lvl,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ROLLUP(p_brand, p_type)
+    """,
+)
+def q_rollup_brand_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup (SURVEY.md §2.4 'natural, free extension'):
+    revenue at brand×type, brand subtotal, and grand total in ONE pass —
+    Catalyst's Expand operator replays each row per grouping set, so the
+    plan stays a single shuffle (vs three separate groupBys)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .rollup("p_brand", "p_type")
+        .agg(
+            dec_sum("l_extendedprice", "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.grouping_id().cast("long").alias("lvl"),
+        )
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("p_type", F.lit("ALL")).alias("ptype"),
+            "lvl",
+            "revenue",
+            "n_lines",
+        )
+    )
+
+
+# --- grouping sets: CUBE over segment × region --------------------------
+
+
+@register(
+    "q_cube_segment_region",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(r_name, 'ALL') AS region,
+           CAST(GROUPING(c_mktsegment, r_name) AS BIGINT) AS lvl,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE(c_mktsegment, r_name)
+    """,
+)
+def q_cube_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four marginal views of customers over segment × region
+    (both, each alone, grand total) in one Expand+aggregate pass, dims
+    broadcast so the fact side never shuffles for the join."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .cube("c_mktsegment", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum("c_acctbal", "total_acctbal"),
+            F.grouping_id().cast("long").alias("lvl"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            "lvl",
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+# --- pivot --------------------------------------------------------------
+
+
+@register(
+    "q_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority. Pivot values are
+    DECLARED (not discovered) — at 100 TB the value-discovery pass of an
+    unspecified pivot is a full extra scan. Counts and the exact-decimal
+    total ride the SAME pivot aggregate, so the whole query is one
+    partial+final hash aggregate (a single shuffle), not pivot + totals
+    + re-join."""
+    from retail_datawarehouse_spark.functions.money import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("o_totalprice")).alias("val"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce("F_cnt", F.lit(0)).alias("n_f"),
+        F.coalesce("O_cnt", F.lit(0)).alias("n_o"),
+        F.coalesce("P_cnt", F.lit(0)).alias("n_p"),
+        (
+            F.coalesce("F_val", zero)
+            + F.coalesce("O_val", zero)
+            + F.coalesce("P_val", zero)
+        )
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+# --- set operations -----------------------------------------------------
+
+
+@register(
+    "q_setops_purchase_error_users",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase'),
+         e AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'error')
+    SELECT user_id, 'both' AS cohort FROM (SELECT * FROM p INTERSECT SELECT * FROM e)
+    UNION ALL
+    SELECT user_id, 'purchase_only' AS cohort
+    FROM (SELECT * FROM p EXCEPT SELECT * FROM e)
+    UNION ALL
+    SELECT user_id, 'error_only' AS cohort
+    FROM (SELECT * FROM e EXCEPT SELECT * FROM p)
+    """,
+)
+def q_setops_purchase_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION in one cohort query (set ops absent
+    from the reference — SURVEY.md §2.5). Catalyst plans intersect and
+    except as hash semi/anti joins on the deduped sides."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    e = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    tag = lambda df, c: df.withColumn("cohort", F.lit(c))  # noqa: E731
+    return (
+        tag(p.intersect(e), "both")
+        .unionByName(tag(p.subtract(e), "purchase_only"))
+        .unionByName(tag(e.subtract(p), "error_only"))
+    )
+
+
+# --- as-of join (last-touch attribution) --------------------------------
+
+
+@register(
+    "q_asof_lasttouch_attribution",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_event_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           COALESCE(epoch_us(v.ts), -1) AS view_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's latest view
+    at-or-before it (last-touch attribution). Spark has no ASOF JOIN;
+    the naive formulation (equi-join on user + ``p.ts >= v.ts`` range
+    filter, then max-per-purchase) materializes every (purchase, earlier
+    view) pair — quadratic per user. This union-tag formulation is the
+    scale shape: tag views and purchases, ONE shuffle on user_id, sort
+    by event time, carry the last view time forward with
+    last(ignoreNulls) — linear, skew-tolerant, and exactly DuckDB's
+    ASOF LEFT JOIN semantics (>= inclusive: views sort before purchases
+    at equal ts via the kind key; (user_id, ts) is unique in the data)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("kind"), F.lit(None).cast("long").alias("event_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(purchases).withColumn(
+        "last_view_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.coalesce(F.unix_micros("last_view_ts"), F.lit(-1)).alias("view_ts_us"),
+    )
+
+
+# --- exact percentiles --------------------------------------------------
+
+
+@register(
+    "q_percentile_order_value",
+    oracle="""
+    SELECT o_orderpriority,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+           percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per priority.
+    Spark ``percentile`` ≡ DuckDB ``percentile_cont`` (verified
+    bit-identical). At 100 TB the serving path swaps in
+    ``approx_percentile`` (t-digest sketch, mergeable, one pass) — kept
+    out of the oracle-checked surface because sketches are
+    engine-specific by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
+# --- semi-structured: JSON props extraction -----------------------------
+
+
+@register(
+    "q_json_props_stats",
+    oracle="""
+    SELECT event_type,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a typed field from the
+    JSON ``props`` payload and aggregate. ``get_json_object`` runs
+    JVM-side (no UDF); for wide repeated extraction, ``from_json`` with
+    a declared schema is the one-parse-many-fields shape."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- per-group top-k ----------------------------------------------------
+
+
+@register(
+    "q_topk_parts_per_brand",
+    oracle="""
+    WITH rev AS (
+        SELECT p_brand, p_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p_brand, p_name, revenue,
+           CAST(row_number() OVER
+               (PARTITION BY p_brand ORDER BY revenue DESC, p_name)
+               AS BIGINT) AS rank
+    FROM rev
+    QUALIFY rank <= 3
+    """,
+)
+def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand — per-GROUP top-k (window rank), the
+    complement of the global TakeOrderedAndProject in q52. Catalyst
+    pushes a per-partition rank limit below the final sort
+    (WindowGroupLimit), so no group ever materializes fully sorted."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_name")
+        .agg(dec_sum("l_extendedprice", "revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_name")
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_name", "revenue", "rank")
+    )

@@ -73,3 +73,51 @@ def test_snapshot_window_formulation_shuffles(spark, sf_dir):
 def test_smart_keys_no_shuffle(spark, sf_dir):
     q = catalog()["q_etl_smart_keys"].builder(spark, sf_dir)
     assert shuffle_count(q) == 0
+
+
+def test_rollup_cube_single_expand_pass(spark, sf_dir):
+    """Rollup/cube compute every grouping set in ONE Expand+aggregate
+    pass (a single shuffle), never one groupBy per level; dim joins stay
+    broadcast."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    for name in ("q_rollup_brand_type_revenue", "q_cube_segment_region"):
+        df = catalog()[name].builder(spark, sf_dir)
+        assert "Expand" in formatted_plan(df), name
+        assert shuffle_count(df) == 1, name
+        assert broadcast_join_count(df) >= 1, name
+
+
+def test_pivot_is_one_pass(spark, sf_dir):
+    """Declared-values pivot with counts + totals riding the same pivot:
+    Spark's canonical pivot plan is pre-aggregate → pivotfirst (two
+    exchanges, the second carrying only (priority,status)-level
+    aggregate rows) — crucially NO join of separately-aggregated
+    DataFrames and no value-discovery scan."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    df = catalog()["q_pivot_status_by_priority"].builder(spark, sf_dir)
+    assert shuffle_count(df) <= 2
+    assert "Join" not in formatted_plan(df)
+
+
+def test_asof_join_single_shuffle_no_range_join(spark, sf_dir):
+    """The as-of join must use the union-tag + window formulation: one
+    exchange on user_id and NO join operator at all — a naive range
+    join would explode quadratically per user at 100 TB."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    df = catalog()["q_asof_lasttouch_attribution"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """Per-group top-k must plan WindowGroupLimit (per-partition rank
+    cutoff before the final window) — no group fully sorted/materialized."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    df = catalog()["q_topk_parts_per_brand"].builder(spark, sf_dir)
+    assert "WindowGroupLimit" in formatted_plan(df)
