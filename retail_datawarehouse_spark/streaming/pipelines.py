@@ -270,3 +270,120 @@ def q_stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+# --- Custom stateful operator: applyInPandasWithState ---
+
+STATEFUL_OUTPUT_SCHEMA = (
+    "user_id LONG, n_events LONG, total_cents LONG, "
+    "first_ts_us LONG, last_ts_us LONG"
+)
+STATEFUL_STATE_SCHEMA = (
+    "n_events LONG, total_cents LONG, first_ts_us LONG, last_ts_us LONG"
+)
+
+
+def _user_totals_func(key, pdf_iter, state):
+    """Per-user running totals — the custom stateful kernel.
+
+    State survives across micro-batches in the state store; each batch
+    folds its rows in and emits the updated running row (update mode).
+    Money is tracked in integer cents so streaming and batch images are
+    exactly equal (no float accumulation-order drift).
+    """
+    import pandas as pd
+
+    if state.exists:
+        n, cents, first_us, last_us = state.get
+    else:
+        n, cents, first_us, last_us = 0, 0, None, None
+    for pdf in pdf_iter:
+        n += len(pdf)
+        cents += int(pdf["cents"].sum())
+        lo = int(pdf["ts_us"].min())
+        hi = int(pdf["ts_us"].max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, cents, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_cents": [cents],
+            "first_ts_us": [first_us],
+            "last_ts_us": [last_us],
+        }
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful streaming (SURVEY.md §2.5 extension): running
+    per-user totals via ``applyInPandasWithState`` — the escape hatch for
+    operators Spark's built-in windows can't express (custom state
+    transition functions). Inputs are pre-shaped to plain longs
+    (``unix_micros`` ts, integer cents) so the Python kernel is
+    unit-and-timezone-free and exactly reproducible.
+
+    At 100 TB/day: state is hash-partitioned by user_id across the
+    cluster's state stores; each micro-batch shuffles only that batch's
+    events; RocksDB state backend + changelog checkpointing keep state
+    size off-heap.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    shaped = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return shaped.groupBy("user_id").applyInPandasWithState(
+        _user_totals_func,
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_available_now(
+    spark: SparkSession, sf_dir: str, name: str = "stateful_out"
+) -> DataFrame:
+    events = stream_events(spark, make_landing_dir(sf_dir))
+    q = (
+        stateful_user_totals(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "q_stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           epoch_us(MIN(ts)) AS first_ts_us,
+           epoch_us(MAX(ts)) AS last_ts_us
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch image of the stateful per-user running totals: after the
+    stream drains, the state rows equal this one-pass aggregate —
+    asserted in tests, oracle-checked here."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+    )

@@ -78,3 +78,16 @@ def test_session_windows_disjoint_per_user(spark, sf_dir):
         .filter(F.col("session_start_us") < F.col("prev_end"))
     )
     assert bad.count() == 0
+
+
+def test_stateful_user_totals_matches_batch_image(spark, sf_dir):
+    """applyInPandasWithState drained over the full source must equal
+    the one-pass batch aggregate (exact: integer cents, integer µs)."""
+    from retail_datawarehouse_spark.streaming.pipelines import (
+        run_stateful_available_now,
+    )
+
+    stream_out = run_stateful_available_now(spark, sf_dir, name="t_stateful_smoke")
+    batch_out = catalog()["q_stream_stateful_user_totals"].builder(spark, sf_dir)
+    assert _as_set(stream_out) == _as_set(batch_out)
+    assert stream_out.count() > 0
