@@ -352,3 +352,37 @@ def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("p_brand", "p_name", "revenue", "rank")
     )
+
+
+# --- supplier rollout (completes fixture-table coverage) ----------------
+
+
+@register(
+    "q_supplier_acctbal_by_region",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_supplier_acctbal_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account balances rolled up the geography hierarchy —
+    the star-join shape over the remaining fixture table (broadcast
+    dims, one aggregate shuffle)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dec_sum("s_acctbal", "total_acctbal"),
+        )
+    )

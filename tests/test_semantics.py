@@ -106,3 +106,27 @@ def test_collision_removal_forms_agree(spark, sf_dir):
     b = remove_collisions_window(li, check_cols=cols)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
+
+
+def test_observe_audit_rides_the_single_pass(spark, sf_dir):
+    """S5/A9: audit metrics attach to the one real pass via observe —
+    row counts + null counts match a separately-computed ground truth,
+    with no extra count() action per stage."""
+    from retail_datawarehouse_spark.etl.audit import null_counts, observed
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    staged = orders.withColumn(
+        "maybe_null", F.when(F.col("o_orderkey") % 10 == 0, None).otherwise(1)
+    )
+    df, obs = observed(
+        staged,
+        "audit_stage",
+        F.count(F.lit(1)).alias("n_rows"),
+        *null_counts("maybe_null"),
+    )
+    n = df.count()  # the one action; metrics ride along
+    got = obs.get
+    assert got["n_rows"] == n
+    expected_nulls = staged.filter(F.col("maybe_null").isNull()).count()
+    assert got["nulls_maybe_null"] == expected_nulls > 0

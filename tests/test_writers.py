@@ -1,0 +1,108 @@
+"""Sink contracts (SURVEY.md §2.1 S2/S4): round-trips, partition
+pruning on the partitioned fact layout, and shuffle-free joins over
+bucketed tables — the physical-layout half of the 100 TB design."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.plans.explain import formatted_plan, shuffle_count
+from retail_datawarehouse_spark.sources.readers import load_table
+from retail_datawarehouse_spark.sources.writers import write_csv, write_parquet_table
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="writers_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_round_trip(spark, sf_dir, tmpdir):
+    """S2: CSV sink writes header'd comma CSV readable back losslessly."""
+    src = load_table(spark, sf_dir, "nation")
+    write_csv(src, f"{tmpdir}/nation_csv", single_file=True)
+    back = (
+        spark.read.option("header", "true")
+        .schema(src.schema)
+        .csv(f"{tmpdir}/nation_csv")
+    )
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0
+
+
+def test_partitioned_fact_write_prunes_partitions(spark, sf_dir, tmpdir):
+    """S4: the fact written partitioned by month_key must serve a
+    month-scoped read from ONE partition directory (partition pruning
+    visible in the scan), and survive the round trip."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "month_key", F.date_format("o_orderdate", "MMyyyy")
+    )
+    write_parquet_table(orders, f"{tmpdir}/orders_part", partition_by=["month_key"])
+    back = spark.read.parquet(f"{tmpdir}/orders_part")
+    assert back.count() == orders.count()
+    one_month = back.filter(F.col("month_key") == "011995")
+    plan = formatted_plan(one_month)
+    assert "PartitionFilters" in plan and "month_key" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    expected = orders.filter(F.col("month_key") == "011995").count()
+    assert one_month.count() == expected > 0
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmpdir):
+    """S4 bucketing: two tables bucketed on the join key co-locate —
+    the join plans with ZERO exchanges. This is the pre-partitioning
+    story for repeated big-big joins at 100 TB (pay the shuffle once at
+    write time, never again at read time)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_parquet_table(
+        orders, f"{tmpdir}/orders_b", buckets=(8, "o_orderkey"), table_name="t_orders_b"
+    )
+    write_parquet_table(
+        li, f"{tmpdir}/li_b", buckets=(8, "l_orderkey"), table_name="t_li_b"
+    )
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_li_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderkey", "l_linenumber", "o_totalprice"
+        )
+        n_shuffles = shuffle_count(joined)
+        assert n_shuffles == 0, formatted_plan(joined)
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+
+
+def test_raw_retail_csv_scan_coerce_or_drop(spark, tmpdir):
+    """S1/P6: semicolon CSV scan with the declared 30-column raw schema;
+    malformed numeric cells coerce to NULL (PERMISSIVE + non-ANSI), the
+    reference's coerce-or-drop posture."""
+    from retail_datawarehouse_spark.sources.readers import (
+        RAW_RETAIL_SCHEMA,
+        read_retail_csv,
+    )
+
+    header = ";".join(f.name for f in RAW_RETAIL_SCHEMA.fields)
+    good = (
+        "1;10;Ana;a@x.com;555;Main St;Porto;P;4000;PT;33;F;Medium;Regular;"
+        "1/15/2023;2023;January;08:05:09;2;9.5;19.0;Books;BrandA;Paper;"
+        "Standard;Card;Delivered;4.5;Notebook;Good"
+    )
+    bad_qty = good.replace(";2;9.5;", ";NOT_A_NUMBER;9.5;")
+    path = f"{tmpdir}/raw.csv"
+    with open(path, "w") as f:
+        f.write("\n".join([header, good, bad_qty]))
+    df = read_retail_csv(spark, path)
+    assert df.count() == 2
+    rows = df.orderBy(F.col("Total_Purchases").asc_nulls_last()).collect()
+    assert rows[0]["Total_Purchases"] == 2
+    assert rows[1]["Total_Purchases"] is None  # coerced, not raised
+    assert rows[0]["Date"] == "1/15/2023" and rows[0]["Amount"] == 9.5
