@@ -107,3 +107,23 @@ def test_quality_flags_are_consistent(spark, sf_dir):
         & ((F.col("n_chars") < 100) | (F.col("stopword_ratio") > 0.6))
     )
     assert bad.count() == 0
+
+
+def test_vectorized_cosine_agrees_with_exact(spark, sf_dir):
+    """The Arrow pandas-UDF scorer must produce the same top-k sets as
+    the oracle-checked JVM fold (scores agree to ~1e-6; rank ties are
+    broken by candidate_id in both)."""
+    from retail_datawarehouse_spark.registry import catalog
+
+    exact = catalog()["q_ann_cosine_topk"].builder(spark, sf_dir).collect()
+    vec = catalog()["q_ann_cosine_topk_vectorized"].builder(spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.candidate_id)
+    vec_sets = {}
+    for r in vec:
+        vec_sets.setdefault(r.query_id, set()).add(r.candidate_id)
+    assert exact_sets == vec_sets
+    exact_cos = {(r.query_id, r.candidate_id): r.cosine for r in exact}
+    for r in vec:
+        assert abs(exact_cos[(r.query_id, r.candidate_id)] - r.cosine) < 1e-6
