@@ -387,3 +387,41 @@ def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_micros(F.min("ts")).alias("first_ts_us"),
         F.unix_micros(F.max("ts")).alias("last_ts_us"),
     )
+
+
+# --- Streaming deduplication ---
+
+
+def stream_dedup_events(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state size tracks the late-data horizon
+    (10 min of keys), not the stream's lifetime — the only viable
+    form of at-least-once → effectively-once dedup at 100 TB/day.
+    """
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_stream_dedup_available_now(
+    spark: SparkSession, sf_dir: str, name: str = "dedup_out"
+) -> DataFrame:
+    """Drain a landing dir that contains DUPLICATED input (the same file
+    staged twice → every event arrives twice) through the streaming
+    dedup; the result must equal the batch-distinct image."""
+    import shutil
+
+    landing = make_landing_dir(sf_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/batch-1.parquet")
+    deduped = stream_dedup_events(stream_events(spark, landing))
+    q = (
+        deduped.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")

@@ -127,3 +127,43 @@ def test_vectorized_cosine_agrees_with_exact(spark, sf_dir):
     exact_cos = {(r.query_id, r.candidate_id): r.cosine for r in exact}
     for r in vec:
         assert abs(exact_cos[(r.query_id, r.candidate_id)] - r.cosine) < 1e-6
+
+
+def test_sketches_bounded_error_vs_exact(spark, sf_dir):
+    """Approximate operators are only done if their error is bounded:
+    HLL distinct counts within 3x the declared rsd; sketch quantiles
+    within 2% relative of the exact interpolated percentiles."""
+    from retail_datawarehouse_spark.registry import catalog
+
+    approx = {
+        r.p_brand: r.approx_parts
+        for r in catalog()["q_sketch_distinct_parts_per_brand"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    exact = {
+        r.p_brand: r.n
+        for r in li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for brand, n in exact.items():
+        assert abs(approx[brand] - n) <= max(3, 0.06 * n), (brand, approx[brand], n)
+
+    qs = {
+        r.o_orderpriority: r.quantiles
+        for r in catalog()["q_sketch_price_quantiles"].builder(spark, sf_dir).collect()
+    }
+    exact_q = {
+        r.o_orderpriority: (r.p50, r.p90, r.p99)
+        for r in catalog()["q_percentile_order_value"].builder(spark, sf_dir).collect()
+    }
+    for prio, (p50, p90, p99) in exact_q.items():
+        for got, want in zip(qs[prio], (p50, p90, p99)):
+            assert abs(got - want) / want < 0.02, (prio, got, want)

@@ -91,3 +91,19 @@ def test_stateful_user_totals_matches_batch_image(spark, sf_dir):
     batch_out = catalog()["q_stream_stateful_user_totals"].builder(spark, sf_dir)
     assert _as_set(stream_out) == _as_set(batch_out)
     assert stream_out.count() > 0
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """Doubled input drained through dropDuplicatesWithinWatermark must
+    equal the batch-distinct image — one row per event_id."""
+    from retail_datawarehouse_spark.sources.readers import load_table
+    from retail_datawarehouse_spark.streaming.pipelines import (
+        run_stream_dedup_available_now,
+    )
+
+    out = run_stream_dedup_available_now(spark, sf_dir, name="t_dedup_smoke")
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    assert out.count() == batch.count()
+    assert _as_set(out) == _as_set(batch)
