@@ -121,3 +121,79 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     features against JVM-side recomputation."""
     docs = load_table(spark, sf_dir, "documents")
     return featurize(with_binary_payload(docs))
+
+
+# --- Frame sampling: the 1→N mapInPandas shape ---
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.LongType()),
+        T.StructField("chunk_bytes", T.LongType()),
+        T.StructField("chunk_md5", T.StringType()),
+    ]
+)
+
+CHUNK_SIZE = 64
+
+
+def _chunk_batches(batches):
+    """Deterministic frame-sampler stand-in: split each payload into
+    fixed 64-byte chunks, one output row per chunk — the exact output
+    shape of video frame-sampling / audio windowing (1 input row → N
+    typed rows), with md5 standing in for the decoded frame tensor."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "chunk_idx": [], "chunk_bytes": [], "chunk_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for i in range(0, len(payload), CHUNK_SIZE):
+                chunk = payload[i : i + CHUNK_SIZE]
+                out["doc_id"].append(doc_id)
+                out["chunk_idx"].append(i // CHUNK_SIZE)
+                out["chunk_bytes"].append(len(chunk))
+                out["chunk_md5"].append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def sample_chunks(df_with_payload: DataFrame) -> DataFrame:
+    """mapInPandas frame-sampling plumbing (1 row in → N chunk rows out).
+
+    At 100 TB the payload column dominates partition size — the knob is
+    ``spark.sql.files.maxPartitionBytes`` (bytes-based splits), not row
+    counts; the chunk explosion happens inside the Arrow batch without
+    a shuffle."""
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        _chunk_batches, CHUNK_SCHEMA
+    )
+
+
+@register(
+    "q_multimodal_chunks",
+    oracle=f"""
+    -- documents.text is pure ASCII (verified: octet_length(encode(text))
+    -- == length(text) for every row), so char windows == byte chunks.
+    WITH chunks AS (
+        SELECT doc_id,
+               CAST(g.k AS BIGINT) AS chunk_idx,
+               md5(substring(text, g.k * {CHUNK_SIZE} + 1, {CHUNK_SIZE}))
+                   AS chunk_md5,
+               length(substring(text, g.k * {CHUNK_SIZE} + 1, {CHUNK_SIZE}))
+                   AS chunk_bytes
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS k) g
+        WHERE g.k * {CHUNK_SIZE} < length(text)
+    )
+    SELECT doc_id, chunk_idx, chunk_bytes, chunk_md5 FROM chunks
+    """,
+)
+def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over the opaque payload: every document split into
+    64-byte chunks with per-chunk content hashes. The Python kernel is
+    a real mapInPandas 1→N explosion; the oracle reproduces it in pure
+    SQL (substring windows over the encoded payload), so even the
+    Python-side plumbing is hash-checked, not just row-counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_chunks(with_binary_payload(docs))
