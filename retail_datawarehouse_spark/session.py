@@ -56,6 +56,11 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as long and convert in sources.readers.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Smart keys are zero-padded STRINGS (SURVEY.md F1/F2); facts are
+        # partitioned by month_key, and partition-value type inference
+        # would read the directory value "011995" back as INT 11995 —
+        # silently corrupting every key. Keep partition values as-written.
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

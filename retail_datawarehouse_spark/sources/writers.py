@@ -33,6 +33,11 @@ def write_parquet_table(
     ``partition_by=["month_key"]`` for facts → partition pruning.
     ``buckets=(n, key)`` co-locates later joins/aggs on ``key`` without a
     shuffle (requires ``saveAsTable``).
+
+    Partition values are zero-padded key STRINGS; readers must keep
+    ``spark.sql.sources.partitionColumnTypeInference.enabled=false``
+    (set in our session factory) or "011995" comes back as INT 11995
+    (SURVEY.md F2 leading-zero hazard — covered by the e2e tests).
     """
     writer = df.write.mode("overwrite")
     if partition_by:
