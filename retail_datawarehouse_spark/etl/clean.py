@@ -87,12 +87,14 @@ def fill_unknown(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 def parse_date(df: DataFrame, col: str = "Date", fmt: str = "M/d/yyyy") -> DataFrame:
     """P4/P6 — string→date with coerce-or-drop semantics (clean_data.py:59-68).
 
-    With ANSI off, ``to_date`` yields NULL on malformed input (including
-    impossible dates like 2/30); the subsequent critical-null drop removes
-    them — same net semantics as the reference's try/except + dropna,
-    with no exception path.
+    ``try_to_date`` yields NULL on malformed input (including impossible
+    dates like 2/30) REGARDLESS of ``spark.sql.ansi.enabled`` — Spark 4
+    defaults ANSI on, where plain ``to_date`` would throw instead; the
+    coercion here is intentional semantics, not a session-config
+    accident. The subsequent null drop removes the coerced rows — same
+    net behavior as the reference's try/except + dropna.
     """
-    return df.withColumn(f"{col}_dt", F.to_date(F.col(col), fmt)).na.drop(
+    return df.withColumn(f"{col}_dt", F.try_to_date(F.col(col), fmt)).na.drop(
         subset=[f"{col}_dt"]
     )
 

@@ -132,10 +132,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    # The driver hands us its own SparkSession, which may not carry our
+    # session-factory configs. Pin the semantics every catalog query
+    # assumes (all runtime-settable, idempotent, no job triggered):
+    # UTC so event-time hour/date math matches the (UTC-naive) oracle,
+    # and non-ANSI so string smart-key/partition-value handling keeps
+    # the reference's coerce posture (Spark 4 defaults ANSI ON).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
-        # The driver hands us its own SparkSession, which may not carry
-        # our session-factory configs; events.parquet is TIMESTAMP(NANOS)
-        # which Spark's reader rejects unless read as a raw long.
+        # events.parquet is TIMESTAMP(NANOS), which Spark's reader
+        # rejects unless read as a raw long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
