@@ -121,3 +121,48 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
 
     df = catalog()["q_topk_parts_per_brand"].builder(spark, sf_dir)
     assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The binned range join must plan as a hash equi-join on the bin
+    id (broadcast here; shuffle-partitioned when the interval side is
+    big) with the range predicate as a residual filter — NEVER a
+    BroadcastNestedLoopJoin/CartesianProduct, which is what a raw theta
+    join would give and what dies when the interval side grows."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    df = catalog()["q_range_join_price_bands"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Batch sessionization: gap-lag, running session counter, and the
+    per-session aggregate all ride ONE exchange on user_id — the sort
+    order is reused across both window passes and the final aggregate
+    is partial-merged on the same keys."""
+    df = catalog()["q_sessionize_batch"].builder(spark, sf_dir)
+    assert shuffle_count(df) <= 2  # user_id window + session-key agg
+
+
+def test_rank_suite_single_window_sort(spark, sf_dir):
+    """All four rank flavors (dense_rank/percent_rank/cume_dist/ntile)
+    share one window spec → one exchange, one sort."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    df = catalog()["q_window_rank_suite"].builder(spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert formatted_plan(df).count("(4) Sort") <= 1  # not per-function sorts
+
+
+def test_merge_upsert_plans_single_join(spark, sf_dir):
+    """The MERGE formulation is exactly one full-outer join on the key;
+    action derivation is a projection, not extra joins/scans."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    df = catalog()["q_merge_upsert_customers"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Join") >= 1
+    assert "FullOuter" in plan
