@@ -237,6 +237,155 @@ def cosine_pandas_udf():
     return F.pandas_udf(_cos, DoubleType())
 
 
+# --- Element-wise vector aggregation (centroids, fixed-point exact) -----
+
+
+@register(
+    "q_embedding_centroids",
+    oracle="""
+    WITH tall AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(pos AS BIGINT) AS pos,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))
+                AS BIGINT) AS sum_q20,
+           CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))
+                AS DOUBLE) / (1048576.0 * COUNT(*)) AS centroid
+    FROM tall
+    GROUP BY label, pos
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean vector per label — the centroid/'average
+    embedding' aggregation every vector pipeline needs (class
+    prototypes, IVF training, drift monitoring). posexplode → one hash
+    aggregate on (label, pos): partial sums combine map-side, so the
+    shuffle carries K×dim rows, not the corpus.
+
+    Float addition is NOT associative, and a groupBy sum's accumulation
+    order is nondeterministic under partitioning — so naive AVG(float)
+    can never be hash-compared (or reproduced) across engines or runs.
+    The fix is the same one big fixed-point systems use: quantize to
+    integers (floor(v·2^20) — floor, not round: no tie-breaking
+    divergence), sum exactly in int64, divide once at the end. Identical
+    bits on any engine, any partitioning, any cluster size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q20 = F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).cast("long").alias("pos"), "v")
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q20).alias("sum_q20"),
+        )
+        .withColumn(
+            "centroid",
+            F.col("sum_q20").cast("double") / (F.lit(1048576.0) * F.col("n")),
+        )
+    )
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def _nearest_cell(vectors: DataFrame, centroids: DataFrame, keep: int) -> DataFrame:
+    """Rank centroid cells by cosine for every vector; keep the top
+    ``keep`` cells. ``vectors`` needs (id, emb); ``centroids`` is small
+    → broadcast, so this is a map-side scoring pass + per-vector top-k."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cell_cos", cosine_col("emb", "centroid")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("_cell_cos"), "cell")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= keep)
+        .drop("_rk", "_cell_cos", "centroid")
+    )
+
+
+def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index over the candidate corpus: seed centroids
+    from the first IVF_CELLS corpus vectors, one Lloyd iteration
+    (assign-all → element-wise mean per cell), then final cell
+    assignment. Returns (assigned_corpus, centroids).
+
+    Every step is shuffle-bounded: assignment is a broadcast cross join
+    (K small), the mean recompute shuffles K×dim aggregate rows, and
+    the output corpus gains one integer cell column — the inverted
+    file is just a partitioning key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    seeds = corpus.filter(F.col("id") < N_QUERIES + IVF_CELLS).select(
+        (F.col("id") - N_QUERIES).alias("cell"), F.col("emb").alias("centroid")
+    )
+    assigned0 = _nearest_cell(corpus, seeds, keep=1)
+    centroids = (
+        assigned0.select("cell", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("centroid")
+        )
+    )
+    assigned = _nearest_cell(corpus, centroids, keep=1)
+    return assigned, centroids
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF search: route each query to its ``nprobe`` nearest cells and
+    score exactly ONLY within those cells. The candidate join is an
+    equi-join on the cell id — hash-partitioned, skew-splittable — and
+    the scored set shrinks ~K/nprobe vs brute force. nprobe=K degrades
+    gracefully to exact search (the test exploits this: cell partitions
+    must be a complete, disjoint cover of the corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    probes = _nearest_cell(queries, centroids, keep=nprobe).select(
+        F.col("id").alias("query_id"), F.col("emb").alias("q_emb"), "cell"
+    )
+    candidates = assigned.select(
+        F.col("id").alias("candidate_id"), F.col("emb").alias("c_emb"), "cell"
+    )
+    scored = candidates.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", cosine_col("q_emb", "c_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "candidate_id", "cosine", "rank")
+    )
+
+
+@register("q_ann_ivf_probed", oracle=None)
+def q_ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN, nprobe=4 of 16 cells (the serving
+    configuration: ~4× fewer exact scorings than brute force). No SQL
+    oracle — the Lloyd iteration is iterative — so the driver records
+    rows-only; tests prove (a) nprobe=K reproduces the exact brute-force
+    top-k bit-for-bit (cell cover is complete and disjoint) and (b) the
+    plan joins on the cell id, never a nested loop over the corpus."""
+    return ivf_topk(spark, sf_dir, nprobe=IVF_NPROBE)
+
+
 @register("q_ann_cosine_topk_vectorized", oracle=None)
 def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3, vectorized variant of

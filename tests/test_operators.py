@@ -167,3 +167,64 @@ def test_sketches_bounded_error_vs_exact(spark, sf_dir):
     for prio, (p50, p90, p99) in exact_q.items():
         for got, want in zip(qs[prio], (p50, p90, p99)):
             assert abs(got - want) / want < 0.02, (prio, got, want)
+
+
+def test_ivf_full_probe_reproduces_bruteforce(spark, sf_dir):
+    """nprobe=K must give EXACTLY the brute-force top-k: the cell
+    assignment is a complete disjoint cover of the corpus, so probing
+    every cell scores every candidate exactly once. This pins the IVF
+    machinery (routing, inverted-file join, dedup-free union) with no
+    recall hand-waving."""
+    from retail_datawarehouse_spark.operators.similarity import (
+        IVF_CELLS,
+        ivf_topk,
+    )
+    from retail_datawarehouse_spark.registry import catalog
+
+    exact = catalog()["q_ann_cosine_topk"].builder(spark, sf_dir)
+    full = ivf_topk(spark, sf_dir, nprobe=IVF_CELLS)
+    a = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b
+
+
+def test_ivf_probed_returns_full_topk_with_true_cosines(spark, sf_dir):
+    """nprobe=4: every query still gets TOP_K rows (cells are dense
+    enough), and every reported cosine equals the independently
+    recomputed exact cosine for that pair (the approximation is WHICH
+    pairs get scored, never the score itself)."""
+    from retail_datawarehouse_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        cosine_col,
+    )
+    from retail_datawarehouse_spark.registry import catalog
+    from retail_datawarehouse_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    res = catalog()["q_ann_ivf_probed"].builder(spark, sf_dir)
+    rows = res.collect()
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r)
+    assert len(per_query) == N_QUERIES
+    assert all(len(v) == TOP_K for v in per_query.values())
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = spark.createDataFrame(
+        [(r.query_id, r.candidate_id, r.cosine) for r in rows],
+        "query_id long, candidate_id long, cosine double",
+    )
+    recomputed = (
+        pairs.join(
+            emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")),
+            "query_id",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("c_emb")),
+            "candidate_id",
+        )
+        .withColumn("exact", cosine_col("q_emb", "c_emb"))
+    )
+    bad = recomputed.filter(F.col("exact") != F.col("cosine")).count()
+    assert bad == 0

@@ -166,3 +166,15 @@ def test_merge_upsert_plans_single_join(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("Join") >= 1
     assert "FullOuter" in plan
+
+
+def test_ivf_candidate_join_is_hash_on_cell(spark, sf_dir):
+    """The IVF search join (probes × inverted file) must be a hash
+    equi-join on the cell id. The only nested-loop joins allowed are
+    the K-row centroid scoring cross joins — candidate scoring must
+    never nested-loop over the corpus."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    df = catalog()["q_ann_ivf_probed"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
