@@ -50,3 +50,35 @@ def write_parquet_table(
         ).saveAsTable(name)
     else:
         writer.parquet(path)
+
+
+def compact_table(
+    df: DataFrame,
+    path: str,
+    target_files: int,
+    range_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Small-files compaction / layout rewrite — the maintenance job
+    every long-lived warehouse needs. Streaming micro-batches and
+    incremental loads leave thousands of KB-sized files per partition;
+    at 100 TB that means task-per-tiny-file scheduling overhead and
+    footer-heavy scans. This rewrites to ``target_files`` outputs, and
+    with ``range_by`` ALSO range-clusters rows (repartitionByRange →
+    each output file covers a tight key range) so Parquet min/max
+    row-group statistics prune key-scoped scans — poor-man's Z-order
+    for a single sort dimension.
+
+    ``max_records_per_file`` caps file size independent of partition
+    count (Spark splits writer output), the guard against one skewed
+    range producing a monster file.
+    """
+    out = (
+        df.repartitionByRange(target_files, *range_by)
+        if range_by
+        else df.repartition(target_files)
+    )
+    writer = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

@@ -106,3 +106,84 @@ def test_raw_retail_csv_scan_coerce_or_drop(spark, tmpdir):
     assert rows[0]["Total_Purchases"] == 2
     assert rows[1]["Total_Purchases"] is None  # coerced, not raised
     assert rows[0]["Date"] == "1/15/2023" and rows[0]["Amount"] == 9.5
+
+
+def test_json_round_trip_with_declared_schema(spark, sf_dir, tmpdir):
+    """JSON lines sink/scan: schema-on-read declared (no inference pass
+    — same 100 TB rule as parquet), values survive the trip."""
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src.write.mode("overwrite").json(f"{tmpdir}/events_json")
+    back = spark.read.schema(src.schema).json(f"{tmpdir}/events_json")
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0
+
+
+def test_orc_round_trip(spark, sf_dir, tmpdir):
+    """ORC sink/scan — the second columnar warehouse format; declared
+    schema, lossless round trip including date-typed columns."""
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    )
+    src.write.mode("overwrite").orc(f"{tmpdir}/li_orc")
+    back = spark.read.schema(src.schema).orc(f"{tmpdir}/li_orc")
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0
+
+
+def test_compact_table_controls_files_and_clusters_ranges(spark, sf_dir, tmpdir):
+    """Small-files compaction: a fragmented table (64 writer tasks)
+    rewritten to 4 range-clustered files — file count drops to the
+    target, no rows lost, and the per-file l_orderkey ranges are
+    pairwise disjoint, which is exactly what makes Parquet min/max
+    row-group stats prune key-scoped scans after compaction."""
+    import glob
+
+    from retail_datawarehouse_spark.sources.writers import compact_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(64).write.mode("overwrite").parquet(f"{tmpdir}/li_frag")
+    frag_files = glob.glob(f"{tmpdir}/li_frag/part-*.parquet")
+    assert len(frag_files) > 16
+
+    frag = spark.read.schema(li.schema).parquet(f"{tmpdir}/li_frag")
+    compact_table(frag, f"{tmpdir}/li_compact", target_files=4,
+                  range_by=["l_orderkey"])
+    out_files = glob.glob(f"{tmpdir}/li_compact/part-*.parquet")
+    assert len(out_files) <= 4
+
+    back = spark.read.schema(li.schema).parquet(f"{tmpdir}/li_compact")
+    assert back.count() == li.count()
+
+    spans = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+        .collect()
+    )
+    spans = sorted([(r.lo, r.hi) for r in spans])
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans  # disjoint key ranges per file
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmpdir):
+    """DPP: a fact partitioned by month_key joined to a FILTERED dim on
+    the partition column must scan only the partitions the dim filter
+    selects — the plan carries a dynamicpruning expression in the
+    fact's PartitionFilters. At 100 TB this is the difference between
+    scanning 3 months and scanning 10 years."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "month_key", F.date_format("o_orderdate", "MMyyyy")
+    )
+    write_parquet_table(orders, f"{tmpdir}/orders_dpp", partition_by=["month_key"])
+    fact = spark.read.parquet(f"{tmpdir}/orders_dpp")
+    months = (
+        orders.select("month_key").distinct()
+        .withColumn("quarter_tag", F.substring("month_key", 1, 2))
+    )
+    dim = months.filter(F.col("quarter_tag") == "03")
+    joined = fact.join(dim, "month_key").groupBy("quarter_tag").count()
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.collect()[0]["count"] > 0
