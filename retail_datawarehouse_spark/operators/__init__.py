@@ -1,6 +1,7 @@
 from retail_datawarehouse_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
+    sampling,
     sketches,
     similarity,
     textual,

@@ -1,0 +1,92 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is the wrong tool for dataset curation:
+it is seed- and partitioning-dependent, so the same document can land
+in train on one run and test on the next — silent leakage. Every
+operator here derives its randomness from a **content-stable hash of
+the key** (md5 → hex prefix), so membership is a pure function of the
+row: reproducible across runs, engines, cluster sizes, and data
+re-partitioning, and joinable months later to answer "which split was
+this doc in?".
+
+Scale shape: the hash is a JVM-side built-in projected in the scan
+stage (no shuffle for split assignment at all); quota sampling is one
+window top-k per group (WindowGroupLimit — no group fully sorted).
+
+The same md5-prefix trick is the portable twin of ``xxhash64 % N``
+(which Spark has but the SQL oracle does not) — at 100 TB you would
+swap in xxhash64 for speed; the semantics and tests stay identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.registry import register
+from retail_datawarehouse_spark.sources.readers import load_table
+
+# Hex-prefix thresholds over the first two md5 chars (256 buckets):
+# 'cc' = 204/256 ≈ 80% train, 'e6' = 230/256 → next ~10% val, rest test.
+TRAIN_MAX_HEX = "cc"
+VAL_MAX_HEX = "e6"
+
+QUOTA_PER_SOURCE = 30
+
+
+@register(
+    "q_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_MAX_HEX}'
+                     THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VAL_MAX_HEX}'
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment (~80/10/10): the split is
+    a deterministic function of md5(doc_id), never of seed, partition
+    count, or visit order — re-running on a re-sharded 100 TB corpus
+    yields byte-identical membership, which is what makes the split
+    auditable and leakage-provable."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_MAX_HEX, F.lit("train"))
+        .when(bucket < VAL_MAX_HEX, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "q_source_quota_sample",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(row_number() OVER
+               (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS pick
+    FROM documents
+    QUALIFY pick <= {QUOTA_PER_SOURCE}
+    """,
+)
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (data-mixing caps: at most N docs per
+    domain/source, chosen pseudo-randomly but reproducibly by hash
+    order). One window top-k per source — Catalyst plans
+    WindowGroupLimit, so no source's documents are ever fully sorted;
+    the hash order makes the 'random' pick stable under re-sharding."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= QUOTA_PER_SOURCE)
+    )

@@ -228,3 +228,44 @@ def test_ivf_probed_returns_full_topk_with_true_cosines(spark, sf_dir):
     )
     bad = recomputed.filter(F.col("exact") != F.col("cosine")).count()
     assert bad == 0
+
+
+def test_split_assign_stable_under_repartition(spark, sf_correctness_dir):
+    """The split must be a pure function of doc_id: recomputing over a
+    differently-partitioned input yields identical membership, and the
+    proportions land near 80/10/10."""
+    from retail_datawarehouse_spark.registry import catalog
+
+    build = catalog()["q_split_assign"].builder
+    a = {(r.doc_id, r.split) for r in build(spark, sf_correctness_dir).collect()}
+    from retail_datawarehouse_spark.sources.readers import load_table
+    from retail_datawarehouse_spark.operators.sampling import (
+        TRAIN_MAX_HEX,
+        VAL_MAX_HEX,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_correctness_dir, "documents").repartition(17)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    b = {
+        (r.doc_id, r.split)
+        for r in docs.select(
+            "doc_id",
+            F.when(bucket < TRAIN_MAX_HEX, F.lit("train"))
+            .when(bucket < VAL_MAX_HEX, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        ).collect()
+    }
+    assert a == b
+    n = len(a)
+    train = sum(1 for _, s in a if s == "train")
+    assert 0.7 < train / n < 0.9
+
+
+def test_quota_sample_uses_window_group_limit(spark, sf_dir):
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+    from retail_datawarehouse_spark.registry import catalog
+
+    df = catalog()["q_source_quota_sample"].builder(spark, sf_dir)
+    assert "WindowGroupLimit" in formatted_plan(df)
