@@ -152,12 +152,20 @@ def remove_collisions_window(
     The groupBy+anti form evaluates its input TWICE (offender aggregate
     + kept side); that is right when the input is a cheap re-scannable
     parquet scan, wrong when it is an expensive join pipeline. This form
-    shuffles the full payload ONCE on ``id_col`` and filters in place
-    (``size(collect_set(...)) over (partition by id)`` — the supported
-    stand-in for the unsupported ``countDistinct().over`` — SURVEY.md
-    A4). Pick per input: cheap-to-recompute → anti-join; expensive →
-    window. Measured at sf0.1 over the 3-table staging join: 2.2×
-    faster than the anti-join form.
+    shuffles the full payload ONCE on ``id_col`` and filters in place.
+    Measured at sf0.1 over the 3-table staging join: ~2× faster than
+    the anti-join form (and ~3× faster than persist + anti-join — the
+    wide-row cache write costs more than the single shuffle).
+
+    ">1 distinct non-null" is computed as ``min(c) ≠ max(c)`` over the
+    id partition — NOT ``size(collect_set(c))``: min/max keep O(1)
+    state per group where collect_set materializes every distinct value
+    (a hot key with millions of rows = executor OOM at 100 TB), and
+    both agree exactly with ``countDistinct > 1`` because all three
+    ignore nulls (the all-null edge is coalesced to "keep", matching
+    pandas ``nunique(dropna=True)`` in the reference, clean_data.py:78).
+    ``countDistinct().over`` itself is unsupported in Spark (SURVEY.md
+    A4 gotcha).
     """
     from pyspark.sql import Window
 
@@ -166,10 +174,14 @@ def remove_collisions_window(
     out = df
     cond = None
     for c in present:
-        out = out.withColumn(f"_n_{c}", F.size(F.collect_set(c).over(w)))
-        term = F.col(f"_n_{c}") > 1
+        out = out.withColumn(f"_mn_{c}", F.min(c).over(w)).withColumn(
+            f"_mx_{c}", F.max(c).over(w)
+        )
+        term = F.coalesce(F.col(f"_mn_{c}") != F.col(f"_mx_{c}"), F.lit(False))
         cond = term if cond is None else (cond | term)
-    return out.filter(~cond).drop(*[f"_n_{c}" for c in present])
+    return out.filter(~cond).drop(
+        *[x for c in present for x in (f"_mn_{c}", f"_mx_{c}")]
+    )
 
 
 def derive_smart_keys(df: DataFrame, date_col: str = "Date_dt") -> DataFrame:
