@@ -284,10 +284,9 @@ _DUCK_BAND_UNION = " UNION ALL ".join(
 )
 
 
-@register(
-    "q_dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_DUCK_XS_CTE},
+# The full LSH pipeline as a DuckDB CTE chain ending in ``pairs`` —
+# shared by the pair query's oracle and the connected-components oracle.
+_DUCK_LSH_PAIRS_CTES = f"""{_DUCK_XS_CTE},
     sigs AS (
         SELECT doc_id, {_XS_SIGS}
         FROM shingled GROUP BY doc_id
@@ -305,14 +304,24 @@ _DUCK_BAND_UNION = " UNION ALL ".join(
         FROM shingled a JOIN shingled b ON a.x = b.x AND a.doc_id < b.doc_id
         JOIN candidates c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
         GROUP BY 1, 2
-    )
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON i.doc_a = sa.doc_id
-    JOIN sizes sb ON i.doc_b = sb.doc_id
-    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
-          >= {JACCARD_THRESHOLD}
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+              >= {JACCARD_THRESHOLD}
+    )"""
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_LSH_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,3 +437,108 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         fp = term if fp is None else (fp + term)
     return bitsums.select("doc_id", fp.alias("simhash"))
+
+
+# --- Dedup group resolution: connected components -----------------------
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve undirected edges into components by iterative min-label
+    propagation: every vertex starts labeled with itself; each round a
+    vertex takes the min of its own label and its neighbors' labels;
+    converged when no label changes. Returns (v, component) where
+    ``component`` is the smallest vertex id in the component.
+
+    This is the missing last step of every dedup pipeline — pairwise
+    near-dup EDGES are not a keep/drop decision until they are grouped
+    (A~B, B~C must collapse to one canonical doc even though A~C was
+    never scored). Duplicate clusters are overwhelmingly tiny (diameter
+    2-3), so the loop converges in 2-4 rounds; each round is one
+    equi-join + one min-aggregate, shuffle-partitioned by vertex — the
+    standard large-graph CC shape (GraphX/Pregel does the same joins
+    under the hood, without the DataFrame optimizer).
+
+    Each round's result is persisted and the loop breaks on a counted
+    fixpoint — the lineage is truncated per iteration, so the plan
+    never snowballs (at cluster scale, swap persist for checkpoint to
+    reliable storage).
+    """
+    und = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("w")
+    ).unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("w")))
+    labels = vertices.select("v", F.col("v").alias("component")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(
+                labels.select(
+                    F.col("v").alias("w"), F.col("component").alias("cw")
+                ),
+                "w",
+            )
+            .groupBy("u")
+            .agg(F.min("cw").alias("nbr_min"))
+            .withColumnRenamed("u", "v")
+        )
+        new_labels = (
+            labels.join(nbr_min, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.select("v", F.col("component").alias("nc"))
+            .join(labels, "v")
+            .filter(F.col("nc") != F.col("component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_LSH_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS w FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS w FROM pairs
+    ),
+    reach(v, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.v
+    )
+    SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution: MinHash-LSH pairs → connected
+    components → (doc_id, component) where component = min doc id of
+    the duplicate cluster (docs with no near-dup label themselves).
+    The keep-list is then ``component = doc_id`` rows. The oracle
+    states the same fixpoint as a recursive transitive closure —
+    viable for DuckDB at test scale, quadratic-in-component-size at
+    100 TB, which is exactly why the engine runs label propagation
+    (linear per round, diameter-bounded rounds) instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    vertices = docs.select(F.col("doc_id").alias("v"))
+    return connected_components(vertices, pairs).select(
+        F.col("v").alias("doc_id"), "component"
+    )

@@ -269,3 +269,31 @@ def test_quota_sample_uses_window_group_limit(spark, sf_dir):
 
     df = catalog()["q_source_quota_sample"].builder(spark, sf_dir)
     assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_components_are_a_valid_partition_of_dup_edges(spark, sf_correctness_dir):
+    """CC output must (a) label every document, (b) give both endpoints
+    of every near-dup edge the SAME component, (c) label each component
+    by its minimum member (canonical keep-doc convention), and (d)
+    contain a transitive chain (a size-3+ component) so the fixpoint
+    iteration is actually exercised."""
+    from retail_datawarehouse_spark.registry import catalog
+
+    comp = {
+        r.doc_id: r.component
+        for r in catalog()["q_dedup_components"]
+        .builder(spark, sf_correctness_dir)
+        .collect()
+    }
+    pairs = catalog()["q_dedup_minhash_lsh"].builder(
+        spark, sf_correctness_dir
+    ).collect()
+    assert pairs
+    for p in pairs:
+        assert comp[p.doc_a] == comp[p.doc_b], (p.doc_a, p.doc_b)
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    for c, ms in members.items():
+        assert c == min(ms)
+    assert max(len(ms) for ms in members.values()) >= 3
