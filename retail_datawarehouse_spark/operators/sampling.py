@@ -90,3 +90,70 @@ def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pick", F.row_number().over(w).cast("long"))
         .filter(F.col("pick") <= QUOTA_PER_SOURCE)
     )
+
+
+def _split_case_sql(key: str) -> str:
+    return (
+        f"CASE WHEN substr(md5(CAST({key} AS VARCHAR)), 1, 2) < '{TRAIN_MAX_HEX}'"
+        f" THEN 'train'"
+        f" WHEN substr(md5(CAST({key} AS VARCHAR)), 1, 2) < '{VAL_MAX_HEX}'"
+        f" THEN 'val' ELSE 'test' END"
+    )
+
+
+def _register_leakage() -> None:
+    # Deferred import: dedup also imports at package-init time; the
+    # oracle text composes its LSH pair CTEs with the split derivation.
+    from retail_datawarehouse_spark.operators.dedup import (
+        _DUCK_LSH_PAIRS_CTES,
+        q_dedup_minhash_lsh,
+    )
+
+    @register(
+        "q_split_leakage_report",
+        oracle=f"""
+        WITH {_DUCK_LSH_PAIRS_CTES}
+        SELECT doc_a, doc_b, jaccard,
+               {_split_case_sql('doc_a')} AS split_a,
+               {_split_case_sql('doc_b')} AS split_b
+        FROM pairs
+        WHERE {_split_case_sql('doc_a')} <> {_split_case_sql('doc_b')}
+        """,
+    )
+    def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Train/test contamination audit — the reason dedup and split
+        assignment exist in the same engine: near-dup pairs whose
+        endpoints landed in DIFFERENT splits (a test doc nearly
+        identical to a train doc inflates eval). Composes the LSH pair
+        pipeline with the hash-derived split (both deterministic, so
+        the report is reproducible evidence, not a sample). Remediation
+        is then policy: move the pair's component (see
+        q_dedup_components) into one split, or drop the eval twin."""
+        pairs = q_dedup_minhash_lsh(spark, sf_dir)
+        split_of = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        splits = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(split_of < TRAIN_MAX_HEX, F.lit("train"))
+            .when(split_of < VAL_MAX_HEX, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        return (
+            pairs.join(
+                splits.select(
+                    F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                splits.select(
+                    F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+                ),
+                "doc_b",
+            )
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+        )
+
+
+_register_leakage()

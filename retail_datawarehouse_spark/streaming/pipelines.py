@@ -425,3 +425,116 @@ def run_stream_dedup_available_now(
     )
     q.awaitTermination(120)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+# --- Stream-stream join (watermarked, time-interval condition) ----------
+
+
+def stream_stream_attribution_join(
+    views: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each purchase paired with
+    every view by the same user in the hour BEFORE it (half-open:
+    view.ts in (purchase.ts - 1h, purchase.ts]).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance — that pair of constraints is what lets Spark
+    EVICT join state: a buffered view can be dropped once the purchase
+    watermark passes view.ts + 1h, so state is (rate × horizon), not
+    unbounded. Without the time bound, a stream-stream join must keep
+    every row forever — the difference between a runnable and an
+    OOM-by-design pipeline at 100 TB/day.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", WATERMARK)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", WATERMARK)
+    return p.join(
+        v,
+        F.expr(
+            "p_user = v_user AND "
+            "v_ts > p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_event_id",
+        "view_event_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("v_ts").alias("view_ts_us"),
+    )
+
+
+def run_stream_stream_join_available_now(
+    spark: SparkSession, sf_dir: str, name: str = "ssj_out"
+) -> DataFrame:
+    """Drain the stream-stream join over the full landing dir; the
+    result must equal the batch image (q_stream_join_attribution)."""
+    landing = make_landing_dir(sf_dir)
+    views = stream_events(spark, landing).filter(F.col("event_type") == "view")
+    purchases = stream_events(spark, landing).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        stream_stream_attribution_join(views, purchases)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "q_stream_join_attribution",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_event_id,
+           v.event_id AS view_event_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(v.ts) AS view_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts > p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    """,
+)
+def q_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch image of the stream-stream attribution join (identical
+    expressions minus the watermarks): purchases × same-user views
+    within the preceding hour. Relationally an equi-join on user_id
+    with a time-range residual — one shuffle each side, never a range
+    explosion because the hour bound caps matches per purchase."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_event_id",
+        "view_event_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("v_ts").alias("view_ts_us"),
+    )

@@ -107,3 +107,19 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     )
     assert out.count() == batch.count()
     assert _as_set(out) == _as_set(batch)
+
+
+def test_stream_stream_join_matches_batch_image(spark, sf_dir):
+    """The watermarked stream-stream join, drained with availableNow,
+    must produce exactly the batch image's pairs (same join condition,
+    no pairs lost to state eviction within a single drain)."""
+    from retail_datawarehouse_spark.registry import catalog
+    from retail_datawarehouse_spark.streaming.pipelines import (
+        run_stream_stream_join_available_now,
+    )
+
+    streamed = run_stream_stream_join_available_now(spark, sf_dir, "ssj_test")
+    batch = catalog()["q_stream_join_attribution"].builder(spark, sf_dir)
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
