@@ -92,6 +92,123 @@ def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 16 shards via the first md5 hex char; at 100 TB widen to the first k
+# chars (16^k shards) so each shard's sort fits one executor.
+N_SHARDS = 16
+PACK_TOKEN_BUDGET = 256
+
+
+def _shard_col() -> F.Column:
+    # instr over the hex alphabet == parse one hex digit; identical
+    # 1-based semantics to DuckDB's strpos, so the oracle matches
+    # without engine-specific hex-conversion functions.
+    return (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ).cast("long")
+
+
+_SHARD_SQL = (
+    "CAST(strpos('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)"
+)
+_HASH_ORDER_SQL = "md5(CAST(doc_id AS VARCHAR)), doc_id"
+
+
+@register(
+    "q_corpus_shard",
+    oracle=f"""
+    SELECT doc_id,
+           {_SHARD_SQL} AS shard,
+           CAST(row_number() OVER
+               (PARTITION BY {_SHARD_SQL} ORDER BY {_HASH_ORDER_SQL})
+               AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — how a pre-training
+    corpus gets written: shard membership is a pure hash function of
+    doc_id (a narrow projection, zero shuffles to assign), and the
+    intra-shard position is pseudo-random-by-hash but reproducible, so
+    two engines (or two runs over a re-partitioned 100 TB corpus)
+    produce the identical shard files in the identical order. One
+    shuffle total (the per-shard window sort); shard count is the
+    scale knob — each shard sorts independently, so widen N_SHARDS
+    until a shard fits an executor. Downstream:
+    ``write.partitionBy("shard")`` with this order gives byte-stable
+    training shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", _shard_col().alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               {_SHARD_SQL} AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), runs AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER
+                   (PARTITION BY shard ORDER BY {_HASH_ORDER_SQL}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start_tok
+        FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(start_tok / {PACK_TOKEN_BUDGET}) AS BIGINT) AS seq_id,
+           CAST(start_tok % {PACK_TOKEN_BUDGET} AS BIGINT) AS seq_offset
+    FROM runs
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: within each shard, docs
+    are laid end-to-end in hash order and the stream is cut every
+    PACK_TOKEN_BUDGET tokens; each doc reports the sequence it starts
+    in and its token offset there. This is the standard LLM-pretraining
+    packing discipline (no padding waste, deterministic layout)
+    expressed as ONE running-sum window over the same per-shard sort
+    the sharder already does — packing rides the sharding shuffle for
+    free, and integer arithmetic makes the layout engine-exact (the
+    oracle reproduces it to the token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id",
+        _shard_col().alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    return (
+        toks.withColumn("start_tok", start)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor(F.col("start_tok") / PACK_TOKEN_BUDGET)
+            .cast("long")
+            .alias("seq_id"),
+            (F.col("start_tok") % PACK_TOKEN_BUDGET).cast("long").alias("seq_offset"),
+        )
+    )
+
+
 def _split_case_sql(key: str) -> str:
     return (
         f"CASE WHEN substr(md5(CAST({key} AS VARCHAR)), 1, 2) < '{TRAIN_MAX_HEX}'"

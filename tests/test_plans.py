@@ -178,3 +178,34 @@ def test_ivf_candidate_join_is_hash_on_cell(spark, sf_dir):
     df = catalog()["q_ann_ivf_probed"].builder(spark, sf_dir)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_shard_and_pack_single_shuffle(spark, sf_dir):
+    """Corpus sharding and sequence packing each ride exactly ONE
+    exchange (the per-shard hash partition); shard assignment itself is
+    a narrow projection, and packing's running sum reuses the same sort
+    the position window needs."""
+    shard = catalog()["q_corpus_shard"].builder(spark, sf_dir)
+    pack = catalog()["q_pack_sequences"].builder(spark, sf_dir)
+    assert shuffle_count(shard) == 1
+    assert shuffle_count(pack) == 1
+
+
+def test_pack_sequences_layout_invariants(spark, sf_dir):
+    """Packing layout is a true concatenation: offsets stay inside the
+    budget, and each doc starts exactly where the previous one ended
+    (seq_id*budget + seq_offset is cumulative n_tokens within shard)."""
+    from retail_datawarehouse_spark.operators.sampling import PACK_TOKEN_BUDGET
+
+    rows = (
+        catalog()["q_pack_sequences"]
+        .builder(spark, sf_dir)
+        .orderBy("shard", "seq_id", "seq_offset")
+        .collect()
+    )
+    assert rows and all(r.seq_offset < PACK_TOKEN_BUDGET for r in rows)
+    start = {}
+    for r in rows:
+        expect = start.get(r.shard, 0)
+        assert r.seq_id * PACK_TOKEN_BUDGET + r.seq_offset == expect, r
+        start[r.shard] = expect + r.n_tokens
