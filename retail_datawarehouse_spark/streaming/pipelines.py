@@ -538,3 +538,103 @@ def q_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("p_ts").alias("purchase_ts_us"),
         F.unix_micros("v_ts").alias("view_ts_us"),
     )
+
+
+# --- Stream-static enrichment join (broadcast dimension) ----------------
+
+
+def enriched_segment_aggregation(
+    events: DataFrame, customers: DataFrame
+) -> DataFrame:
+    """Watermarked stream enriched by a STATIC dimension before the
+    windowed aggregate: events join customer on user_id, then 1-hour
+    tumbling revenue per market segment.
+
+    A stream-static join keeps NO join state — the static side is
+    broadcast to every task and each microbatch probes it like any
+    batch broadcast-hash join, so (unlike the stream-stream join above)
+    no watermark is needed on the dimension and the enrichment adds
+    zero shuffles to the streaming plan. This is the standard shape for
+    dimension lookup at ingest; on a cluster the dim is reloaded per
+    trigger, picking up slowly-changing updates for free.
+    """
+    enriched = events.withWatermark("ts", WATERMARK).join(
+        F.broadcast(
+            customers.select(
+                F.col("c_custkey").alias("user_id"),
+                F.col("c_mktsegment").alias("mktsegment"),
+            )
+        ),
+        "user_id",
+    )
+    return (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), "mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_enrich_available_now(
+    spark: SparkSession, sf_dir: str, name: str = "enrich_out"
+) -> DataFrame:
+    """Drain the stream-static enrichment over the full landing dir;
+    must equal the batch image (q_stream_enrich_segment_revenue)."""
+    events = stream_events(spark, make_landing_dir(sf_dir))
+    customers = load_table(spark, sf_dir, "customer")
+    q = (
+        enriched_segment_aggregation(events, customers)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "q_stream_enrich_segment_revenue",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', e.ts)) // 1000000 AS window_start_epoch,
+           c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enrich_segment_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch image of the stream-static enrichment: events broadcast-
+    joined to the customer dimension, 1-hour tumbling value per market
+    segment. Identical expressions to the streaming plan minus the
+    watermark/state operators."""
+    events = load_table(spark, sf_dir, "events")
+    customers = load_table(spark, sf_dir, "customer")
+    enriched = events.join(
+        F.broadcast(
+            customers.select(
+                F.col("c_custkey").alias("user_id"),
+                F.col("c_mktsegment").alias("mktsegment"),
+            )
+        ),
+        "user_id",
+    )
+    return (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), "mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )

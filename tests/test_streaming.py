@@ -123,3 +123,19 @@ def test_stream_stream_join_matches_batch_image(spark, sf_dir):
     a = sorted(map(tuple, streamed.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
+
+
+def test_stream_static_enrichment_matches_batch_image(spark, sf_dir):
+    """The stream-static broadcast enrichment, drained with
+    availableNow, must equal the batch image exactly (same join + same
+    windowed aggregate; static side holds no state, loses no rows)."""
+    from retail_datawarehouse_spark.registry import catalog
+    from retail_datawarehouse_spark.streaming.pipelines import (
+        run_stream_enrich_available_now,
+    )
+
+    streamed = run_stream_enrich_available_now(spark, sf_dir, "enrich_test")
+    batch = catalog()["q_stream_enrich_segment_revenue"].builder(spark, sf_dir)
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
