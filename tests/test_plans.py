@@ -209,3 +209,37 @@ def test_pack_sequences_layout_invariants(spark, sf_dir):
         expect = start.get(r.shard, 0)
         assert r.seq_id * PACK_TOKEN_BUDGET + r.seq_offset == expect, r
         start[r.shard] = expect + r.n_tokens
+
+
+def test_runtime_bloom_filter_reduces_unbroadcastable_join(spark, sf_dir):
+    """The 100 TB fallback when a filtered dim is too big to broadcast:
+    Catalyst injects a runtime bloom filter — the dim side aggregates a
+    bloom_filter_agg, and the fact side probes might_contain BEFORE its
+    shuffle, so the join exchange moves only rows that can match. We
+    pin that the injection fires on a selective dim filter once
+    broadcast is off (thresholds lowered to make sf-scale data
+    eligible; on the real cluster the defaults govern)."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        pt = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+        plan = formatted_plan(
+            li.join(pt, li.l_partkey == pt.p_partkey).select("l_orderkey", "p_brand")
+        )
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
