@@ -219,3 +219,106 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalized).alias("content_md5"),
         rolling.alias("rolling_hash"),
     )
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> array_to_string(
+                            list_slice(string_split(text, ' '), i, i + 2), ' ')
+               ) AS grams
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_trigrams,
+           CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+               / len(grams) AS dup_ratio
+    FROM g
+    WHERE len(grams) > 0
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring — the duplicated-trigram ratio used to filter
+    degenerate/looping text from training corpora. The trigram list is
+    built per row with array HOFs (sequence → slice → join): entirely
+    JVM-side and SHUFFLE-FREE — at 100 TB this is a map-only pass like
+    the rest of the quality stack, no explode+groupBy detour through an
+    exchange. Integer counts + one IEEE division keep it engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", grams.alias("grams"))
+        .filter(F.size("grams") > 0)
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_trigrams"),
+            F.size(F.array_distinct("grams")).cast("long").alias("n_distinct_trigrams"),
+            (
+                (F.size("grams") - F.size(F.array_distinct("grams"))).cast("double")
+                / F.size("grams")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+TOP_TERMS_PER_DOC = 3
+
+
+@register(
+    "q_text_salient_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM tok GROUP BY token
+    )
+    SELECT doc_id, token, tf, df,
+           CAST(row_number() OVER
+               (PARTITION BY doc_id ORDER BY tf DESC, df ASC, token)
+               AS BIGINT) AS rank
+    FROM tf JOIN df USING (token)
+    QUALIFY rank <= {TOP_TERMS_PER_DOC}
+    """,
+)
+def q_text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: top-{k} tokens ranked by term
+    frequency, with document frequency as the rarity tie-break (tf
+    DESC, df ASC, token) — the tf-idf ordering expressed in pure
+    integers, so ranks are engine-exact where a float idf (ln from two
+    different libm builds) could flip last-ulp ties. Shape at scale:
+    explode → two partial-agg'd groupBys; the df relation is vocabulary-
+    sized (tiny) so its join back is a broadcast; top-k per doc plans
+    WindowGroupLimit, never a full per-doc sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_TERMS_PER_DOC)
+        .select("doc_id", "token", "tf", "df", "rank")
+    )

@@ -243,3 +243,23 @@ def test_runtime_bloom_filter_reduces_unbroadcastable_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_text_repetition_is_map_only(spark, sf_dir):
+    """Trigram repetition scoring must stay a map-only pass (array HOFs
+    per row, zero exchanges) — the explode+groupBy formulation would
+    shuffle the entire trigram stream at 100 TB for a per-row answer."""
+    q = catalog()["q_text_repetition"].builder(spark, sf_dir)
+    assert shuffle_count(q) == 0
+
+
+def test_salient_terms_broadcasts_df_and_limits_groups(spark, sf_dir):
+    """The vocabulary-sized df relation joins back as a broadcast (the
+    tf stream never reshuffles on token), and per-doc top-k plans
+    WindowGroupLimit instead of fully sorting each doc's terms."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    q = catalog()["q_text_salient_terms"].builder(spark, sf_dir)
+    plan = formatted_plan(q)
+    assert broadcast_join_count(q) >= 1
+    assert "WindowGroupLimit" in plan
