@@ -410,3 +410,57 @@ def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "candidate_id", "cosine", "rank")
     )
+
+
+# --- Int8 embedding quantization ---------------------------------------
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_aggregate(
+                   list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                   'max') / 127 AS scale
+        FROM embeddings
+    ), tall AS (
+        SELECT vec_id, scale,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM s
+    )
+    SELECT vec_id, pos, scale,
+           CASE WHEN scale = 0 THEN 0
+                ELSE CAST(floor(v / scale + 0.5) AS BIGINT) END AS code
+    FROM tall
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization — how embeddings are actually stored
+    at 100 TB (4 bytes/dim float32 → 1 byte/dim + one scale per vector,
+    a 4× scan-cost cut for ANN candidate generation). Per vector:
+    scale = max|x|/127, code = round(x/scale), with rounding spelled
+    floor(x/scale + 0.5) because IEEE floor is bit-deterministic on
+    every engine while round() half-tie rules differ (Java HALF_UP vs
+    C round-half-away). Map-only: the scale fold and the code transform
+    are per-row array HOFs, zero exchanges; emitted tall (vec_id, pos)
+    like the centroid aggregate so the hash gate compares scalars."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / 127
+    ).alias("scale")
+    tall = emb.select("vec_id", scale, F.posexplode("embedding").alias("pos0", "v"))
+    return tall.select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        "scale",
+        F.when(F.col("scale") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(F.col("v").cast("double") / F.col("scale") + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .alias("code"),
+    )

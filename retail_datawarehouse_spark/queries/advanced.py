@@ -229,3 +229,68 @@ def q_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("update"))
         .alias("action"),
     )
+
+
+@register(
+    "q_funnel_view_purchase",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id
+    )
+    SELECT f.user_id,
+           epoch_us(f.first_view) AS first_view_us,
+           epoch_us(min(p.ts)) AS first_purchase_us,
+           min(p.ts) IS NOT NULL AS converted,
+           epoch_us(min(p.ts)) - epoch_us(f.first_view) AS lag_us
+    FROM fv f
+    LEFT JOIN events p
+      ON p.user_id = f.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= f.first_view
+    GROUP BY f.user_id, f.first_view
+    """,
+)
+def q_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, the first 'view' and the first
+    'purchase' at-or-after it — the two-step funnel primitive behind
+    conversion-rate and time-to-convert analytics. Formulated as ONE
+    shuffle, no self-join: a partition-only window pins each user's
+    first view onto every event row, then the conditional min of
+    qualifying purchase timestamps rides the SAME user_id partitioning
+    (the aggregate after the window adds no exchange). The join
+    formulation (first-view relation ⋈ purchase stream) can't broadcast
+    its small side — it is outer-preserved, and an outer join must
+    build on the other side — so it would shuffle the events twice;
+    this shape shuffles them once. All event-time math in integer
+    microseconds — engine-exact."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    return (
+        ev.withColumn("first_view", fv)
+        .filter(F.col("first_view").isNotNull())
+        .groupBy("user_id", "first_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase")
+        )
+        .select(
+            "user_id",
+            F.unix_micros("first_view").alias("first_view_us"),
+            F.unix_micros("first_purchase").alias("first_purchase_us"),
+            F.col("first_purchase").isNotNull().alias("converted"),
+            (F.unix_micros("first_purchase") - F.unix_micros("first_view")).alias(
+                "lag_us"
+            ),
+        )
+    )

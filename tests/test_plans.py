@@ -263,3 +263,10 @@ def test_salient_terms_broadcasts_df_and_limits_groups(spark, sf_dir):
     plan = formatted_plan(q)
     assert broadcast_join_count(q) >= 1
     assert "WindowGroupLimit" in plan
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    """The funnel's window + conditional aggregate share one user_id
+    exchange — the aggregate rides the window's partitioning."""
+    q = catalog()["q_funnel_view_purchase"].builder(spark, sf_dir)
+    assert shuffle_count(q) == 1
