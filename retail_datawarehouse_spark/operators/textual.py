@@ -322,3 +322,48 @@ def q_text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_TERMS_PER_DOC)
         .select("doc_id", "token", "tf", "df", "rank")
     )
+
+
+_NORM_MD5_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g')))"
+)
+
+
+def _norm_md5_col() -> Column:
+    return F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+            )
+        )
+    )
+
+
+@register(
+    "q_decontaminate_exact",
+    oracle=f"""
+    WITH eval_set AS (
+        SELECT DISTINCT {_NORM_MD5_SQL} AS h
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT c.doc_id
+    FROM (SELECT doc_id, {_NORM_MD5_SQL} AS h FROM documents) c
+    WHERE c.h NOT IN (SELECT h FROM eval_set)
+    """,
+)
+def q_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decontamination: drop every training doc whose NORMALIZED
+    content hash appears in the held-out eval set (here simulated as
+    the doc_id % 10 = 0 members of the corpus itself — so the removal
+    is BY CONTENT, catching the eval docs and any exact copy of them,
+    not by id) — the mandatory counterpart of the fuzzy leakage report
+    (q_split_leakage_report). Shape at scale: eval sets are tiny next
+    to a 100 TB corpus, so the fingerprint anti-join is a BROADCAST
+    left-anti — the corpus is scanned once, probes a hash set in
+    memory, and never shuffles; normalization-before-hashing means
+    formatting-only edits of an eval doc still get caught."""
+    docs = load_table(spark, sf_dir, "documents")
+    withs = docs.select("doc_id", _norm_md5_col().alias("h"))
+    eval_set = withs.filter(F.col("doc_id") % 10 == 0).select("h").distinct()
+    return withs.join(F.broadcast(eval_set), "h", "left_anti").select("doc_id")

@@ -297,3 +297,20 @@ def test_components_are_a_valid_partition_of_dup_edges(spark, sf_correctness_dir
     for c, ms in members.items():
         assert c == min(ms)
     assert max(len(ms) for ms in members.values()) >= 3
+
+
+def test_decontaminate_removes_eval_members_by_content(spark, sf_dir):
+    """The anti-join must actually remove the eval docs (by content
+    hash, not id): survivors = corpus minus the eval members and any
+    exact copies of them."""
+    from retail_datawarehouse_spark.registry import catalog
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    survivors = {
+        r.doc_id
+        for r in catalog()["q_decontaminate_exact"].builder(spark, sf_dir).collect()
+    }
+    all_ids = {r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()}
+    eval_ids = {i for i in all_ids if i % 10 == 0}
+    assert eval_ids and survivors.isdisjoint(eval_ids)
+    assert len(survivors) < len(all_ids)

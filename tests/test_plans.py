@@ -270,3 +270,15 @@ def test_funnel_single_shuffle(spark, sf_dir):
     exchange — the aggregate rides the window's partitioning."""
     q = catalog()["q_funnel_view_purchase"].builder(spark, sf_dir)
     assert shuffle_count(q) == 1
+
+
+def test_decontaminate_is_broadcast_anti_no_corpus_shuffle(spark, sf_dir):
+    """Decontamination must probe the (tiny) eval fingerprint set as a
+    broadcast anti-join — the corpus side scans once and never
+    exchanges. The eval-side distinct may shuffle its own (tiny)
+    relation; the corpus pipeline stays map-only."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    q = catalog()["q_decontaminate_exact"].builder(spark, sf_dir)
+    plan = formatted_plan(q)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
