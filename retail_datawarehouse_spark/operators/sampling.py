@@ -274,3 +274,42 @@ def _register_leakage() -> None:
 
 
 _register_leakage()
+
+
+# Per-source mixing weights as 256ths expressed in hex ('80' = 50%,
+# '40' = 25%); 'zz' compares above every hex prefix = keep all. Rates
+# use md5 chars 3-4 — decorrelated from the split's chars 1-2, so
+# mixing never biases train/val/test membership.
+FULL_RATE_SOURCES = ("src0", "src1")
+HALF_RATE_SOURCES = ("src2", "src3")
+DEFAULT_RATE_HEX = "40"
+
+
+@register(
+    "q_mix_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) <
+          CASE WHEN source IN {FULL_RATE_SOURCES} THEN 'zz'
+               WHEN source IN {HALF_RATE_SOURCES} THEN '80'
+               ELSE '{DEFAULT_RATE_HEX}' END
+    """,
+)
+def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data-mixing sampler: each source keeps a declared
+    FRACTION of its docs (100% / 50% / 25% here) — the up/down-weighting
+    step of corpus mixing, complementing the hard caps of
+    q_source_quota_sample. Membership = hash-prefix-below-threshold, so
+    it is a pure row-local predicate: map-only, zero shuffles, zero
+    state, reproducible on any engine or partitioning — and monotone in
+    the rate (raising a source's weight only ADDS docs, never swaps
+    them), which keeps ablation runs comparable."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin(*FULL_RATE_SOURCES), F.lit("zz"))
+        .when(F.col("source").isin(*HALF_RATE_SOURCES), F.lit("80"))
+        .otherwise(F.lit(DEFAULT_RATE_HEX))
+    )
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 3, 2)
+    return docs.filter(prefix < rate).select("doc_id", "source")

@@ -282,3 +282,9 @@ def test_decontaminate_is_broadcast_anti_no_corpus_shuffle(spark, sf_dir):
     q = catalog()["q_decontaminate_exact"].builder(spark, sf_dir)
     plan = formatted_plan(q)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_mix_weighted_sample_is_map_only(spark, sf_dir):
+    """Weighted mixing is a row-local hash predicate — no exchange."""
+    q = catalog()["q_mix_weighted_sample"].builder(spark, sf_dir)
+    assert shuffle_count(q) == 0
