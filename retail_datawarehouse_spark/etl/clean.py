@@ -132,6 +132,11 @@ def remove_collisions(
     side broadcasts and the fact side never shuffles.
     """
     present = [c for c in check_cols if c in df.columns]
+    if not present:
+        raise ValueError(
+            f"remove_collisions: none of check_cols {check_cols!r} present "
+            f"in frame columns {df.columns!r}"
+        )
     aggs = [F.countDistinct(c).alias(f"_n_{c}") for c in present]
     cond = None
     for c in present:
@@ -170,6 +175,11 @@ def remove_collisions_window(
     from pyspark.sql import Window
 
     present = [c for c in check_cols if c in df.columns]
+    if not present:
+        raise ValueError(
+            f"remove_collisions_window: none of check_cols {check_cols!r} "
+            f"present in frame columns {df.columns!r}"
+        )
     w = Window.partitionBy(id_col)
     out = df
     cond = None

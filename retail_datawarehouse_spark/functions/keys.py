@@ -46,10 +46,21 @@ def time_bucket_period(hour: Column) -> Column:
 
 
 def time_bucket_12hr(t: Column) -> Column:
-    """'8:00 AM - 8:59 AM'-style hourly label (reference README.md:57)."""
-    start = F.date_format(t, "h:00 a")
-    end = F.date_format(t, "h:59 a")
-    return F.concat_ws(" - ", start, end)
+    """'8:00 AM - 8:59 AM'-style hourly label (reference README.md:57).
+
+    Built with arithmetic + when(), NOT ``date_format('h a')`` — the
+    pattern letters go through the JVM default locale, so a non-English
+    JVM would emit different AM/PM markers. Same construction as
+    ``dims.date_dim.build_dim_time_of_day`` (the two must agree).
+    """
+    hour = F.hour(t)
+    hour12 = ((hour + 11) % 12) + 1
+    ampm = F.when(hour < 12, "AM").otherwise("PM")
+    return F.concat(
+        hour12.cast("string"), F.lit(":00 "), ampm,
+        F.lit(" - "),
+        hour12.cast("string"), F.lit(":59 "), ampm,
+    )
 
 
 def calendar_attrs(d: Column) -> dict[str, Column]:

@@ -446,6 +446,7 @@ def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_iter: int = 25,
+    use_checkpoint: bool = False,
 ) -> DataFrame:
     """Resolve undirected edges into components by iterative min-label
     propagation: every vertex starts labeled with itself; each round a
@@ -462,16 +463,31 @@ def connected_components(
     standard large-graph CC shape (GraphX/Pregel does the same joins
     under the hood, without the DataFrame optimizer).
 
-    Each round's result is persisted and the loop breaks on a counted
-    fixpoint — the lineage is truncated per iteration, so the plan
-    never snowballs (at cluster scale, swap persist for checkpoint to
-    reliable storage).
+    Each round's result is persisted (``use_checkpoint=False``, the
+    local default) or checkpointed to reliable storage
+    (``use_checkpoint=True`` — the cluster-scale setting: a lost
+    executor then recovers the round from storage instead of recomputing
+    the whole chain) and the loop breaks on a counted fixpoint — the
+    lineage is truncated per iteration, so the plan never snowballs.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds — returning silently would hand the caller
+    possibly-unconverged (wrong) component labels with no signal.
     """
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if use_checkpoint:
+            # reliableCheckpoint requires a checkpoint dir on the session.
+            return df.checkpoint(eager=True)
+        out = df.persist()
+        out.count()
+        return out
+
     und = edges.select(
         F.col("a").alias("u"), F.col("b").alias("w")
     ).unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("w")))
-    labels = vertices.select("v", F.col("v").alias("component")).persist()
-    labels.count()
+    labels = _materialize(vertices.select("v", F.col("v").alias("component")))
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             und.join(
@@ -484,16 +500,14 @@ def connected_components(
             .agg(F.min("cw").alias("nbr_min"))
             .withColumnRenamed("u", "v")
         )
-        new_labels = (
-            labels.join(nbr_min, "v", "left")
-            .select(
+        new_labels = _materialize(
+            labels.join(nbr_min, "v", "left").select(
                 "v",
                 F.least(
                     F.col("component"),
                     F.coalesce("nbr_min", F.col("component")),
                 ).alias("component"),
             )
-            .persist()
         )
         changed = (
             new_labels.select("v", F.col("component").alias("nc"))
@@ -501,10 +515,17 @@ def connected_components(
             .filter(F.col("nc") != F.col("component"))
             .count()
         )
-        labels.unpersist()
+        if not use_checkpoint:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"iterations ({changed} labels still changing); the edge set "
+            f"has a component with diameter > max_iter — raise max_iter"
+        )
     return labels
 
 

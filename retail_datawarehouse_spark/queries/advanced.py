@@ -183,8 +183,10 @@ def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_custkey % 7 = 0
     )
     SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
-           COALESCE(s.c_name, t.c_name) AS c_name,
-           COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+                ELSE t.c_name END AS c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
            CASE WHEN t.c_custkey IS NULL THEN 'insert'
                 WHEN s.c_custkey IS NULL THEN 'keep'
                 ELSE 'update' END AS action
@@ -217,15 +219,23 @@ def q_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    t = target.alias("t")
-    s = source.alias("s")
+    # Explicit match markers: action/value derivation keys off a
+    # non-null literal projected on each side BEFORE the join, never off
+    # payload columns — a row with a legitimately NULL c_name/c_acctbal
+    # would otherwise be misclassified (and COALESCE would resurrect the
+    # target value on an update that legitimately sets NULL).
+    t = target.withColumn("_t_matched", F.lit(True)).alias("t")
+    s = source.withColumn("_s_matched", F.lit(True)).alias("s")
     merged = t.join(s, on="c_custkey", how="full_outer")
+    from_source = F.col("s._s_matched").isNotNull()
     return merged.select(
         F.col("c_custkey"),
-        F.coalesce(F.col("s.c_name"), F.col("t.c_name")).alias("c_name"),
-        F.coalesce(F.col("s.c_acctbal"), F.col("t.c_acctbal")).alias("c_acctbal"),
-        F.when(F.col("t.c_name").isNull(), F.lit("insert"))
-        .when(F.col("s.c_name").isNull(), F.lit("keep"))
+        F.when(from_source, F.col("s.c_name")).otherwise(F.col("t.c_name")).alias("c_name"),
+        F.when(from_source, F.col("s.c_acctbal"))
+        .otherwise(F.col("t.c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("t._t_matched").isNull(), F.lit("insert"))
+        .when(F.col("s._s_matched").isNull(), F.lit("keep"))
         .otherwise(F.lit("update"))
         .alias("action"),
     )

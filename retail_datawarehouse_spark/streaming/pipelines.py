@@ -104,6 +104,8 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str, target_dir: str) -> N
     with Delta/Iceberg on the classpath this becomes a real MERGE INTO)."""
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         batch = batch_df.cache()
         sess = batch.sparkSession
         # The target is rewritten in place each batch; drop any cached
@@ -117,7 +119,12 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str, target_dir: str) -> N
                 "left_anti",
             )
             merged = keep.unionByName(batch)
-        except Exception:  # first batch: target does not exist yet
+        except AnalysisException:
+            # First batch: target path does not exist yet. ONLY the
+            # path-resolution error may fall through to "start fresh" —
+            # a transient/corrupt read must re-raise, or the upsert
+            # would silently discard all previously merged data and
+            # rewrite the target with just this micro-batch.
             merged = batch
         merged.write.mode("overwrite").parquet(target_dir + "_tmp")
         sess.catalog.refreshByPath(target_dir + "_tmp")

@@ -299,6 +299,39 @@ def test_components_are_a_valid_partition_of_dup_edges(spark, sf_correctness_dir
     assert max(len(ms) for ms in members.values()) >= 3
 
 
+def test_connected_components_checkpoint_mode(spark, tmp_path):
+    """use_checkpoint=True truncates lineage via reliable checkpoint —
+    same labels as the persist path on a transitive chain."""
+    from retail_datawarehouse_spark.operators.dedup import connected_components
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    vertices = spark.range(6).selectExpr("id AS v")
+    # chain 0-1-2-3 plus pair 4-5 → components {0,1,2,3}→0, {4,5}→4
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "a long, b long"
+    )
+    got = {
+        r.v: r.component
+        for r in connected_components(vertices, edges, use_checkpoint=True).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A diameter-5 chain cannot converge in max_iter=1 — must raise,
+    never silently return wrong labels."""
+    import pytest
+
+    from retail_datawarehouse_spark.operators.dedup import connected_components
+
+    vertices = spark.range(6).selectExpr("id AS v")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, edges, max_iter=1)
+
+
 def test_decontaminate_removes_eval_members_by_content(spark, sf_dir):
     """The anti-join must actually remove the eval docs (by content
     hash, not id): survivors = corpus minus the eval members and any

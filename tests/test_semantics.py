@@ -108,6 +108,54 @@ def test_collision_removal_forms_agree(spark, sf_dir):
     assert a.exceptAll(b).count() == 0
 
 
+def test_collision_removal_rejects_missing_check_cols(spark, sf_dir):
+    """Both collision forms must fail loudly (ValueError naming the
+    columns), not with a TypeError from filter(None), when none of the
+    check columns exist in the frame."""
+    import pytest
+
+    from retail_datawarehouse_spark.etl.clean import (
+        remove_collisions,
+        remove_collisions_window,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("transaction_id"), "l_linenumber"
+    )
+    for fn in (remove_collisions, remove_collisions_window):
+        with pytest.raises(ValueError, match="check_cols"):
+            fn(li, check_cols=("no_such_col", "also_missing"))
+
+
+def test_time_bucket_12hr_matches_dim_time_of_day(spark):
+    """The helper and the DimTimeOfDay spine build the same label with
+    the same locale-free arithmetic — they must agree for every hour."""
+    from pyspark.sql import functions as SF
+
+    from retail_datawarehouse_spark.dims.date_dim import build_dim_time_of_day
+    from retail_datawarehouse_spark.functions.keys import time_bucket_12hr
+
+    dim = (
+        build_dim_time_of_day(spark)
+        .filter(F.col("second_of_day") % 3600 == 0)
+        .select("hour_24", "time_bucket_12hr")
+    )
+    helper = spark.range(24).select(
+        F.col("id").alias("hour_24"),
+        time_bucket_12hr(
+            SF.make_timestamp(
+                F.lit(2024), F.lit(1), F.lit(1), F.col("id"), F.lit(0), F.lit(0)
+            )
+        ).alias("helper_label"),
+    )
+    joined = dim.join(helper, "hour_24")
+    assert joined.count() == 24
+    assert (
+        joined.filter(F.col("time_bucket_12hr") != F.col("helper_label")).count() == 0
+    )
+
+
 def test_observe_audit_rides_the_single_pass(spark, sf_dir):
     """S5/A9: audit metrics attach to the one real pass via observe —
     row counts + null counts match a separately-computed ground truth,
