@@ -30,6 +30,19 @@ from retail_datawarehouse_spark.registry import register
 from retail_datawarehouse_spark.sources.readers import load_table
 
 
+# Fixed-date holiday lookup (month, day, name). The real deployment
+# feeds a curated holiday table per locale; the operator shape — a
+# BROADCAST left join against the (tiny, forever) lookup — is identical.
+# Reference README.md:51 declares is_holiday_flag NULLABLE: TRUE when
+# the lookup matches, NULL (unknown) otherwise — never FALSE, because
+# absence from an incomplete holiday table is not evidence of a workday.
+HOLIDAYS: list[tuple[int, int, str]] = [
+    (1, 1, "New Year's Day"),
+    (7, 4, "Independence Day"),
+    (12, 25, "Christmas Day"),
+]
+
+
 def build_dim_date(spark: SparkSession, anchor_dates: DataFrame) -> DataFrame:
     """Calendar spine over [min(date), max(date)] of ``anchor_dates``
     (single column ``d``), with the P16 attribute block.
@@ -45,6 +58,14 @@ def build_dim_date(spark: SparkSession, anchor_dates: DataFrame) -> DataFrame:
     )
     d = F.col("date_value")
     iso_dow = F.weekday(d) + 1  # weekday: 0=Monday
+    holidays = spark.createDataFrame(
+        HOLIDAYS, "h_month int, h_day int, holiday_name string"
+    )
+    spine = spine.join(
+        F.broadcast(holidays),
+        (F.month(d) == F.col("h_month")) & (F.dayofmonth(d) == F.col("h_day")),
+        "left",
+    )
     return spine.select(
         F.date_format(d, "yyyy-MM-dd").alias("date_iso"),
         date_key(d).alias("date_key"),
@@ -57,6 +78,9 @@ def build_dim_date(spark: SparkSession, anchor_dates: DataFrame) -> DataFrame:
         F.year(d).cast("long").alias("year"),
         F.weekofyear(d).cast("long").alias("week_of_year"),
         (iso_dow >= 6).alias("is_weekend"),
+        F.when(F.col("holiday_name").isNotNull(), F.lit(True))
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("is_holiday_flag"),
     )
 
 
@@ -79,7 +103,10 @@ def build_dim_date(spark: SparkSession, anchor_dates: DataFrame) -> DataFrame:
            CAST(EXTRACT(quarter FROM d) AS BIGINT) AS quarter,
            CAST(EXTRACT(year FROM d) AS BIGINT) AS year,
            week(d) AS week_of_year,
-           isodow(d) >= 6 AS is_weekend
+           isodow(d) >= 6 AS is_weekend,
+           CASE WHEN (EXTRACT(month FROM d), EXTRACT(day FROM d))
+                     IN ((1, 1), (7, 4), (12, 25))
+                THEN TRUE ELSE NULL END AS is_holiday_flag
     FROM spine
     """,
 )

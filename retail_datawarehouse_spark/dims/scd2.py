@@ -39,10 +39,53 @@ def build_scd2(
     )
 
 
+def _scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer dim versions from the order stream (attr = priority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    scd = build_scd2(
+        orders, "o_custkey", "o_orderdate", ["o_orderdate", "o_orderkey"]
+    )
+    return scd.select(
+        F.lit("customer").alias("entity"),
+        F.col("o_custkey").alias("natural_key"),
+        F.col("o_orderkey").alias("version_id"),
+        F.col("o_orderpriority").alias("attr_value"),
+        F.date_format("effective_date", "yyyy-MM-dd").alias("effective_date"),
+        F.date_format("end_date", "yyyy-MM-dd").alias("end_date"),
+        "is_current",
+        "version_seq",
+    )
+
+
+def _scd2_product_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product dim versions from the lineitem stream (attr = return flag).
+
+    Reference README.md:145-147 recommends SCD2 for Customer AND
+    Product; the same generic ``build_scd2`` runs over parts here.
+    First line of each order (l_linenumber = 1) gives one candidate
+    version per (order, part) with a unique (shipdate, orderkey) order
+    within each part — the same determinism contract as the customer
+    build.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    scd = build_scd2(li, "l_partkey", "l_shipdate", ["l_shipdate", "l_orderkey"])
+    return scd.select(
+        F.lit("product").alias("entity"),
+        F.col("l_partkey").alias("natural_key"),
+        F.col("l_orderkey").alias("version_id"),
+        F.col("l_returnflag").alias("attr_value"),
+        F.date_format("effective_date", "yyyy-MM-dd").alias("effective_date"),
+        F.date_format("end_date", "yyyy-MM-dd").alias("end_date"),
+        "is_current",
+        "version_seq",
+    )
+
+
 @register(
     "q_scd2_build",
     oracle="""
-    SELECT o_custkey AS customer_key,
+    SELECT 'customer' AS entity,
+           o_custkey AS natural_key,
            o_orderkey AS version_id,
            o_orderpriority AS attr_value,
            strftime(o_orderdate, '%Y-%m-%d') AS effective_date,
@@ -51,23 +94,27 @@ def build_scd2(
            row_number() OVER w AS version_seq
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    UNION ALL
+    SELECT 'product' AS entity,
+           l_partkey AS natural_key,
+           l_orderkey AS version_id,
+           l_returnflag AS attr_value,
+           strftime(l_shipdate, '%Y-%m-%d') AS effective_date,
+           strftime(lead(l_shipdate) OVER w2, '%Y-%m-%d') AS end_date,
+           lead(l_shipdate) OVER w2 IS NULL AS is_current,
+           row_number() OVER w2 AS version_seq
+    FROM lineitem
+    WHERE l_linenumber = 1
+    WINDOW w2 AS (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey)
     """,
 )
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 version build (reference README.md:145-147): effective/end
-    dates via lead(), is_current flag, per-key version sequence."""
-    orders = load_table(spark, sf_dir, "orders")
-    scd = build_scd2(
-        orders, "o_custkey", "o_orderdate", ["o_orderdate", "o_orderkey"]
-    )
-    return scd.select(
-        F.col("o_custkey").alias("customer_key"),
-        F.col("o_orderkey").alias("version_id"),
-        F.col("o_orderpriority").alias("attr_value"),
-        F.date_format("effective_date", "yyyy-MM-dd").alias("effective_date"),
-        F.date_format("end_date", "yyyy-MM-dd").alias("end_date"),
-        "is_current",
-        "version_seq",
+    """SCD2 version build over BOTH dims the reference recommends it for
+    (README.md:145-147, Customer and Product): effective/end dates via
+    lead(), is_current flag, per-key version sequence — one generic
+    builder, two entity streams, tagged and unioned."""
+    return _scd2_customer_versions(spark, sf_dir).unionByName(
+        _scd2_product_versions(spark, sf_dir)
     )
 
 

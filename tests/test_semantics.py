@@ -39,10 +39,13 @@ def test_snapshot_lifetime_monotone(spark, sf_dir):
 
 
 def test_scd2_ranges_partition_time(spark, sf_dir):
-    """SCD2: per natural key, exactly one current version; version ranges
-    chain (end_date == next effective_date)."""
+    """SCD2: per (entity, natural key), exactly one current version;
+    version ranges chain (end_date == next effective_date); both the
+    customer AND product entities are present (README.md:145-147)."""
     scd = _run("q_scd2_build", spark, sf_dir).cache()
-    per_key = scd.groupBy("customer_key").agg(
+    entities = {r.entity for r in scd.select("entity").distinct().collect()}
+    assert entities == {"customer", "product"}
+    per_key = scd.groupBy("entity", "natural_key").agg(
         F.sum(F.when(F.col("is_current"), 1).otherwise(0)).alias("n_current")
     )
     assert per_key.filter(F.col("n_current") != 1).count() == 0
