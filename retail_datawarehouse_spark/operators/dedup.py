@@ -40,6 +40,19 @@ MINHASH_K = 12
 BANDS = 4  # 4 bands × 3 rows
 JACCARD_THRESHOLD = 0.3
 
+# Document-frequency cap on shingles (standard in dedup pipelines):
+# a shingle shared by k docs contributes k² rows to any inverted-index
+# self-join, so ONE stop-shingle ("in the United States of") shared by
+# a million docs is a hot-key OOM at 100 TB. Shingles with df > cap are
+# dropped from the document REPRESENTATION (index and set sizes alike,
+# so Jaccard stays an honest set similarity over the capped sets), which
+# bounds every join's per-key fan-out at cap². The hot set is tiny
+# (power-law tail), so removing it is a broadcast anti-join — the corpus
+# never shuffles for the cap. Fixtures' shingles are near-unique, so the
+# cap is invisible there; the planted-stop-shingle test proves the
+# explosion protection.
+MAX_SHINGLE_DF = 50
+
 # --- shared shingle builders (distinct word 5-grams per doc) ---
 
 # NOTE: operates on a pre-split ``toks`` column, not ``split(text)``
@@ -52,7 +65,7 @@ _SPARK_SHINGLES = (
 ).format(n=SHINGLE_N)
 
 _DUCK_SHINGLES_CTE = f"""
-    shingled AS (
+    shingled_raw AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
                    generate_series(1, len(string_split(text, ' ')) - {SHINGLE_N - 1}),
@@ -61,17 +74,39 @@ _DUCK_SHINGLES_CTE = f"""
         FROM documents
         WHERE len(string_split(text, ' ')) >= {SHINGLE_N}
     ),
+    shingled AS (
+        SELECT doc_id, sh FROM shingled_raw
+        WHERE sh NOT IN (SELECT sh FROM shingled_raw
+                         GROUP BY sh HAVING COUNT(*) > {MAX_SHINGLE_DF})
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY 1)
 """
 
 
+def drop_hot_shingles(
+    shingled: DataFrame, key: str = "sh", max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Remove shingles with document frequency > ``max_df`` from the
+    representation. The hot set is df-aggregated (map-side combinable)
+    and broadcast for a left-anti probe — the exploded corpus relation
+    itself never shuffles for the cap."""
+    hot = (
+        shingled.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select(key)
+    )
+    return shingled.join(F.broadcast(hot), key, "left_anti")
+
+
 def shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    raw = (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= SHINGLE_N)
         .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
     )
+    return drop_hot_shingles(raw, key="sh")
 
 
 def shingle_sizes(shingled: DataFrame) -> DataFrame:
@@ -174,10 +209,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle index. The co-shingle join IS the intersection counter —
     ``|A∩B| = COUNT(*)`` grouped by pair, one shuffle-heavy join total
     (not candidates-then-reverify, which would run it twice); per-doc
-    sizes attach from a cheap count aggregate. There is no candidate
-    pruning here — docs-per-shingle drives the join quadratically, which
-    is exactly why this operator is the small-corpus verifier and
-    MinHash-LSH is the scale path."""
+    sizes attach from a cheap count aggregate. Join fan-out per shingle
+    is bounded by the MAX_SHINGLE_DF cap (see ``drop_hot_shingles``):
+    without it one stop-shingle shared by k docs contributes k² join
+    rows — the hot-key OOM at 100 TB. Total cost still grows with
+    candidate density, which is why MinHash-LSH is the scale path and
+    this is the verifier."""
     shingled = shingles_exploded(spark, sf_dir)
     sizes = shingle_sizes(shingled)
     a = shingled.withColumnsRenamed({"doc_id": "doc_a"})
@@ -242,7 +279,7 @@ _SPARK_XS = (
 ).format(n=SHINGLE_N)
 
 _DUCK_XS_CTE = f"""
-    shingled AS (
+    shingled_raw AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
                    generate_series(1, len(sp) - {SHINGLE_N - 1}),
@@ -251,19 +288,26 @@ _DUCK_XS_CTE = f"""
         FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
         WHERE len(sp) >= {SHINGLE_N}
     ),
+    shingled AS (
+        SELECT doc_id, x FROM shingled_raw
+        WHERE x NOT IN (SELECT x FROM shingled_raw
+                        GROUP BY x HAVING COUNT(*) > {MAX_SHINGLE_DF})
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY 1)
 """
 
 
 def shingle_images_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, x) — the narrow integer-image twin of
-    ``shingles_exploded``; the LSH scale path never carries text."""
+    ``shingles_exploded``, df-capped the same way; the LSH scale path
+    never carries text."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    raw = (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= SHINGLE_N)
         .select("doc_id", F.explode(F.expr(_SPARK_XS)).alias("x"))
     )
+    return drop_hot_shingles(raw, key="x")
 
 
 def _sig_sql(x_expr: str, k: int) -> str:

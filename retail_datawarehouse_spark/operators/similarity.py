@@ -170,40 +170,77 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DUP_THRESHOLD = 0.99
+
+
 @register(
     "q_dedup_embedding_cosine",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    WITH corpus AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(embedding, x -> x::DOUBLE * 1.5)
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    b AS (
+        SELECT vec_id, embedding, {_bucket_sql("embedding", 1)} AS bucket
+        FROM corpus
+    ),
     scored AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {_duck_cosine("a.embedding", "b.embedding")} AS cosine
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+               {_duck_cosine("a.embedding", "b2.embedding")} AS cosine
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
     )
     SELECT vec_a, vec_b, cosine
     FROM scored
-    ORDER BY cosine DESC, vec_a, vec_b
-    LIMIT 20
+    WHERE cosine >= {EMB_DUP_THRESHOLD}
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: the 20 most-similar pairs in a 200-vec
-    slice (the fixtures have no true near-dup vectors — max pairwise
-    cosine ≈ 0.44 — so the operator reports the top of the distribution
-    instead of thresholding into an empty set). At scale the same scoring
-    runs bucketed (see q_ann_lsh_bucketed), not all-pairs."""
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 200)
-        .select("vec_id", "embedding")
+    """Embedding-cosine near-dup, LSH-BUCKETED — the scale-safe form is
+    the registered operator (round-1 verdict: the all-pairs non-equi
+    join was the one remaining BroadcastNestedLoop in the catalog).
+    Candidates come from the same sign-bit buckets as q_ann_lsh_bucketed
+    (equal bucket ⇒ equal sign pattern), so the pair join is a hash
+    EQUI-join on the bucket id — per-bucket quadratic, ~2^bits cheaper
+    than all-pairs, hash-partitionable and skew-splittable. Pairs at
+    cosine ≥ 0.99 are duplicates.
+
+    The fixtures carry no true near-dups (max pairwise cosine ≈ 0.44),
+    so duplicates are INJECTED deterministically, like q_dedup_exact
+    does: every 50th vector reappears under id+100000 scaled by 1.5 —
+    same direction (cosine 1 up to one ulp), same sign pattern, hence
+    guaranteed same bucket. A scaled copy is exactly what a re-encoded/
+    renormalized duplicate looks like. Recall caveat of the bucketed
+    form (a near-dup pair straddling a hyperplane lands in different
+    buckets) is inherent LSH recall<1; multi-band OR-construction is
+    the standard extension and rides the same plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    dupes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("embedding"),
+    )
+    corpus = as_double.unionByName(dupes).withColumn(
+        "bucket", F.expr(_bucket_sql("embedding", 0))
+    )
+    a = corpus.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "bucket"
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), "bucket"
+    )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", cosine_col("e_a", "e_b"))
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
-        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
-        .limit(20)
     )
 
 

@@ -288,3 +288,40 @@ def test_mix_weighted_sample_is_map_only(spark, sf_dir):
     """Weighted mixing is a row-local hash predicate — no exchange."""
     q = catalog()["q_mix_weighted_sample"].builder(spark, sf_dir)
     assert shuffle_count(q) == 0
+
+
+def test_embedding_dedup_is_bucket_equi_join(spark, sf_dir):
+    """The registered embedding near-dup must candidate via the LSH
+    bucket EQUI-join — never the all-pairs BroadcastNestedLoop that a
+    vec_a < vec_b theta join would plan (round-1 verdict item #4)."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    q = catalog()["q_dedup_embedding_cosine"].builder(spark, sf_dir)
+    plan = formatted_plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hot_shingle_cap_bounds_join_fanout(spark):
+    """A planted stop-shingle shared by 100 docs must not explode the
+    inverted-index self-join: uncapped it contributes 100·99/2 pairs,
+    capped it contributes none (round-1 verdict item #3). The cap drops
+    the shingle from the REPRESENTATION (index + sizes alike), keeping
+    Jaccard an honest set similarity over the capped sets."""
+    from retail_datawarehouse_spark.operators.dedup import drop_hot_shingles
+
+    rows = [(i, s) for i in range(100) for s in (f"uniq_{i}", "STOP")]
+    sh = spark.createDataFrame(rows, "doc_id long, sh string")
+
+    def pair_count(rel):
+        a = rel.withColumnsRenamed({"doc_id": "doc_a"})
+        b = rel.withColumnsRenamed({"doc_id": "doc_b"})
+        return (
+            a.join(b, "sh").filter(F.col("doc_a") < F.col("doc_b")).count()
+        )
+
+    assert pair_count(sh) == 100 * 99 // 2
+    capped = drop_hot_shingles(sh, key="sh", max_df=10)
+    assert capped.filter(F.col("sh") == "STOP").count() == 0
+    assert capped.count() == 100  # every unique shingle survives
+    assert pair_count(capped) == 0
