@@ -100,37 +100,123 @@ def q_fact_monthly_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def append_snapshot_month(
+    prior: DataFrame,
+    prior_last_month,
+    orders: DataFrame,
+    customer: DataFrame,
+    new_month,
+) -> DataFrame:
+    """Extend an internal-shape snapshot by EXACTLY one month — the
+    incremental form the reference's own scale guidance asks for
+    (README.md:199: "derive monthly snapshots by incremental processing
+    rather than full cross-join").
+
+    Cost at 100 TB per month appended:
+    - the orders scan reads ONE month (range predicates on o_orderdate
+      push into the parquet scan; with the fact partitioned by month
+      this is partition pruning),
+    - the prior snapshot contributes ONE month's partition (the W2
+      read discipline — lifetime values live in the latest row, never
+      re-summed across history),
+    - three customer-keyed joins (spine ⋈ new aggregate ⋈ carried
+      lifetime) that co-partition on customer_key.
+    The full-history window of the batch rebuild never runs; cumulative
+    state is carried, not recomputed.
+    """
+    m = F.lit(new_month).cast("date")
+    new_agg = (
+        orders.filter(
+            (F.col("o_orderdate") >= m) & (F.col("o_orderdate") < F.add_months(m, 1))
+        )
+        .groupBy(F.col("o_custkey").alias("customer_key"))
+        .agg(
+            F.sum(dec("o_totalprice")).alias("month_spend"),
+            F.countDistinct("o_orderkey").alias("month_orders"),
+        )
+    )
+    carried = prior.filter(
+        F.col("month_start") == F.lit(prior_last_month).cast("date")
+    ).select("customer_key", F.col("lifetime_dec").alias("prior_lifetime"))
+    spine = customer.select(F.col("c_custkey").alias("customer_key"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    new_rows = (
+        spine.join(new_agg, "customer_key", "left")
+        .join(carried, "customer_key", "left")
+        .select(
+            "customer_key",
+            m.alias("month_start"),
+            "month_spend",
+            "month_orders",
+            F.coalesce("month_spend", zero).alias("month_total_dec"),
+            F.coalesce("month_orders", F.lit(0)).alias("month_order_count"),
+            (F.coalesce("prior_lifetime", zero) + F.coalesce("month_spend", zero))
+            .cast("decimal(18,4)")
+            .alias("lifetime_dec"),
+        )
+    )
+    return prior.unionByName(new_rows.select(*prior.columns))
+
+
 @register(
-    "q_snapshot_mom_delta",
+    "q_snapshot_incremental_mom",
     oracle=f"""
     WITH snap AS ({_SNAPSHOT_SQL})
-    SELECT customer_key, month_iso,
+    SELECT customer_key, month_iso, month_total_spent, month_order_count,
+           customer_lifetime_spent,
            customer_lifetime_spent
              - lag(customer_lifetime_spent) OVER
                    (PARTITION BY customer_key ORDER BY month_iso)
                AS lifetime_delta
     FROM snap
-    QUALIFY lag(customer_lifetime_spent) OVER
-        (PARTITION BY customer_key ORDER BY month_iso) IS NOT NULL
     """,
 )
-def q_snapshot_mom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3 — period-over-period delta on the semi-additive measure
-    (reference README.md:258: lifetime growth = subtract the preceding
-    snapshot, never SUM across months). Delta of the cumulative equals
-    the month total — the window form makes that identity explicit.
+def q_snapshot_incremental_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot maintenance + W3 period-over-period read,
+    oracle-checked against the FULL batch rebuild: the snapshot is built
+    through month N-1 with the batch builder, month N is then appended
+    incrementally (``append_snapshot_month`` — one month of orders, one
+    carried-lifetime partition), and the oracle is the full-history
+    rebuild — so a green hash row IS the proof that append(N) ≡
+    rebuild-through-N. The MoM delta (reference README.md:258: lifetime
+    growth = subtract the preceding snapshot, never SUM across months)
+    rides the result as a lag window; delta of the cumulative equals the
+    month total, NULL on each customer's first month.
+
+    The one-row max-month lookup is a boundary action (which partition
+    to append — known a priori in production), not a data-path collect.
 
     month_iso sorts chronologically as a string, so the same ORDER BY
     works in both engines (unlike MMYYYY month_key — F2).
     """
-    snap = q_fact_monthly_snapshot(spark, sf_dir)
-    w = Window.partitionBy("customer_key").orderBy("month_iso")
-    return (
-        snap.withColumn(
-            "lifetime_delta",
-            F.col("customer_lifetime_spent")
-            - F.lag("customer_lifetime_spent").over(w),
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    months = sorted(
+        r.m
+        for r in orders.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m")
         )
-        .filter(F.col("lifetime_delta").isNotNull())
-        .select("customer_key", "month_iso", "lifetime_delta")
+        .distinct()
+        .collect()
+    )
+    last_month, prior_last = months[-1], months[-2]
+    prior_orders = orders.filter(
+        F.col("o_orderdate") < F.lit(last_month).cast("date")
+    )
+    prior = build_monthly_snapshot(prior_orders, customer)
+    snap = append_snapshot_month(prior, prior_last, orders, customer, last_month)
+    # Delta over the DOUBLE image (not decimal-subtract-then-cast): the
+    # oracle lags the double column, and double(a)-double(b) is not
+    # always double(a_dec - b_dec) at the last ulp.
+    lifetime_d = F.col("lifetime_dec").cast("double")
+    w = Window.partitionBy("customer_key").orderBy("month_start")
+    return snap.withColumn(
+        "lifetime_delta", lifetime_d - F.lag(lifetime_d).over(w)
+    ).select(
+        "customer_key",
+        F.date_format("month_start", "yyyy-MM-dd").alias("month_iso"),
+        F.col("month_total_dec").cast("double").alias("month_total_spent"),
+        "month_order_count",
+        lifetime_d.alias("customer_lifetime_spent"),
+        "lifetime_delta",
     )

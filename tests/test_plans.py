@@ -325,3 +325,31 @@ def test_hot_shingle_cap_bounds_join_fanout(spark):
     assert capped.filter(F.col("sh") == "STOP").count() == 0
     assert capped.count() == 100  # every unique shingle survives
     assert pair_count(capped) == 0
+
+
+def test_snapshot_append_reads_one_month_of_orders(spark, sf_dir):
+    """The incremental append's new-month aggregate must reach the
+    orders scan as pushed RANGE predicates on o_orderdate (partition
+    pruning once the fact is month-partitioned) — the whole point of
+    the incremental form is never re-scanning history."""
+    import datetime
+
+    from retail_datawarehouse_spark.facts.snapshot import (
+        append_snapshot_month,
+        build_monthly_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    new_month = datetime.date(1998, 8, 1)
+    prior = build_monthly_snapshot(
+        orders.filter(F.col("o_orderdate") < F.lit(new_month)), customer
+    )
+    appended = append_snapshot_month(
+        prior, datetime.date(1998, 7, 1), orders, customer, new_month
+    )
+    plan = appended._jdf.queryExecution().toString()
+    assert "1998-08-01" in plan  # range lower bound reaches the scan
+    # the appended branch scans orders with BOTH range bounds pushed
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan[-3000:]
+    assert "LessThan(o_orderdate" in plan, plan[-3000:]
