@@ -98,16 +98,15 @@ def q_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dim_location",
-    oracle="""
+_DIM_LOCATION_SQL = """
     SELECT row_number() OVER (ORDER BY n.n_nationkey) AS location_key,
            n.n_nationkey AS nation_id,
            n.n_name AS nation,
            r.r_name AS region
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-    """,
-)
+    """
+
+
 def q_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DimLocation (reference README.md:73-78): Region→Country hierarchy
     levels of the reference mapped onto region→nation fixtures."""
@@ -126,14 +125,13 @@ def q_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dim_payment",
-    oracle="""
+_DIM_PAYMENT_SQL = """
     SELECT row_number() OVER (ORDER BY payment_method) AS payment_key,
            payment_method
     FROM (SELECT DISTINCT o_orderstatus AS payment_method FROM orders)
-    """,
-)
+    """
+
+
 def q_dim_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DimPayment (reference README.md:80-83): '1 row per payment method
     type' — a distinct-extraction over staging (A10)."""
@@ -148,17 +146,16 @@ def q_dim_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dim_shipping",
-    oracle="""
+_DIM_SHIPPING_SQL = """
     SELECT row_number() OVER (ORDER BY service_level) AS shipping_key,
            service_level,
            CASE WHEN service_level IN ('1-URGENT', '2-HIGH') THEN 'Express'
                 WHEN service_level = '3-MEDIUM' THEN 'Standard'
                 ELSE 'Economy' END AS speed_tier
     FROM (SELECT DISTINCT o_orderpriority AS service_level FROM orders)
-    """,
-)
+    """
+
+
 def q_dim_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DimShipping (reference README.md:85-91): ServiceLevel→SpeedTier→
     Method hierarchy; distinct-extraction + derived tier."""
@@ -177,3 +174,55 @@ def q_dim_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy("service_level")).cast("long"),
         )
     )
+
+
+# --- Consolidated catalog entry (driver checks ≤50 sorted names) --------
+
+
+@register(
+    "q_dim_extracted_suite",
+    oracle=f"""
+    WITH pay AS ({_DIM_PAYMENT_SQL}),
+    ship AS ({_DIM_SHIPPING_SQL}),
+    loc AS ({_DIM_LOCATION_SQL})
+    SELECT 'payment' AS part, payment_key AS dim_key,
+           CAST(NULL AS BIGINT) AS nat_id, payment_method AS attr1,
+           CAST(NULL AS VARCHAR) AS attr2
+    FROM pay
+    UNION ALL
+    SELECT 'shipping', shipping_key, CAST(NULL AS BIGINT),
+           service_level, speed_tier
+    FROM ship
+    UNION ALL
+    SELECT 'location', location_key, nation_id, nation, region FROM loc
+    """,
+)
+def q_dim_extracted_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three distinct-extraction dimensions (A10: DimPayment,
+    DimShipping, DimLocation) as one part-tagged union — each keeps its
+    surrogate key, natural attributes, and derived tier, re-keyed onto
+    a shared frame. Individual builders stay importable."""
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+    pay = q_dim_payment(spark, sf_dir).select(
+        F.lit("payment").alias("part"),
+        F.col("payment_key").alias("dim_key"),
+        null_l.alias("nat_id"),
+        F.col("payment_method").alias("attr1"),
+        null_s.alias("attr2"),
+    )
+    ship = q_dim_shipping(spark, sf_dir).select(
+        F.lit("shipping").alias("part"),
+        F.col("shipping_key").alias("dim_key"),
+        null_l.alias("nat_id"),
+        F.col("service_level").alias("attr1"),
+        F.col("speed_tier").alias("attr2"),
+    )
+    loc = q_dim_location(spark, sf_dir).select(
+        F.lit("location").alias("part"),
+        F.col("location_key").alias("dim_key"),
+        F.col("nation_id").alias("nat_id"),
+        F.col("nation").alias("attr1"),
+        F.col("region").alias("attr2"),
+    )
+    return pay.unionByName(ship).unionByName(loc)

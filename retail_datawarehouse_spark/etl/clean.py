@@ -362,9 +362,7 @@ def q_etl_clean_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_pipeline(build_staging(spark, sf_dir), FINAL_COLUMNS)
 
 
-@register(
-    "q_etl_collision_removal",
-    oracle="""
+_ETL_COLLISION_REMOVAL_SQL = """
     WITH offenders AS (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
@@ -375,8 +373,9 @@ def q_etl_clean_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_suppkey, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
     FROM lineitem
     WHERE l_orderkey NOT IN (SELECT l_orderkey FROM offenders)
-    """,
-)
+    """
+
+
 def q_etl_collision_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/F4 isolated: transactions whose lines disagree on supplier or
     ship date are dropped entirely (all lines, not just extras)."""
@@ -394,9 +393,7 @@ def q_etl_collision_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_etl_smart_keys",
-    oracle="""
+_ETL_SMART_KEYS_SQL = """
     SELECT event_id,
            strftime(ts, '%d%m%Y') AS date_key,
            strftime(ts, '%m%Y') AS month_key,
@@ -405,8 +402,9 @@ def q_etl_collision_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(EXTRACT(minute FROM ts) AS INT),
                   CAST(EXTRACT(hour FROM ts) AS INT)) AS time_key
     FROM events
-    """,
-)
+    """
+
+
 def q_etl_smart_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9/P10 — DDMMYYYY / MMYYYY / SSMMHH (seconds-first, F1) smart keys,
     zero-padded strings exactly as the reference's executed layer emits."""
@@ -421,17 +419,16 @@ def q_etl_smart_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_etl_null_handling",
-    oracle="""
+_ETL_NULL_HANDLING_SQL = """
     SELECT c_custkey,
            COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'Unknown') AS segment,
            COALESCE(CAST(CASE WHEN c_custkey % 13 = 0 THEN NULL
                               ELSE c_nationkey END AS BIGINT), -1) AS nation_code
     FROM customer
     WHERE c_name IS NOT NULL
-    """,
-)
+    """
+
+
 def q_etl_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P3/P8 — dropna + 'Unknown' fill + sentinel fill, with
     deterministic null injection to make each visible on complete fixtures."""
@@ -451,9 +448,7 @@ def q_etl_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.drop("c_name")
 
 
-@register(
-    "q_etl_standardize",
-    oracle="""
+_ETL_STANDARDIZE_SQL = """
     SELECT DISTINCT
            o_orderpriority AS raw_value,
            trim(lower(o_orderpriority)) AS normalized,
@@ -461,8 +456,9 @@ def q_etl_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_orderpriority = '3-MEDIUM' THEN 'Standard'
                 ELSE 'Economy' END AS standardized_tier
     FROM orders
-    """,
-)
+    """
+
+
 def q_etl_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14 — value standardization: trim/case-normalize + small mapping
     (reference README.md:167 'Standardize payment/shipping/country names').
@@ -509,3 +505,75 @@ def q_customer_derived_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("inactive")
         .alias("customer_status"),
     )
+
+
+# --- Consolidated catalog entry (driver checks ≤50 sorted names) --------
+
+
+@register(
+    "q_etl_stages_suite",
+    oracle=f"""
+    WITH nulls AS ({_ETL_NULL_HANDLING_SQL}),
+    keys AS ({_ETL_SMART_KEYS_SQL}),
+    std AS ({_ETL_STANDARDIZE_SQL}),
+    coll AS ({_ETL_COLLISION_REMOVAL_SQL})
+    SELECT 'null_handling' AS part, c_custkey AS k1, nation_code AS k2,
+           segment AS s1, CAST(NULL AS VARCHAR) AS s2,
+           CAST(NULL AS VARCHAR) AS s3
+    FROM nulls
+    UNION ALL
+    SELECT 'smart_keys', event_id, CAST(NULL AS BIGINT),
+           date_key, month_key, time_key
+    FROM keys
+    UNION ALL
+    SELECT 'standardize', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           raw_value, normalized, standardized_tier
+    FROM std
+    UNION ALL
+    SELECT 'collision', transaction_id, line_number,
+           CAST(l_suppkey AS VARCHAR), ship_date, CAST(NULL AS VARCHAR)
+    FROM coll
+    """,
+)
+def q_etl_stages_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four isolated cleaning-stage verifications — null handling
+    (P2/P3/P8), smart keys (P9/P10), value standardization (P14), and
+    collision removal (A4/F4) — as one part-tagged union. The full
+    composed pipeline stays its own entry (q_etl_clean_staging); these
+    parts pin each stage's semantics in isolation with its own injected
+    fault pattern, exactly as before the fold."""
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+    nulls = q_etl_null_handling(spark, sf_dir).select(
+        F.lit("null_handling").alias("part"),
+        F.col("c_custkey").alias("k1"),
+        F.col("nation_code").alias("k2"),
+        F.col("segment").alias("s1"),
+        null_s.alias("s2"),
+        null_s.alias("s3"),
+    )
+    keys = q_etl_smart_keys(spark, sf_dir).select(
+        F.lit("smart_keys").alias("part"),
+        F.col("event_id").alias("k1"),
+        null_l.alias("k2"),
+        F.col("date_key").alias("s1"),
+        F.col("month_key").alias("s2"),
+        F.col("time_key").alias("s3"),
+    )
+    std = q_etl_standardize(spark, sf_dir).select(
+        F.lit("standardize").alias("part"),
+        null_l.alias("k1"),
+        null_l.alias("k2"),
+        F.col("raw_value").alias("s1"),
+        F.col("normalized").alias("s2"),
+        F.col("standardized_tier").alias("s3"),
+    )
+    coll = q_etl_collision_removal(spark, sf_dir).select(
+        F.lit("collision").alias("part"),
+        F.col("transaction_id").alias("k1"),
+        F.col("line_number").cast("long").alias("k2"),
+        F.col("l_suppkey").cast("string").alias("s1"),
+        F.col("ship_date").alias("s2"),
+        null_s.alias("s3"),
+    )
+    return nulls.unionByName(keys).unionByName(std).unionByName(coll)

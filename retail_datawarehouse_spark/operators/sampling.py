@@ -34,9 +34,7 @@ VAL_MAX_HEX = "e6"
 QUOTA_PER_SOURCE = 30
 
 
-@register(
-    "q_split_assign",
-    oracle=f"""
+_SPLIT_ASSIGN_SQL = f"""
     SELECT doc_id,
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_MAX_HEX}'
                      THEN 'train'
@@ -44,8 +42,9 @@ QUOTA_PER_SOURCE = 30
                      THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
-    """,
-)
+"""
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible train/val/test assignment (~80/10/10): the split is
     a deterministic function of md5(doc_id), never of seed, partition
@@ -63,9 +62,7 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_source_quota_sample",
-    oracle=f"""
+_QUOTA_SQL = f"""
     SELECT doc_id, source,
            CAST(row_number() OVER
                (PARTITION BY source
@@ -73,8 +70,9 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS pick
     FROM documents
     QUALIFY pick <= {QUOTA_PER_SOURCE}
-    """,
-)
+"""
+
+
 def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota sampling (data-mixing caps: at most N docs per
     domain/source, chosen pseudo-randomly but reproducibly by hash
@@ -285,17 +283,16 @@ HALF_RATE_SOURCES = ("src2", "src3")
 DEFAULT_RATE_HEX = "40"
 
 
-@register(
-    "q_mix_weighted_sample",
-    oracle=f"""
+_MIX_SQL = f"""
     SELECT doc_id, source
     FROM documents
     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) <
           CASE WHEN source IN {FULL_RATE_SOURCES} THEN 'zz'
                WHEN source IN {HALF_RATE_SOURCES} THEN '80'
                ELSE '{DEFAULT_RATE_HEX}' END
-    """,
-)
+"""
+
+
 def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted data-mixing sampler: each source keeps a declared
     FRACTION of its docs (100% / 50% / 25% here) — the up/down-weighting
@@ -313,3 +310,47 @@ def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 3, 2)
     return docs.filter(prefix < rate).select("doc_id", "source")
+
+
+# --- Consolidated catalog entry (driver checks ≤50 sorted names) --------
+
+
+@register(
+    "q_sample_suite",
+    oracle=f"""
+    WITH assign AS ({_SPLIT_ASSIGN_SQL}),
+    quota AS ({_QUOTA_SQL}),
+    mix AS ({_MIX_SQL})
+    SELECT 'split' AS part, doc_id, CAST(NULL AS VARCHAR) AS source,
+           split, CAST(NULL AS BIGINT) AS pick
+    FROM assign
+    UNION ALL
+    SELECT 'quota', doc_id, source, CAST(NULL AS VARCHAR), pick FROM quota
+    UNION ALL
+    SELECT 'mix', doc_id, source, CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT)
+    FROM mix
+    """,
+)
+def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three deterministic samplers — hash-derived train/val/test
+    assignment, per-source quota top-k, and weighted per-source mixing —
+    as one part-tagged union (round-1 verdict: fold the catalog into the
+    driver's 50-entry window without dropping value coverage). Each
+    part keeps its full output surface; the builders stay importable
+    (the repartition-stability property tests drive them directly)."""
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    assign = q_split_assign(spark, sf_dir).select(
+        F.lit("split").alias("part"), "doc_id", null_s.alias("source"),
+        "split", null_l.alias("pick"),
+    )
+    quota = q_source_quota_sample(spark, sf_dir).select(
+        F.lit("quota").alias("part"), "doc_id", "source",
+        null_s.alias("split"), "pick",
+    )
+    mix = q_mix_weighted_sample(spark, sf_dir).select(
+        F.lit("mix").alias("part"), "doc_id", "source",
+        null_s.alias("split"), null_l.alias("pick"),
+    )
+    return assign.unionByName(quota).unionByName(mix)

@@ -57,56 +57,29 @@ def _count_occurrences_sql(text_expr: str, needle: str) -> str:
     )
 
 
-@register(
-    "q_text_token_stats",
-    oracle=f"""
-    SELECT doc_id,
-           length(text) AS n_chars,
-           len(string_split(text, ' ')) AS n_ws_tokens,
-           len(regexp_extract_all(text, '{WORD_TOKEN_RE}')) AS n_word_tokens,
-           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens
-    FROM documents
-    """,
-)
-def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def token_stat_cols() -> list[Column]:
     """Token counting: whitespace tokens + BPE-ish pre-tokenizer counts."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
+    return [
         F.length("text").cast("long").alias("n_chars"),
         F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
         F.regexp_count("text", F.lit(WORD_TOKEN_RE)).cast("long").alias("n_word_tokens"),
         F.regexp_count("text", F.lit("[0-9]+")).cast("long").alias("n_number_tokens"),
-    )
+    ]
+
+
+_TOKEN_STATS_SQL_COLS = f"""
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{WORD_TOKEN_RE}')) AS n_word_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens"""
 
 
 _SW_SQL = " + ".join(_count_occurrences_sql("text", w) for w in STOPWORDS)
 
 
-@register(
-    "q_text_quality",
-    oracle=f"""
-    SELECT doc_id,
-           length(text) AS n_chars,
-           len(string_split(text, ' ')) AS n_tokens,
-           ({_SW_SQL}) AS n_stopwords,
-           CAST(({_SW_SQL}) AS DOUBLE) / len(string_split(text, ' '))
-               AS stopword_ratio,
-           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
-               / length(text) AS punct_ratio,
-           CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
-               AS avg_token_len,
-           length(text) >= 100
-               AND CAST(({_SW_SQL}) AS DOUBLE)
-                   / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
-               AS passes_quality
-    FROM documents
-    """,
-)
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_cols() -> list[Column]:
     """Quality scoring: length / punctuation / stopword-ratio heuristics
-    (the Gopher-rule shape) as one map-only projection."""
-    docs = load_table(spark, sf_dir, "documents")
+    (the Gopher-rule shape) as map-only column expressions."""
     text = F.col("text")
     n_tokens = F.size(F.split(text, " ")).cast("long")
     n_stop = None
@@ -114,9 +87,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = _count_occurrences(text, w)
         n_stop = c if n_stop is None else (n_stop + c)
     sw_ratio = n_stop.cast("double") / n_tokens
-    return docs.select(
-        "doc_id",
-        F.length(text).cast("long").alias("n_chars"),
+    return [
         n_tokens.alias("n_tokens"),
         n_stop.alias("n_stopwords"),
         sw_ratio.alias("stopword_ratio"),
@@ -128,35 +99,30 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.length(text) >= 100) & sw_ratio.between(0.01, 0.6)
         ).alias("passes_quality"),
-    )
+    ]
+
+
+_QUALITY_SQL_COLS = f"""
+           len(string_split(text, ' ')) AS n_tokens,
+           ({_SW_SQL}) AS n_stopwords,
+           CAST(({_SW_SQL}) AS DOUBLE) / len(string_split(text, ' '))
+               AS stopword_ratio,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+               AS avg_token_len,
+           length(text) >= 100
+               AND CAST(({_SW_SQL}) AS DOUBLE)
+                   / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+               AS passes_quality"""
 
 
 def _lang_score_sql(lang: str) -> str:
     return " + ".join(_count_occurrences_sql("text", w) for w in LANG_MARKERS[lang])
 
 
-@register(
-    "q_text_langid",
-    oracle=f"""
-    WITH scored AS (
-        SELECT doc_id, lang AS labeled_lang,
-               ({_lang_score_sql("en")}) AS s_en,
-               ({_lang_score_sql("de")}) AS s_de,
-               ({_lang_score_sql("fr")}) AS s_fr,
-               ({_lang_score_sql("es")}) AS s_es
-        FROM documents
-    )
-    SELECT doc_id, labeled_lang, s_en, s_de, s_fr, s_es,
-           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-                WHEN s_fr >= s_es THEN 'fr'
-                ELSE 'es' END AS predicted_lang
-    FROM scored
-    """,
-)
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def langid_cols() -> list[Column]:
     """Language ID: marker-word scores + fixed-precedence argmax."""
-    docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
     scores = {}
     for lang, markers in LANG_MARKERS.items():
@@ -172,41 +138,40 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s_fr >= s_es, "fr")
         .otherwise("es")
     )
-    return docs.select(
-        "doc_id",
+    return [
         F.col("lang").alias("labeled_lang"),
         s_en.alias("s_en"),
         s_de.alias("s_de"),
         s_fr.alias("s_fr"),
         s_es.alias("s_es"),
         predicted.alias("predicted_lang"),
-    )
+    ]
+
+
+_LANGID_SQL_COLS = f"""
+           lang AS labeled_lang,
+           ({_lang_score_sql("en")}) AS s_en,
+           ({_lang_score_sql("de")}) AS s_de,
+           ({_lang_score_sql("fr")}) AS s_fr,
+           ({_lang_score_sql("es")}) AS s_es,
+           CASE WHEN ({_lang_score_sql("en")}) >= ({_lang_score_sql("de")})
+                 AND ({_lang_score_sql("en")}) >= ({_lang_score_sql("fr")})
+                 AND ({_lang_score_sql("en")}) >= ({_lang_score_sql("es")}) THEN 'en'
+                WHEN ({_lang_score_sql("de")}) >= ({_lang_score_sql("fr")})
+                 AND ({_lang_score_sql("de")}) >= ({_lang_score_sql("es")}) THEN 'de'
+                WHEN ({_lang_score_sql("fr")}) >= ({_lang_score_sql("es")}) THEN 'fr'
+                ELSE 'es' END AS predicted_lang"""
 
 
 ROLLING_MOD = 1_000_000_007
 
 
-@register(
-    "q_text_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                                   ' +', ' ', 'g'))) AS content_md5,
-           list_reduce(
-               list_prepend(CAST(7 AS BIGINT),
-                   list_transform(regexp_extract_all(text, '.'),
-                                  ch -> CAST(ascii(ch) AS BIGINT))),
-               (acc, ch) -> (acc * 31 + ch) % {ROLLING_MOD}) AS rolling_hash
-    FROM documents
-    """,
-)
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fingerprint_frame(docs: DataFrame) -> DataFrame:
     """Document fingerprinting: (1) content hash of the normalized text
     (lowercase, punctuation stripped, whitespace collapsed) — robust to
     formatting-only edits; (2) polynomial rolling hash over the raw
     characters — an ordered left fold, the building block of rolling
     chunking. Both engines fold left → identical values."""
-    docs = load_table(spark, sf_dir, "documents")
     normalized = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " ")
     )
@@ -221,35 +186,27 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_text_repetition",
-    oracle="""
-    WITH g AS (
-        SELECT doc_id,
-               list_transform(
-                   generate_series(1, len(string_split(text, ' ')) - 2),
-                   i -> array_to_string(
-                            list_slice(string_split(text, ' '), i, i + 2), ' ')
-               ) AS grams
-        FROM documents
-    )
+_FINGERPRINT_SQL = f"""
     SELECT doc_id,
-           CAST(len(grams) AS BIGINT) AS n_trigrams,
-           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_trigrams,
-           CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
-               / len(grams) AS dup_ratio
-    FROM g
-    WHERE len(grams) > 0
-    """,
-)
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS content_md5,
+           list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                   list_transform(regexp_extract_all(text, '.'),
+                                  ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, ch) -> (acc * 31 + ch) % {ROLLING_MOD}) AS rolling_hash
+    FROM documents
+"""
+
+
+def repetition_cols() -> list[Column]:
     """Repetition scoring — the duplicated-trigram ratio used to filter
     degenerate/looping text from training corpora. The trigram list is
     built per row with array HOFs (sequence → slice → join): entirely
     JVM-side and SHUFFLE-FREE — at 100 TB this is a map-only pass like
     the rest of the quality stack, no explode+groupBy detour through an
-    exchange. Integer counts + one IEEE division keep it engine-exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    exchange. Integer counts + one IEEE division keep it engine-exact;
+    docs too short for a trigram report 0 counts and a NULL ratio."""
     toks = F.split("text", " ")
     n = F.size(toks)
     grams = F.when(
@@ -259,27 +216,90 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i, 3), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", grams.alias("grams"))
-        .filter(F.size("grams") > 0)
-        .select(
-            "doc_id",
-            F.size("grams").cast("long").alias("n_trigrams"),
-            F.size(F.array_distinct("grams")).cast("long").alias("n_distinct_trigrams"),
-            (
-                (F.size("grams") - F.size(F.array_distinct("grams"))).cast("double")
-                / F.size("grams")
-            ).alias("dup_ratio"),
-        )
+    n_tri = F.size(grams).cast("long")
+    n_dis = F.size(F.array_distinct(grams)).cast("long")
+    return [
+        n_tri.alias("n_trigrams"),
+        n_dis.alias("n_distinct_trigrams"),
+        F.when(n_tri > 0, (n_tri - n_dis).cast("double") / n_tri).alias("dup_ratio"),
+    ]
+
+
+_REPETITION_SQL_COLS = """
+           CAST(len(grams) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_trigrams,
+           CASE WHEN len(grams) > 0 THEN
+               CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+           END AS dup_ratio"""
+
+_REPETITION_GRAMS_SQL = """
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                   list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> array_to_string(
+                                list_slice(string_split(text, ' '), i, i + 2), ' '))
+               ELSE [] END AS grams"""
+
+
+@register(
+    "q_text_metrics",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, text, lang, {_REPETITION_GRAMS_SQL}
+        FROM documents
+    )
+    SELECT doc_id, {_TOKEN_STATS_SQL_COLS}, {_QUALITY_SQL_COLS},
+           {_LANGID_SQL_COLS}, {_REPETITION_SQL_COLS}
+    FROM g
+    """,
+)
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-curation panel — token stats, quality
+    heuristics, language ID, and repetition scoring — as ONE map-only
+    projection. These were four separate catalog queries in round 1;
+    fused they are also the right 100 TB shape: the corpus is scanned
+    ONCE and every metric is a JVM-side column expression riding that
+    single pass (zero exchanges, one WholeStageCodegen span), where
+    four queries cost four scans. One row per document, all metrics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *token_stat_cols(),
+        *quality_cols(),
+        *langid_cols(),
+        *repetition_cols(),
     )
 
 
 TOP_TERMS_PER_DOC = 3
 
 
-@register(
-    "q_text_salient_terms",
-    oracle=f"""
+def salient_terms_frame(docs: DataFrame) -> DataFrame:
+    """Per-document salient terms: top-k tokens ranked by term
+    frequency, with document frequency as the rarity tie-break (tf
+    DESC, df ASC, token) — the tf-idf ordering expressed in pure
+    integers, so ranks are engine-exact where a float idf (ln from two
+    different libm builds) could flip last-ulp ties. Shape at scale:
+    explode → two partial-agg'd groupBys; the df relation is vocabulary-
+    sized (tiny) so its join back is a broadcast; top-k per doc plans
+    WindowGroupLimit, never a full per-doc sort."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_TERMS_PER_DOC)
+        .select("doc_id", "token", "tf", "df", "rank")
+    )
+
+
+_SALIENT_SQL = f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents
@@ -296,32 +316,47 @@ TOP_TERMS_PER_DOC = 3
                AS BIGINT) AS rank
     FROM tf JOIN df USING (token)
     QUALIFY rank <= {TOP_TERMS_PER_DOC}
+"""
+
+
+@register(
+    "q_text_mining",
+    oracle=f"""
+    WITH fp AS ({_FINGERPRINT_SQL}),
+    terms AS ({_SALIENT_SQL})
+    SELECT 'fp' AS part, doc_id, content_md5 AS skey,
+           rolling_hash AS i1, CAST(0 AS BIGINT) AS i2, CAST(0 AS BIGINT) AS i3
+    FROM fp
+    UNION ALL
+    SELECT 'term' AS part, doc_id, token AS skey, tf AS i1, df AS i2, rank AS i3
+    FROM terms
     """,
 )
-def q_text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document salient terms: top-{k} tokens ranked by term
-    frequency, with document frequency as the rarity tie-break (tf
-    DESC, df ASC, token) — the tf-idf ordering expressed in pure
-    integers, so ranks are engine-exact where a float idf (ln from two
-    different libm builds) could flip last-ulp ties. Shape at scale:
-    explode → two partial-agg'd groupBys; the df relation is vocabulary-
-    sized (tiny) so its join back is a broadcast; top-k per doc plans
-    WindowGroupLimit, never a full per-doc sort."""
+def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text mining pair — document fingerprints (content-md5 + rolling
+    hash, the map-only pass) and per-doc salient terms (the tf/df
+    explode-aggregate pipeline) — as one part-tagged union. Two distinct
+    plan shapes deliberately share the catalog entry; each keeps its own
+    full value surface ((md5, hash) / (token, tf, df, rank)) so the
+    driver hash still checks every cell of both."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("tf"), F.asc("df"), F.asc("token")
+    fp = fingerprint_frame(docs).select(
+        F.lit("fp").alias("part"),
+        "doc_id",
+        F.col("content_md5").alias("skey"),
+        F.col("rolling_hash").alias("i1"),
+        F.lit(0).cast("long").alias("i2"),
+        F.lit(0).cast("long").alias("i3"),
     )
-    return (
-        tf.join(F.broadcast(df), "token")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_TERMS_PER_DOC)
-        .select("doc_id", "token", "tf", "df", "rank")
+    terms = salient_terms_frame(docs).select(
+        F.lit("term").alias("part"),
+        "doc_id",
+        F.col("token").alias("skey"),
+        F.col("tf").alias("i1"),
+        F.col("df").alias("i2"),
+        F.col("rank").alias("i3"),
     )
+    return fp.unionByName(terms)
 
 
 _NORM_MD5_SQL = (

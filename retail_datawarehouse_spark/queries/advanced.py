@@ -137,19 +137,6 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_window_rank_suite",
-    oracle="""
-    SELECT c_custkey,
-           c_mktsegment,
-           CAST(dense_rank() OVER w AS BIGINT) AS drank,
-           percent_rank() OVER w AS prank,
-           cume_dist() OVER w AS cdist,
-           CAST(ntile(4) OVER w AS BIGINT) AS quartile
-    FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-    """,
-)
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking analytics: dense_rank / percent_rank / cume_dist /
     ntile over account balance within market segment — all four ride
@@ -241,27 +228,6 @@ def q_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_funnel_view_purchase",
-    oracle="""
-    WITH fv AS (
-        SELECT user_id, min(ts) AS first_view
-        FROM events WHERE event_type = 'view'
-        GROUP BY user_id
-    )
-    SELECT f.user_id,
-           epoch_us(f.first_view) AS first_view_us,
-           epoch_us(min(p.ts)) AS first_purchase_us,
-           min(p.ts) IS NOT NULL AS converted,
-           epoch_us(min(p.ts)) - epoch_us(f.first_view) AS lag_us
-    FROM fv f
-    LEFT JOIN events p
-      ON p.user_id = f.user_id
-     AND p.event_type = 'purchase'
-     AND p.ts >= f.first_view
-    GROUP BY f.user_id, f.first_view
-    """,
-)
 def q_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion funnel: per user, the first 'view' and the first
     'purchase' at-or-after it — the two-step funnel primitive behind

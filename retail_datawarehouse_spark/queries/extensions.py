@@ -37,9 +37,7 @@ from retail_datawarehouse_spark.sources.readers import load_table
 # --- grouping sets: ROLLUP over the product hierarchy -------------------
 
 
-@register(
-    "q_rollup_brand_type_revenue",
-    oracle="""
+_ROLLUP_BRAND_TYPE_REVENUE_SQL = """
     SELECT COALESCE(p_brand, 'ALL') AS brand,
            COALESCE(p_type, 'ALL') AS ptype,
            CAST(GROUPING(p_brand, p_type) AS BIGINT) AS lvl,
@@ -48,8 +46,9 @@ from retail_datawarehouse_spark.sources.readers import load_table
            COUNT(*) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY ROLLUP(p_brand, p_type)
-    """,
-)
+    """
+
+
 def q_rollup_brand_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy rollup (SURVEY.md §2.4 'natural, free extension'):
     revenue at brand×type, brand subtotal, and grand total in ONE pass —
@@ -78,9 +77,7 @@ def q_rollup_brand_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- grouping sets: CUBE over segment × region --------------------------
 
 
-@register(
-    "q_cube_segment_region",
-    oracle="""
+_CUBE_SEGMENT_REGION_SQL = """
     SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
            COALESCE(r_name, 'ALL') AS region,
            CAST(GROUPING(c_mktsegment, r_name) AS BIGINT) AS lvl,
@@ -91,8 +88,9 @@ def q_rollup_brand_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY CUBE(c_mktsegment, r_name)
-    """,
-)
+    """
+
+
 def q_cube_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all four marginal views of customers over segment × region
     (both, each alone, grand total) in one Expand+aggregate pass, dims
@@ -206,9 +204,7 @@ def q_setops_purchase_error_users(spark: SparkSession, sf_dir: str) -> DataFrame
 # --- as-of join (last-touch attribution) --------------------------------
 
 
-@register(
-    "q_asof_lasttouch_attribution",
-    oracle="""
+_ASOF_LASTTOUCH_ATTRIBUTION_SQL = """
     SELECT p.user_id,
            p.event_id AS purchase_event_id,
            epoch_us(p.ts) AS purchase_ts_us,
@@ -216,8 +212,9 @@ def q_setops_purchase_error_users(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       ON p.user_id = v.user_id AND p.ts >= v.ts
-    """,
-)
+    """
+
+
 def q_asof_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the same user's latest view
     at-or-before it (last-touch attribution). Spark has no ASOF JOIN;
@@ -316,9 +313,7 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- per-group top-k ----------------------------------------------------
 
 
-@register(
-    "q_topk_parts_per_brand",
-    oracle="""
+_TOPK_PARTS_PER_BRAND_SQL = """
     WITH rev AS (
         SELECT p_brand, p_name,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
@@ -332,8 +327,9 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS rank
     FROM rev
     QUALIFY rank <= 3
-    """,
-)
+    """
+
+
 def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts per brand — per-GROUP top-k (window rank), the
     complement of the global TakeOrderedAndProject in q52. Catalyst
@@ -357,9 +353,7 @@ def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- supplier rollout (completes fixture-table coverage) ----------------
 
 
-@register(
-    "q_supplier_acctbal_by_region",
-    oracle="""
+_SUPPLIER_ACCTBAL_BY_REGION_SQL = """
     SELECT r_name, n_name,
            COUNT(*) AS n_suppliers,
            CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE)
@@ -368,8 +362,9 @@ def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name
-    """,
-)
+    """
+
+
 def q_supplier_acctbal_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier account balances rolled up the geography hierarchy —
     the star-join shape over the remaining fixture table (broadcast
@@ -386,3 +381,168 @@ def q_supplier_acctbal_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("s_acctbal", "total_acctbal"),
         )
     )
+
+
+# --- Consolidated catalog entries (driver checks ≤50 sorted names) ------
+
+
+@register(
+    "q_grouping_sets_suite",
+    oracle=f"""
+    WITH ro AS ({_ROLLUP_BRAND_TYPE_REVENUE_SQL}),
+    cu AS ({_CUBE_SEGMENT_REGION_SQL}),
+    sup AS ({_SUPPLIER_ACCTBAL_BY_REGION_SQL})
+    SELECT 'rollup' AS part, brand AS k1, ptype AS k2, lvl,
+           n_lines AS n, revenue AS v
+    FROM ro
+    UNION ALL
+    SELECT 'cube', segment, region, lvl, n_customers, total_acctbal FROM cu
+    UNION ALL
+    SELECT 'supplier', r_name, n_name, CAST(NULL AS BIGINT),
+           n_suppliers, total_acctbal
+    FROM sup
+    """,
+)
+def q_grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set analytics — ROLLUP over the product hierarchy, CUBE
+    over segment × region, and the supplier geography rollup — as one
+    part-tagged union. Each branch keeps its Expand-operator plan (one
+    shuffle per branch regardless of grouping-set count) and its
+    GROUPING-bitmask lvl column."""
+    null_l = F.lit(None).cast("long")
+    ro = q_rollup_brand_type_revenue(spark, sf_dir).select(
+        F.lit("rollup").alias("part"),
+        F.col("brand").alias("k1"),
+        F.col("ptype").alias("k2"),
+        "lvl",
+        F.col("n_lines").alias("n"),
+        F.col("revenue").alias("v"),
+    )
+    cu = q_cube_segment_region(spark, sf_dir).select(
+        F.lit("cube").alias("part"),
+        F.col("segment").alias("k1"),
+        F.col("region").alias("k2"),
+        "lvl",
+        F.col("n_customers").alias("n"),
+        F.col("total_acctbal").alias("v"),
+    )
+    sup = q_supplier_acctbal_by_region(spark, sf_dir).select(
+        F.lit("supplier").alias("part"),
+        F.col("r_name").alias("k1"),
+        F.col("n_name").alias("k2"),
+        null_l.alias("lvl"),
+        F.col("n_suppliers").alias("n"),
+        F.col("total_acctbal").alias("v"),
+    )
+    return ro.unionByName(cu).unionByName(sup)
+
+
+@register(
+    "q_rank_topk_suite",
+    oracle=f"""
+    WITH ranks AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(dense_rank() OVER w AS BIGINT) AS drank,
+               percent_rank() OVER w AS prank,
+               cume_dist() OVER w AS cdist,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ),
+    topk AS ({_TOPK_PARTS_PER_BRAND_SQL})
+    SELECT 'rank' AS part, CAST(c_custkey AS VARCHAR) AS k1,
+           c_mktsegment AS k2, drank AS r1, quartile AS r2,
+           prank AS d1, cdist AS d2
+    FROM ranks
+    UNION ALL
+    SELECT 'topk', p_brand, p_name, rank, CAST(NULL AS BIGINT),
+           revenue, CAST(NULL AS DOUBLE)
+    FROM topk
+    """,
+)
+def q_rank_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking analytics — the four-flavor window-rank suite (ONE window
+    sort computes dense_rank/percent_rank/cume_dist/ntile) and per-group
+    top-k (WindowGroupLimit, no full per-group sort) — as one
+    part-tagged union."""
+    from retail_datawarehouse_spark.queries.advanced import q_window_rank_suite
+
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    ranks = q_window_rank_suite(spark, sf_dir).select(
+        F.lit("rank").alias("part"),
+        F.col("c_custkey").cast("string").alias("k1"),
+        F.col("c_mktsegment").alias("k2"),
+        F.col("drank").alias("r1"),
+        F.col("quartile").alias("r2"),
+        F.col("prank").alias("d1"),
+        F.col("cdist").alias("d2"),
+    )
+    topk = q_topk_parts_per_brand(spark, sf_dir).select(
+        F.lit("topk").alias("part"),
+        F.col("p_brand").alias("k1"),
+        F.col("p_name").alias("k2"),
+        F.col("rank").alias("r1"),
+        null_l.alias("r2"),
+        F.col("revenue").alias("d1"),
+        null_d.alias("d2"),
+    )
+    return ranks.unionByName(topk)
+
+
+@register(
+    "q_event_funnel_asof",
+    oracle=f"""
+    WITH asof_j AS ({_ASOF_LASTTOUCH_ATTRIBUTION_SQL}),
+    funnel AS (
+        SELECT f.user_id,
+               epoch_us(f.first_view) AS first_view_us,
+               epoch_us(min(p.ts)) AS first_purchase_us,
+               min(p.ts) IS NOT NULL AS converted,
+               epoch_us(min(p.ts)) - epoch_us(f.first_view) AS lag_us
+        FROM (SELECT user_id, min(ts) AS first_view
+              FROM events WHERE event_type = 'view'
+              GROUP BY user_id) f
+        LEFT JOIN events p
+          ON p.user_id = f.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= f.first_view
+        GROUP BY f.user_id, f.first_view
+    )
+    SELECT 'asof' AS part, user_id, purchase_event_id AS eid,
+           purchase_ts_us AS t1, view_ts_us AS t2,
+           view_ts_us <> -1 AS conv, CAST(NULL AS BIGINT) AS lag_us
+    FROM asof_j
+    UNION ALL
+    SELECT 'funnel', user_id, CAST(NULL AS BIGINT), first_view_us,
+           COALESCE(first_purchase_us, -1), converted, lag_us
+    FROM funnel
+    """,
+)
+def q_event_funnel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time analytics pair — the as-of (last-touch attribution)
+    join in its union-tag + last(ignoreNulls) single-shuffle form, and
+    the view→purchase conversion funnel in its single-shuffle window
+    form — as one part-tagged union."""
+    from retail_datawarehouse_spark.queries.advanced import q_funnel_view_purchase
+
+    null_l = F.lit(None).cast("long")
+    asof = q_asof_lasttouch_attribution(spark, sf_dir).select(
+        F.lit("asof").alias("part"),
+        "user_id",
+        F.col("purchase_event_id").alias("eid"),
+        F.col("purchase_ts_us").alias("t1"),
+        F.col("view_ts_us").alias("t2"),
+        (F.col("view_ts_us") != -1).alias("conv"),
+        null_l.alias("lag_us"),
+    )
+    funnel = q_funnel_view_purchase(spark, sf_dir).select(
+        F.lit("funnel").alias("part"),
+        "user_id",
+        null_l.alias("eid"),
+        F.col("first_view_us").alias("t1"),
+        F.coalesce("first_purchase_us", F.lit(-1)).alias("t2"),
+        F.col("converted").alias("conv"),
+        F.col("lag_us"),
+    )
+    return asof.unionByName(funnel)
