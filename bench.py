@@ -28,8 +28,13 @@ HEADLINE = [
     "q_etl_clean_staging",
     "q_fact_monthly_snapshot",
     "q_dedup_minhash_lsh",
-    "q_ann_cosine_topk",
-    "q_text_quality",
+    # Renamed by the round-2 catalog consolidation: the ANN suite runs
+    # all four top-k strategies (exact + vectorized + lsh + ivf) and
+    # q_text_metrics fuses the four per-doc text panels into one scan —
+    # so these two rows measure MORE work than their r1 ancestors
+    # (q_ann_cosine_topk, q_text_quality); see BASELINE.md.
+    "q_ann_topk_suite",
+    "q_text_metrics",
 ]
 
 

@@ -43,14 +43,20 @@ JACCARD_THRESHOLD = 0.3
 # Document-frequency cap on shingles (standard in dedup pipelines):
 # a shingle shared by k docs contributes k² rows to any inverted-index
 # self-join, so ONE stop-shingle ("in the United States of") shared by
-# a million docs is a hot-key OOM at 100 TB. Shingles with df > cap are
-# dropped from the document REPRESENTATION (index and set sizes alike,
-# so Jaccard stays an honest set similarity over the capped sets), which
-# bounds every join's per-key fan-out at cap². The hot set is tiny
-# (power-law tail), so removing it is a broadcast anti-join — the corpus
-# never shuffles for the cap. Fixtures' shingles are near-unique, so the
-# cap is invisible there; the planted-stop-shingle test proves the
-# explosion protection.
+# a million docs is a hot-key OOM at 100 TB. Two scopes, matched to
+# where the quadratic risk actually lives:
+# - n-gram Jaccard: GLOBAL cap on the representation (index and set
+#   sizes alike — Jaccard stays an honest set similarity over the
+#   capped sets); its inverted-index join touches the whole corpus.
+# - MinHash-LSH: cap scoped to the CANDIDATE-pruned verification join
+#   (see ``_pair_jaccard``) — signatures are min-aggregates where a hot
+#   shingle is harmless, bands collide on signature agreement not on
+#   shared shingles, and a candidate-scoped df aggregate costs
+#   candidates instead of a corpus-wide shuffle (measured +0.6 s at
+#   sf0.1 for the global form, for zero extra protection).
+# The hot set is tiny (power-law tail), so removal is a broadcast
+# anti-join. Fixtures' shingles are near-unique, so the cap is invisible
+# there; the planted-stop-shingle test proves the explosion protection.
 MAX_SHINGLE_DF = 50
 
 # --- shared shingle builders (distinct word 5-grams per doc) ---
@@ -128,10 +134,44 @@ def _pair_jaccard(
     array_intersect formulation (one "compact" profile pass) was tried
     and is SLOWER: it shuffles the entire corpus' shingle text into
     arrays, which the semi-join-pruned form never does.
+
+    Hot-key safety: the df cap is computed over the CANDIDATE-pruned
+    relation, not the corpus — a shingle is only dangerous to THIS join
+    if it is shared by many candidate docs (a million-copy boilerplate
+    cluster), and the candidate-scoped df aggregate costs candidates,
+    not a corpus-wide shuffle (a global cap here measured +0.6 s at
+    sf0.1 for zero additional protection). Set sizes stay uncapped, so
+    a triggered cap can only shrink the intersection — Jaccard errs
+    low, never promoting a false duplicate.
     """
+    from pyspark.sql import Window
+
     sizes = shingle_sizes(shingled)
-    a = shingled.withColumnsRenamed({"doc_id": "doc_a"})
-    b = shingled.withColumnsRenamed({"doc_id": "doc_b"})
+    # Endpoint set via explode — ONE evaluation of the candidates
+    # subtree (a two-select union would read it twice).
+    cand_docs = (
+        candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+    )
+    # df filter as a window count over the candidate-pruned relation —
+    # one small shuffle on the shingle key, fully LAZY: no broadcast
+    # side-jobs, no persist boundary. Both self-join sides replay this
+    # (small) subtree; keeping the whole verification inside one job
+    # lets the independent stage chains overlap across cores, which
+    # measured FASTER end-to-end at sf0.1 than any materialization
+    # boundary (persists on candidates / this relation / the banded
+    # relation were each tried and each serialized the DAG — up to ~2×
+    # slower).
+    w = Window.partitionBy(key)
+    pruned = (
+        shingled.join(cand_docs, "doc_id", "left_semi")
+        .withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .drop("_df")
+    )
+    a = pruned.withColumnsRenamed({"doc_id": "doc_a"})
+    b = pruned.withColumnsRenamed({"doc_id": "doc_b"})
     inter = (
         a.join(b, key)
         .join(candidates, ["doc_a", "doc_b"], "left_semi")
@@ -279,7 +319,7 @@ _SPARK_XS = (
 ).format(n=SHINGLE_N)
 
 _DUCK_XS_CTE = f"""
-    shingled_raw AS (
+    shingled AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
                    generate_series(1, len(sp) - {SHINGLE_N - 1}),
@@ -288,26 +328,28 @@ _DUCK_XS_CTE = f"""
         FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
         WHERE len(sp) >= {SHINGLE_N}
     ),
-    shingled AS (
-        SELECT doc_id, x FROM shingled_raw
-        WHERE x NOT IN (SELECT x FROM shingled_raw
-                        GROUP BY x HAVING COUNT(*) > {MAX_SHINGLE_DF})
-    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY 1)
 """
+
+
+def raw_shingle_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, x) before the df cap — tokenize + one md5 per shingle,
+    the most expensive map stage of the LSH pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= SHINGLE_N)
+        .select("doc_id", F.explode(F.expr(_SPARK_XS)).alias("x"))
+    )
 
 
 def shingle_images_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, x) — the narrow integer-image twin of
     ``shingles_exploded``, df-capped the same way; the LSH scale path
-    never carries text."""
-    docs = load_table(spark, sf_dir, "documents")
-    raw = (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
-        .filter(F.size("toks") >= SHINGLE_N)
-        .select("doc_id", F.explode(F.expr(_SPARK_XS)).alias("x"))
-    )
-    return drop_hot_shingles(raw, key="x")
+    never carries text. Callers with multiple consumers should persist
+    ``raw_shingle_images`` first (see q_dedup_minhash_lsh) so the cap's
+    df aggregate does not re-tokenize the corpus."""
+    return drop_hot_shingles(raw_shingle_images(spark, sf_dir), key="x")
 
 
 def _sig_sql(x_expr: str, k: int) -> str:
@@ -343,9 +385,29 @@ _DUCK_LSH_PAIRS_CTES = f"""{_DUCK_XS_CTE},
         JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
                      AND a.doc_id < b.doc_id
     ),
+    cand_docs AS (
+        -- set-op wrapped in a subquery: a TOP-LEVEL UNION in a CTE
+        -- changes meaning under the WITH RECURSIVE prefix the
+        -- components oracle adds (DuckDB treats it as an iteration
+        -- body and skips the dedup)
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM candidates
+            UNION ALL
+            SELECT doc_b AS doc_id FROM candidates
+        ) u
+    ),
+    ver AS (
+        SELECT s.doc_id, s.x FROM shingled s
+        JOIN cand_docs cd ON s.doc_id = cd.doc_id
+    ),
+    ver_capped AS (
+        SELECT doc_id, x FROM ver
+        WHERE x NOT IN (SELECT x FROM ver
+                        GROUP BY x HAVING COUNT(*) > {MAX_SHINGLE_DF})
+    ),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM shingled a JOIN shingled b ON a.x = b.x AND a.doc_id < b.doc_id
+        FROM ver_capped a JOIN ver_capped b ON a.x = b.x AND a.doc_id < b.doc_id
         JOIN candidates c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
         GROUP BY 1, 2
     ),
@@ -380,33 +442,52 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join cannot be."""
     from pyspark import StorageLevel
 
-    shingled = shingle_images_exploded(spark, sf_dir).persist(
+    # Persist the raw image relation: one tokenize+md5 pass feeds all
+    # four consumers (sigs, sizes, both verification sides). Signatures
+    # and set sizes run over the UNCAPPED relation — a hot shingle is
+    # harmless inside a min-aggregate, and the band join collides on
+    # 3-of-12 signature agreement, not on shared shingles — while the
+    # verification join (the actual fan-out risk) gets the df cap
+    # candidate-scoped inside ``_pair_jaccard``.
+    shingled = raw_shingle_images(spark, sf_dir).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = shingled.groupBy("doc_id").agg(
         *[F.expr(_sig_sql("x", k)) for k in range(MINHASH_K)]
     )
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                F.col(f"s{3 * b}"),
-                                F.col(f"s{3 * b + 1}"),
-                                F.col(f"s{3 * b + 2}"),
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    # NOTE: the candidates subtree appears three times downstream and
+    # instantiates both band-join sides each time, so the signature
+    # aggregate is planned six times — deliberately NOT persisted:
+    # every instance reads the one cached shingle relation and the six
+    # tiny stage chains overlap inside a single job, which measured
+    # FASTER at sf0.1 than any persist boundary here (persists
+    # serialize the DAG into separate jobs; tried on candidates, on
+    # the pruned verification input, and on this relation — all
+    # slower). On a cluster with contended executors, revisit.
+    banded = (
+        sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.col(f"s{3 * b}"),
+                                    F.col(f"s{3 * b + 1}"),
+                                    F.col(f"s{3 * b + 2}"),
+                                )
+                            ).alias("band_hash"),
+                        )
+                        for b in range(BANDS)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_idx", "band.band_hash")
+    )
     a = banded.withColumnsRenamed({"doc_id": "doc_a"})
     b = banded.withColumnsRenamed({"doc_id": "doc_b"})
     candidates = (

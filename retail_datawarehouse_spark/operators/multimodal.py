@@ -84,17 +84,16 @@ def featurize(df_with_payload: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q_multimodal_meta",
-    oracle="""
+_META_SQL = """
     SELECT doc_id,
            'text/plain' AS media_type,
            octet_length(encode(text)) AS payload_bytes,
            ascii(substr(text, 1, 1)) AS first_byte,
            md5(text) AS payload_md5
     FROM documents
-    """,
-)
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over the opaque payload — the JVM-side half of the
     multimodal pipeline (no Python): sizes, sniffed header byte, content
@@ -112,15 +111,34 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_features", oracle=None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal plumbing: payload attach → Arrow-batched
     mapInPandas featurizer (deterministic fake behind the real decode
-    slot). No SQL oracle — mapInPandas is not SQL-expressible; the
-    driver records a rows-only check, and tests assert the fake
-    features against JVM-side recomputation."""
+    slot). The kernel is Python, but its OUTPUT is SQL-expressible —
+    byte statistics over the (verified-ASCII) payload are ascii-value
+    aggregates — so the suite below hash-checks even the mapInPandas
+    path cell-by-cell, not just row counts."""
     docs = load_table(spark, sf_dir, "documents")
     return featurize(with_binary_payload(docs))
+
+
+# The featurizer's byte stats re-expressed in SQL: payload = UTF-8 text,
+# text is pure ASCII (asserted by the chunker oracle's precondition), so
+# bytes == ascii(char). The integer byte-sum is exact; ONE IEEE division
+# reproduces numpy's float(sum)/len bit-for-bit.
+_FEATURES_SQL = """
+    SELECT doc_id,
+           length(text) AS payload_bytes,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(regexp_extract_all(text, '.'),
+                                   ch -> CAST(ascii(ch) AS BIGINT))),
+                (acc, x) -> acc + x) AS DOUBLE) / length(text) AS byte_mean,
+           CAST(list_aggregate(list_transform(regexp_extract_all(text, '.'),
+                    ch -> ascii(ch)), 'min') AS BIGINT) AS byte_min,
+           CAST(list_aggregate(list_transform(regexp_extract_all(text, '.'),
+                    ch -> ascii(ch)), 'max') AS BIGINT) AS byte_max
+    FROM documents
+"""
 
 
 # --- Frame sampling: the 1→N mapInPandas shape ---
@@ -170,9 +188,7 @@ def sample_chunks(df_with_payload: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q_multimodal_chunks",
-    oracle=f"""
+_CHUNKS_SQL = f"""
     -- documents.text is pure ASCII (verified: octet_length(encode(text))
     -- == length(text) for every row), so char windows == byte chunks.
     WITH chunks AS (
@@ -187,8 +203,9 @@ def sample_chunks(df_with_payload: DataFrame) -> DataFrame:
         WHERE g.k * {CHUNK_SIZE} < length(text)
     )
     SELECT doc_id, chunk_idx, chunk_bytes, chunk_md5 FROM chunks
-    """,
-)
+"""
+
+
 def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling over the opaque payload: every document split into
     64-byte chunks with per-chunk content hashes. The Python kernel is
@@ -197,3 +214,64 @@ def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python-side plumbing is hash-checked, not just row-counted."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_chunks(with_binary_payload(docs))
+
+
+# --- Consolidated catalog entry (driver checks ≤50 sorted names) --------
+
+
+@register(
+    "q_multimodal_suite",
+    oracle=f"""
+    WITH meta AS ({_META_SQL}),
+    chunks AS ({_CHUNKS_SQL}),
+    feats AS ({_FEATURES_SQL})
+    SELECT 'meta' AS part, doc_id, payload_bytes AS i1,
+           first_byte AS i2, payload_md5 AS s1, CAST(NULL AS DOUBLE) AS d1
+    FROM meta
+    UNION ALL
+    SELECT 'chunk', doc_id, chunk_idx, chunk_bytes, chunk_md5,
+           CAST(NULL AS DOUBLE)
+    FROM chunks
+    UNION ALL
+    SELECT 'feat', doc_id, byte_min, byte_max, CAST(NULL AS VARCHAR),
+           byte_mean
+    FROM feats
+    """,
+)
+def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole multimodal stack as one part-tagged union: JVM-side
+    typed metadata ('meta'), the mapInPandas 1→N frame-sampling chunker
+    ('chunk'), and the mapInPandas featurizer ('feat' — previously the
+    catalog's only rows-only entry, now hash-checked because the fake
+    featurizer's byte statistics are SQL-expressible over the ASCII
+    payload). The decode slot behind the featurizer remains the one
+    documented NotImplementedError stub (no imaging libs in the
+    container); everything around it is value-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    meta = q_multimodal_meta(spark, sf_dir).select(
+        F.lit("meta").alias("part"),
+        "doc_id",
+        F.col("payload_bytes").alias("i1"),
+        F.col("first_byte").alias("i2"),
+        F.col("payload_md5").alias("s1"),
+        null_d.alias("d1"),
+    )
+    chunks = q_multimodal_chunks(spark, sf_dir).select(
+        F.lit("chunk").alias("part"),
+        "doc_id",
+        F.col("chunk_idx").alias("i1"),
+        F.col("chunk_bytes").alias("i2"),
+        F.col("chunk_md5").alias("s1"),
+        null_d.alias("d1"),
+    )
+    feats = q_multimodal_features(spark, sf_dir).select(
+        F.lit("feat").alias("part"),
+        "doc_id",
+        F.col("byte_min").alias("i1"),
+        F.col("byte_max").alias("i2"),
+        null_s.alias("s1"),
+        F.col("byte_mean").alias("d1"),
+    )
+    return meta.unionByName(chunks).unionByName(feats)

@@ -63,9 +63,7 @@ def _duck_cosine(a: str, b: str) -> str:
     )
 
 
-@register(
-    "q_ann_cosine_topk",
-    oracle=f"""
+_ANN_EXACT_SQL = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                FROM embeddings WHERE vec_id < {N_QUERIES}),
     c AS (SELECT vec_id AS candidate_id, embedding AS c_emb
@@ -81,8 +79,9 @@ def _duck_cosine(a: str, b: str) -> str:
                AS BIGINT) AS rank
     FROM scored
     QUALIFY rank <= {TOP_K}
-    """,
-)
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for the first 10 vectors against the
     rest: broadcast queries × corpus scan → window top-k per query.
@@ -117,9 +116,7 @@ def _bucket_sql(emb: str, index_base: int) -> str:
     )
 
 
-@register(
-    "q_ann_lsh_bucketed",
-    oracle=f"""
+_ANN_LSH_SQL = f"""
     WITH b AS (
         SELECT vec_id, embedding, {_bucket_sql("embedding", 1)} AS bucket
         FROM embeddings
@@ -139,8 +136,9 @@ def _bucket_sql(emb: str, index_base: int) -> str:
                AS BIGINT) AS rank
     FROM scored
     QUALIFY rank <= {TOP_K}
-    """,
-)
+"""
+
+
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH/IVF-bucketed ANN: 8 sign-bit hyperplane cuts → 256 buckets;
     search only the query's bucket. The candidate set shrinks ~256× —
@@ -277,9 +275,7 @@ def cosine_pandas_udf():
 # --- Element-wise vector aggregation (centroids, fixed-point exact) -----
 
 
-@register(
-    "q_embedding_centroids",
-    oracle="""
+_EMBEDDING_CENTROIDS_SQL = """
     WITH tall AS (
         SELECT label,
                generate_subscripts(embedding, 1) AS pos,
@@ -295,8 +291,9 @@ def cosine_pandas_udf():
                 AS DOUBLE) / (1048576.0 * COUNT(*)) AS centroid
     FROM tall
     GROUP BY label, pos
-    """,
-)
+    """
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise mean vector per label — the centroid/'average
     embedding' aggregation every vector pipeline needs (class
@@ -367,10 +364,22 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         (F.col("id") - N_QUERIES).alias("cell"), F.col("emb").alias("centroid")
     )
     assigned0 = _nearest_cell(corpus, seeds, keep=1)
+    # Fixed-point element-wise mean (floor(v·2^20) int64 sums, one final
+    # division) — same discipline as q_embedding_centroids: float-sum
+    # accumulation order is nondeterministic under partitioning, so a
+    # naive avg() would make the whole IVF index irreproducible (and
+    # un-oracle-able); integer sums make the centroids, hence every cell
+    # assignment and probe, bit-identical on any engine or cluster.
     centroids = (
         assigned0.select("cell", F.posexplode("emb").alias("pos", "v"))
         .groupBy("cell", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .agg(
+            F.sum(
+                F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long")
+            ).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("m", F.col("sq").cast("double") / (F.lit(1048576.0) * F.col("n")))
         .groupBy("cell")
         .agg(
             F.transform(
@@ -412,24 +421,28 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     )
 
 
-@register("q_ann_ivf_probed", oracle=None)
 def q_ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN, nprobe=4 of 16 cells (the serving
-    configuration: ~4× fewer exact scorings than brute force). No SQL
-    oracle — the Lloyd iteration is iterative — so the driver records
-    rows-only; tests prove (a) nprobe=K reproduces the exact brute-force
-    top-k bit-for-bit (cell cover is complete and disjoint) and (b) the
-    plan joins on the cell id, never a nested loop over the corpus."""
+    configuration: ~4× fewer exact scorings than brute force). The
+    one-seeded-Lloyd-iteration index build is FIXED-DEPTH, and with
+    fixed-point centroid means it is bit-deterministic — so the whole
+    pipeline (seed → assign → recompute → reassign → probe → score) is
+    SQL-expressible and hash-checked in q_ann_topk_suite's oracle.
+    Tests additionally prove nprobe=K reproduces brute force exactly
+    (cell cover complete and disjoint) and the candidate join hashes on
+    the cell id, never a nested loop."""
     return ivf_topk(spark, sf_dir, nprobe=IVF_NPROBE)
 
 
-@register("q_ann_cosine_topk_vectorized", oracle=None)
 def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3, vectorized variant of
     ``q_ann_cosine_topk``: identical plan shape (broadcast queries ×
     corpus → per-query window top-k), scoring swapped to the Arrow
-    pandas-UDF kernel. No SQL oracle (numpy accumulation order ≠ SQL
-    fold); tests assert rank agreement with the exact operator."""
+    pandas-UDF kernel. numpy's pairwise accumulation differs from the
+    SQL fold at the last ulp, so the suite hash-checks this branch
+    through a 1e-6 quantization of the cosine (far coarser than the
+    ~1e-16 drift, far finer than any real cosine gap); tests also
+    assert raw rank agreement with the exact operator."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -452,9 +465,7 @@ def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Int8 embedding quantization ---------------------------------------
 
 
-@register(
-    "q_embedding_quantize",
-    oracle="""
+_EMBEDDING_QUANTIZE_SQL = """
     WITH s AS (
         SELECT vec_id, embedding,
                list_aggregate(
@@ -471,8 +482,9 @@ def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN scale = 0 THEN 0
                 ELSE CAST(floor(v / scale + 0.5) AS BIGINT) END AS code
     FROM tall
-    """,
-)
+    """
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization — how embeddings are actually stored
     at 100 TB (4 bytes/dim float32 → 1 byte/dim + one scale per vector,
@@ -500,4 +512,169 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("code"),
+    )
+
+
+# --- Consolidated embedding-math entry (driver checks ≤50 names) --------
+
+
+@register(
+    "q_embedding_suite",
+    oracle=f"""
+    WITH cent AS ({_EMBEDDING_CENTROIDS_SQL}),
+    quant AS ({_EMBEDDING_QUANTIZE_SQL})
+    SELECT 'centroid' AS part, CAST(label AS VARCHAR) AS key_s, pos,
+           n, sum_q20 AS iv, centroid AS dv
+    FROM cent
+    UNION ALL
+    SELECT 'quantize', CAST(vec_id AS VARCHAR), pos,
+           CAST(NULL AS BIGINT), code, scale
+    FROM quant
+    """,
+)
+def q_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding column math — fixed-point-exact per-label centroids and
+    symmetric int8 quantization — as one part-tagged union; both emit
+    tall (key, pos) so the hash gate compares scalars."""
+    null_l = F.lit(None).cast("long")
+    cent = q_embedding_centroids(spark, sf_dir).select(
+        F.lit("centroid").alias("part"),
+        F.col("label").cast("string").alias("key_s"),
+        "pos",
+        "n",
+        F.col("sum_q20").alias("iv"),
+        F.col("centroid").alias("dv"),
+    )
+    quant = q_embedding_quantize(spark, sf_dir).select(
+        F.lit("quantize").alias("part"),
+        F.col("vec_id").cast("string").alias("key_s"),
+        "pos",
+        null_l.alias("n"),
+        F.col("code").alias("iv"),
+        F.col("scale").alias("dv"),
+    )
+    return cent.unionByName(quant)
+
+
+# --- Consolidated ANN entry: all four top-k variants, one oracle --------
+#
+# The IVF pipeline in ANSI SQL: the index build is one SEEDED Lloyd
+# iteration (fixed depth, not open-ended), and the centroid means are
+# fixed-point-exact — so the whole serving configuration (nprobe=4 of
+# 16 cells) is expressible as a CTE chain and hash-checked, closing the
+# round-1 `no_oracle` gap for both the IVF and (via quantization) the
+# vectorized branch.
+
+COS_Q = 1_000_000  # cosine quantization for the suite's shared surface
+
+
+def _duck_argmax_cell(vectors_cte: str, centroids_cte: str, keep: int) -> str:
+    """Rank centroid cells by cosine per vector, keep the top ``keep``
+    (DuckDB twin of ``_nearest_cell``; ties broken by cell id)."""
+    return f"""
+        SELECT id, emb, cell FROM (
+            SELECT v.id, v.emb, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY {_duck_cosine("v.emb", "ct.centroid")} DESC,
+                                ct.cell
+                   ) AS rk
+            FROM {vectors_cte} v CROSS JOIN {centroids_cte} ct
+        ) WHERE rk <= {keep}
+    """
+
+
+_ANN_IVF_SQL = f"""
+    WITH corpus AS (
+        SELECT vec_id AS id, embedding AS emb FROM embeddings
+        WHERE vec_id >= {N_QUERIES}
+    ),
+    seeds AS (
+        SELECT vec_id - {N_QUERIES} AS cell, embedding AS centroid
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_CELLS}
+    ),
+    assign0 AS ({_duck_argmax_cell("corpus", "seeds", 1)}),
+    cent_tall AS (
+        SELECT cell, generate_subscripts(emb, 1) AS pos,
+               CAST(unnest(emb) AS DOUBLE) AS v
+        FROM assign0
+    ),
+    cent_agg AS (
+        SELECT cell, pos,
+               CAST(SUM(CAST(FLOOR(v * 1048576.0) AS BIGINT)) AS BIGINT) AS sq,
+               COUNT(*) AS n
+        FROM cent_tall GROUP BY 1, 2
+    ),
+    centroids AS (
+        SELECT cell, list(sq::DOUBLE / (1048576.0 * n) ORDER BY pos) AS centroid
+        FROM cent_agg GROUP BY cell
+    ),
+    assign AS ({_duck_argmax_cell("corpus", "centroids", 1)}),
+    queries AS (
+        SELECT vec_id AS id, embedding AS emb FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    probes AS ({_duck_argmax_cell("queries", "centroids", IVF_NPROBE)}),
+    ivf_scored AS (
+        SELECT p.id AS query_id, a.id AS candidate_id,
+               {_duck_cosine("p.emb", "a.emb")} AS cosine
+        FROM assign a JOIN probes p USING (cell)
+    )
+    SELECT query_id, candidate_id, cosine,
+           CAST(row_number() OVER
+               (PARTITION BY query_id ORDER BY cosine DESC, candidate_id)
+               AS BIGINT) AS rank
+    FROM ivf_scored
+    QUALIFY rank <= {TOP_K}
+"""
+
+_COSQ_SQL = f"CAST(FLOOR(cosine * {COS_Q} + 0.5) AS BIGINT)"
+
+
+@register(
+    "q_ann_topk_suite",
+    oracle=f"""
+    WITH exact AS ({_ANN_EXACT_SQL}),
+    lsh AS ({_ANN_LSH_SQL}),
+    ivf AS ({_ANN_IVF_SQL})
+    SELECT 'exact' AS method, query_id, candidate_id,
+           {_COSQ_SQL} AS cosine_q, rank
+    FROM exact
+    UNION ALL
+    SELECT 'vectorized', query_id, candidate_id, {_COSQ_SQL}, rank
+    FROM exact
+    UNION ALL
+    SELECT 'lsh', query_id, candidate_id, {_COSQ_SQL}, rank FROM lsh
+    UNION ALL
+    SELECT 'ivf', query_id, candidate_id, {_COSQ_SQL}, rank FROM ivf
+    """,
+)
+def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k, all four strategies under one hash gate: 'exact'
+    (fold-cosine brute force — the recall baseline), 'vectorized' (the
+    SAME plan with the Arrow pandas-UDF kernel; its oracle is the exact
+    branch, compared through a 1e-6 cosine quantization that absorbs
+    numpy-vs-fold last-ulp drift), 'lsh' (sign-bit bucketed, ~256× fewer
+    scorings), and 'ivf' (seeded one-iteration Lloyd, nprobe=4 of 16 —
+    fully SQL-mirrored thanks to fixed-point centroid means). Ranks are
+    computed over each branch's raw cosine (ties broken by
+    candidate_id); the quantized cosine is the shared value surface."""
+
+    def q6(df: DataFrame, method: str) -> DataFrame:
+        return df.select(
+            F.lit(method).alias("method"),
+            "query_id",
+            "candidate_id",
+            F.floor(F.col("cosine") * COS_Q + F.lit(0.5))
+            .cast("long")
+            .alias("cosine_q"),
+            "rank",
+        )
+
+    return (
+        q6(q_ann_cosine_topk(spark, sf_dir), "exact")
+        .unionByName(q6(q_ann_cosine_topk_vectorized(spark, sf_dir), "vectorized"))
+        .unionByName(q6(q_ann_lsh_bucketed(spark, sf_dir), "lsh"))
+        .unionByName(q6(q_ann_ivf_probed(spark, sf_dir), "ivf"))
     )

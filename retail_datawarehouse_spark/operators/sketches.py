@@ -2,11 +2,17 @@
 
 Exact COUNT(DISTINCT) is an expand + full shuffle of every distinct
 value; exact percentiles sort each group. Sketches replace both with
-mergeable fixed-size state: HyperLogLog++ for distinct counts,
-a quantile sketch for percentiles — one pass, partial+final merge, no
-value shuffle. Sketch encodings are engine-specific by construction, so
-these are NOT DuckDB-oracle-checked; tests bound their error against
-the exact operators instead (the honest check for an approximation).
+mergeable fixed-size state: HyperLogLog++ for distinct counts, a
+quantile sketch for percentiles — one pass, partial+final merge, no
+value shuffle.
+
+Sketch ENCODINGS are engine-specific by construction, so raw sketch
+outputs can never be hash-compared across engines. The catalog entry
+therefore emits what IS cross-engine checkable: the exact per-group
+value (which the oracle recomputes) plus a ``within_bound`` flag
+certifying the sketch against its own documented error bound, which the
+oracle asserts as literal TRUE — a failed bound flips the flag and
+fails the hash gate. Tests keep the tighter numeric error assertions.
 """
 
 from __future__ import annotations
@@ -17,35 +23,88 @@ from pyspark.sql import functions as F
 from retail_datawarehouse_spark.registry import register
 from retail_datawarehouse_spark.sources.readers import load_table
 
+HLL_RSD = 0.02
+HLL_BOUND = 3 * HLL_RSD  # 3σ of the documented relative standard deviation
 
-@register("q_sketch_distinct_parts_per_brand", oracle=None)
-def q_sketch_distinct_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def sketch_distinct_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct part count per brand (rsd=0.02). The shuffle
     carries one ~kB sketch per (partition, brand) instead of every
     distinct part key — the difference between a metadata-sized and a
-    data-sized exchange at 100 TB."""
+    data-sized exchange at 100 TB. The exact count rides alongside for
+    certification (at scale you run one or the other, not both)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.count(F.lit(1)).alias("n_lines"),
+            F.approx_count_distinct("l_partkey", rsd=HLL_RSD).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
         )
     )
 
 
-@register("q_sketch_price_quantiles", oracle=None)
-def q_sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p90/p99 of order value per priority
     (``approx_percentile``, accuracy=10000): bounded-size mergeable
-    state per group vs the exact operator's per-group sort. The exact
-    twin (``q_percentile_order_value``) is the accuracy oracle in
-    tests."""
+    state per group vs the exact operator's per-group sort; exact
+    reference quantiles ride alongside for certification."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.expr(
             "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
-        ).alias("quantiles")
+        ).alias("approx_q"),
+        F.expr(
+            "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.9, 0.99))"
+        ).alias("exact_q"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q_sketch_suite",
+    oracle="""
+    SELECT 'hll' AS part, p_brand AS key,
+           COUNT(DISTINCT l_partkey) AS exact_n, TRUE AS within_bound
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    UNION ALL
+    SELECT 'quantile', o_orderpriority, COUNT(*), TRUE
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sketches under one (now oracle-backed) hash gate: per group
+    the EXACT value the oracle recomputes, plus a within_bound flag the
+    oracle asserts TRUE — 'hll' certifies |approx−exact|/exact ≤ 3·rsd,
+    'quantile' certifies each approx quantile lands inside a bracketing
+    window of exact quantiles (approx_percentile at accuracy=10000 has
+    rank error < n/10000, far inside these brackets at any SF)."""
+    hll = sketch_distinct_parts_per_brand(spark, sf_dir).select(
+        F.lit("hll").alias("part"),
+        F.col("p_brand").alias("key"),
+        F.col("exact_parts").alias("exact_n"),
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= HLL_BOUND
+        ).alias("within_bound"),
+    )
+    q = sketch_price_quantiles(spark, sf_dir)
+    a = F.col("approx_q")
+    e = F.col("exact_q")
+    quant = q.select(
+        F.lit("quantile").alias("part"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("n_rows").alias("exact_n"),
+        (
+            a[0].between(e[0], e[2])  # p50 in [p25, p75]
+            & a[1].between(e[1], e[4])  # p90 in [p50, p99]
+            & (a[2] >= e[3])  # p99 ≥ p90
+            & (a[2] <= F.col("mx"))
+        ).alias("within_bound"),
+    )
+    return hll.unionByName(quant)

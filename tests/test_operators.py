@@ -4,11 +4,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.builders import builder  # noqa: E402
 from retail_datawarehouse_spark.registry import catalog
 
 
 def _run(name, spark, sf_dir):
-    return catalog()[name].builder(spark, sf_dir)
+    return builder(name)(spark, sf_dir)
 
 
 def test_minhash_lsh_recall_vs_exhaustive(spark, sf_correctness_dir):
@@ -76,7 +77,7 @@ def test_multimodal_features_match_jvm_recompute(spark, sf_dir):
     recomputation of the same byte statistics (proves the Arrow batch
     path transports payloads intact)."""
     feats = _run("q_multimodal_features", spark, sf_dir)
-    docs = catalog()["q_multimodal_meta"].builder(spark, sf_dir).select(
+    docs = builder("q_multimodal_meta")(spark, sf_dir).select(
         "doc_id", "payload_bytes"
     )
     joined = feats.join(docs.withColumnsRenamed({"payload_bytes": "jvm_bytes"}), "doc_id")
@@ -95,13 +96,13 @@ def test_decode_stub_raises(spark):
 
 
 def test_langid_outputs_valid_labels(spark, sf_dir):
-    out = _run("q_text_langid", spark, sf_dir)
+    out = _run("q_text_metrics", spark, sf_dir)
     labels = {r.predicted_lang for r in out.select("predicted_lang").distinct().collect()}
     assert labels <= {"en", "de", "fr", "es"}
 
 
 def test_quality_flags_are_consistent(spark, sf_dir):
-    out = _run("q_text_quality", spark, sf_dir)
+    out = _run("q_text_metrics", spark, sf_dir)
     bad = out.filter(
         F.col("passes_quality")
         & ((F.col("n_chars") < 100) | (F.col("stopword_ratio") > 0.6))
@@ -115,8 +116,8 @@ def test_vectorized_cosine_agrees_with_exact(spark, sf_dir):
     broken by candidate_id in both)."""
     from retail_datawarehouse_spark.registry import catalog
 
-    exact = catalog()["q_ann_cosine_topk"].builder(spark, sf_dir).collect()
-    vec = catalog()["q_ann_cosine_topk_vectorized"].builder(spark, sf_dir).collect()
+    exact = builder("q_ann_cosine_topk")(spark, sf_dir).collect()
+    vec = builder("q_ann_cosine_topk_vectorized")(spark, sf_dir).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r.query_id, set()).add(r.candidate_id)
@@ -135,34 +136,25 @@ def test_sketches_bounded_error_vs_exact(spark, sf_dir):
     within 2% relative of the exact interpolated percentiles."""
     from retail_datawarehouse_spark.registry import catalog
 
-    approx = {
-        r.p_brand: r.approx_parts
-        for r in catalog()["q_sketch_distinct_parts_per_brand"]
-        .builder(spark, sf_dir)
-        .collect()
-    }
-    from retail_datawarehouse_spark.sources.readers import load_table
+    from retail_datawarehouse_spark.operators.sketches import (
+        sketch_distinct_parts_per_brand,
+        sketch_price_quantiles,
+    )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    exact = {
-        r.p_brand: r.n
-        for r in li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand")
-        .agg(F.countDistinct("l_partkey").alias("n"))
-        .collect()
-    }
-    assert set(approx) == set(exact)
-    for brand, n in exact.items():
-        assert abs(approx[brand] - n) <= max(3, 0.06 * n), (brand, approx[brand], n)
+    rows = sketch_distinct_parts_per_brand(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_parts - r.exact_parts) <= max(3, 0.06 * r.exact_parts), (
+            r.p_brand, r.approx_parts, r.exact_parts,
+        )
 
     qs = {
-        r.o_orderpriority: r.quantiles
-        for r in catalog()["q_sketch_price_quantiles"].builder(spark, sf_dir).collect()
+        r.o_orderpriority: r.approx_q
+        for r in sketch_price_quantiles(spark, sf_dir).collect()
     }
     exact_q = {
         r.o_orderpriority: (r.p50, r.p90, r.p99)
-        for r in catalog()["q_percentile_order_value"].builder(spark, sf_dir).collect()
+        for r in builder("q_percentile_order_value")(spark, sf_dir).collect()
     }
     for prio, (p50, p90, p99) in exact_q.items():
         for got, want in zip(qs[prio], (p50, p90, p99)):
@@ -181,7 +173,7 @@ def test_ivf_full_probe_reproduces_bruteforce(spark, sf_dir):
     )
     from retail_datawarehouse_spark.registry import catalog
 
-    exact = catalog()["q_ann_cosine_topk"].builder(spark, sf_dir)
+    exact = builder("q_ann_cosine_topk")(spark, sf_dir)
     full = ivf_topk(spark, sf_dir, nprobe=IVF_CELLS)
     a = sorted(map(tuple, exact.collect()))
     b = sorted(map(tuple, full.collect()))
@@ -202,7 +194,7 @@ def test_ivf_probed_returns_full_topk_with_true_cosines(spark, sf_dir):
     from retail_datawarehouse_spark.sources.readers import load_table
     from pyspark.sql import functions as F
 
-    res = catalog()["q_ann_ivf_probed"].builder(spark, sf_dir)
+    res = builder("q_ann_ivf_probed")(spark, sf_dir)
     rows = res.collect()
     per_query = {}
     for r in rows:
@@ -236,7 +228,7 @@ def test_split_assign_stable_under_repartition(spark, sf_correctness_dir):
     proportions land near 80/10/10."""
     from retail_datawarehouse_spark.registry import catalog
 
-    build = catalog()["q_split_assign"].builder
+    build = builder("q_split_assign")
     a = {(r.doc_id, r.split) for r in build(spark, sf_correctness_dir).collect()}
     from retail_datawarehouse_spark.sources.readers import load_table
     from retail_datawarehouse_spark.operators.sampling import (
@@ -267,7 +259,7 @@ def test_quota_sample_uses_window_group_limit(spark, sf_dir):
     from retail_datawarehouse_spark.plans.explain import formatted_plan
     from retail_datawarehouse_spark.registry import catalog
 
-    df = catalog()["q_source_quota_sample"].builder(spark, sf_dir)
+    df = builder("q_source_quota_sample")(spark, sf_dir)
     assert "WindowGroupLimit" in formatted_plan(df)
 
 
@@ -285,7 +277,7 @@ def test_components_are_a_valid_partition_of_dup_edges(spark, sf_correctness_dir
         .builder(spark, sf_correctness_dir)
         .collect()
     }
-    pairs = catalog()["q_dedup_minhash_lsh"].builder(
+    pairs = builder("q_dedup_minhash_lsh")(
         spark, sf_correctness_dir
     ).collect()
     assert pairs
@@ -341,7 +333,7 @@ def test_decontaminate_removes_eval_members_by_content(spark, sf_dir):
 
     survivors = {
         r.doc_id
-        for r in catalog()["q_decontaminate_exact"].builder(spark, sf_dir).collect()
+        for r in builder("q_decontaminate_exact")(spark, sf_dir).collect()
     }
     all_ids = {r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()}
     eval_ids = {i for i in all_ids if i % 10 == 0}

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.builders import builder  # noqa: E402
 from retail_datawarehouse_spark.plans import (
     broadcast_join_count,
     pushed_filters,
@@ -21,19 +22,19 @@ from retail_datawarehouse_spark.sources.readers import load_table
 def test_fact_build_broadcasts_all_dims(spark, sf_dir):
     """J2: every dim lookup in the fact load must be a broadcast-hash
     join — the fact side must never shuffle for key resolution."""
-    fact = catalog()["q_fact_sales"].builder(spark, sf_dir)
+    fact = builder("q_fact_sales")(spark, sf_dir)
     assert broadcast_join_count(fact) >= 3
 
 
 def test_q52_broadcasts_product_dim(spark, sf_dir):
-    q52 = catalog()["q52_top10_products"].builder(spark, sf_dir)
+    q52 = builder("q52_top10_products")(spark, sf_dir)
     assert broadcast_join_count(q52) >= 1
 
 
 def test_q52_plans_top_k_not_global_sort(spark, sf_dir):
     from retail_datawarehouse_spark.plans.explain import formatted_plan
 
-    q52 = catalog()["q52_top10_products"].builder(spark, sf_dir)
+    q52 = builder("q52_top10_products")(spark, sf_dir)
     assert "TakeOrderedAndProject" in formatted_plan(q52)
 
 
@@ -56,14 +57,14 @@ def test_clean_pipeline_single_shuffle(spark, sf_dir):
     """The cleaning ETL's only exchange comes from collision removal
     (SURVEY.md §3.1); row-level stages stay pipelined. Joins are
     broadcasts; allow the aggregate + anti-join exchanges only."""
-    q = catalog()["q_etl_collision_removal"].builder(spark, sf_dir)
+    q = builder("q_etl_collision_removal")(spark, sf_dir)
     assert shuffle_count(q) <= 2
 
 
 def test_snapshot_window_formulation_shuffles(spark, sf_dir):
     """Snapshot build: monthly agg + window = bounded shuffles (not a
     per-month re-scan). Whole-stage codegen must cover the pipeline."""
-    snap = catalog()["q_fact_monthly_snapshot"].builder(spark, sf_dir)
+    snap = builder("q_fact_monthly_snapshot")(spark, sf_dir)
     # monthly agg (2-phase = 1 exchange), months-distinct (1), window (1),
     # +1 slack for AQE re-plans — NOT one scan per month like the
     # reference's cross-join formulation would need.
@@ -71,7 +72,7 @@ def test_snapshot_window_formulation_shuffles(spark, sf_dir):
 
 
 def test_smart_keys_no_shuffle(spark, sf_dir):
-    q = catalog()["q_etl_smart_keys"].builder(spark, sf_dir)
+    q = builder("q_etl_smart_keys")(spark, sf_dir)
     assert shuffle_count(q) == 0
 
 
@@ -82,7 +83,7 @@ def test_rollup_cube_single_expand_pass(spark, sf_dir):
     from retail_datawarehouse_spark.plans.explain import formatted_plan
 
     for name in ("q_rollup_brand_type_revenue", "q_cube_segment_region"):
-        df = catalog()[name].builder(spark, sf_dir)
+        df = builder(name)(spark, sf_dir)
         assert "Expand" in formatted_plan(df), name
         assert shuffle_count(df) == 1, name
         assert broadcast_join_count(df) >= 1, name
@@ -96,7 +97,7 @@ def test_pivot_is_one_pass(spark, sf_dir):
     DataFrames and no value-discovery scan."""
     from retail_datawarehouse_spark.plans.explain import formatted_plan
 
-    df = catalog()["q_pivot_status_by_priority"].builder(spark, sf_dir)
+    df = builder("q_pivot_status_by_priority")(spark, sf_dir)
     assert shuffle_count(df) <= 2
     assert "Join" not in formatted_plan(df)
 
@@ -107,7 +108,7 @@ def test_asof_join_single_shuffle_no_range_join(spark, sf_dir):
     join would explode quadratically per user at 100 TB."""
     from retail_datawarehouse_spark.plans.explain import formatted_plan
 
-    df = catalog()["q_asof_lasttouch_attribution"].builder(spark, sf_dir)
+    df = builder("q_asof_lasttouch_attribution")(spark, sf_dir)
     plan = formatted_plan(df)
     assert shuffle_count(df) == 1
     assert "Join" not in plan
@@ -119,7 +120,7 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     cutoff before the final window) — no group fully sorted/materialized."""
     from retail_datawarehouse_spark.plans.explain import formatted_plan
 
-    df = catalog()["q_topk_parts_per_brand"].builder(spark, sf_dir)
+    df = builder("q_topk_parts_per_brand")(spark, sf_dir)
     assert "WindowGroupLimit" in formatted_plan(df)
 
 
@@ -131,7 +132,7 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     join would give and what dies when the interval side grows."""
     from retail_datawarehouse_spark.plans.explain import formatted_plan
 
-    df = catalog()["q_range_join_price_bands"].builder(spark, sf_dir)
+    df = builder("q_range_join_price_bands")(spark, sf_dir)
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -143,7 +144,7 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     per-session aggregate all ride ONE exchange on user_id — the sort
     order is reused across both window passes and the final aggregate
     is partial-merged on the same keys."""
-    df = catalog()["q_sessionize_batch"].builder(spark, sf_dir)
+    df = builder("q_sessionize_batch")(spark, sf_dir)
     assert shuffle_count(df) <= 2  # user_id window + session-key agg
 
 
@@ -152,7 +153,7 @@ def test_rank_suite_single_window_sort(spark, sf_dir):
     share one window spec → one exchange, one sort."""
     from retail_datawarehouse_spark.plans.explain import formatted_plan
 
-    df = catalog()["q_window_rank_suite"].builder(spark, sf_dir)
+    df = builder("q_window_rank_suite")(spark, sf_dir)
     assert shuffle_count(df) == 1
     assert formatted_plan(df).count("(4) Sort") <= 1  # not per-function sorts
 
@@ -162,7 +163,7 @@ def test_merge_upsert_plans_single_join(spark, sf_dir):
     action derivation is a projection, not extra joins/scans."""
     from retail_datawarehouse_spark.plans.explain import formatted_plan
 
-    df = catalog()["q_merge_upsert_customers"].builder(spark, sf_dir)
+    df = builder("q_merge_upsert_customers")(spark, sf_dir)
     plan = formatted_plan(df)
     assert plan.count("Join") >= 1
     assert "FullOuter" in plan
@@ -175,7 +176,7 @@ def test_ivf_candidate_join_is_hash_on_cell(spark, sf_dir):
     never nested-loop over the corpus."""
     from retail_datawarehouse_spark.plans.explain import formatted_plan
 
-    df = catalog()["q_ann_ivf_probed"].builder(spark, sf_dir)
+    df = builder("q_ann_ivf_probed")(spark, sf_dir)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
 
@@ -185,8 +186,8 @@ def test_shard_and_pack_single_shuffle(spark, sf_dir):
     exchange (the per-shard hash partition); shard assignment itself is
     a narrow projection, and packing's running sum reuses the same sort
     the position window needs."""
-    shard = catalog()["q_corpus_shard"].builder(spark, sf_dir)
-    pack = catalog()["q_pack_sequences"].builder(spark, sf_dir)
+    shard = builder("q_corpus_shard")(spark, sf_dir)
+    pack = builder("q_pack_sequences")(spark, sf_dir)
     assert shuffle_count(shard) == 1
     assert shuffle_count(pack) == 1
 
@@ -249,7 +250,7 @@ def test_text_repetition_is_map_only(spark, sf_dir):
     """Trigram repetition scoring must stay a map-only pass (array HOFs
     per row, zero exchanges) — the explode+groupBy formulation would
     shuffle the entire trigram stream at 100 TB for a per-row answer."""
-    q = catalog()["q_text_repetition"].builder(spark, sf_dir)
+    q = builder("q_text_metrics")(spark, sf_dir)
     assert shuffle_count(q) == 0
 
 
@@ -259,7 +260,10 @@ def test_salient_terms_broadcasts_df_and_limits_groups(spark, sf_dir):
     WindowGroupLimit instead of fully sorting each doc's terms."""
     from retail_datawarehouse_spark.plans.explain import formatted_plan
 
-    q = catalog()["q_text_salient_terms"].builder(spark, sf_dir)
+    from retail_datawarehouse_spark.operators.textual import salient_terms_frame
+    from retail_datawarehouse_spark.sources.readers import load_table as _lt
+
+    q = salient_terms_frame(_lt(spark, sf_dir, "documents"))
     plan = formatted_plan(q)
     assert broadcast_join_count(q) >= 1
     assert "WindowGroupLimit" in plan
@@ -268,7 +272,7 @@ def test_salient_terms_broadcasts_df_and_limits_groups(spark, sf_dir):
 def test_funnel_single_shuffle(spark, sf_dir):
     """The funnel's window + conditional aggregate share one user_id
     exchange — the aggregate rides the window's partitioning."""
-    q = catalog()["q_funnel_view_purchase"].builder(spark, sf_dir)
+    q = builder("q_funnel_view_purchase")(spark, sf_dir)
     assert shuffle_count(q) == 1
 
 
@@ -279,14 +283,14 @@ def test_decontaminate_is_broadcast_anti_no_corpus_shuffle(spark, sf_dir):
     relation; the corpus pipeline stays map-only."""
     from retail_datawarehouse_spark.plans.explain import formatted_plan
 
-    q = catalog()["q_decontaminate_exact"].builder(spark, sf_dir)
+    q = builder("q_decontaminate_exact")(spark, sf_dir)
     plan = formatted_plan(q)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
 def test_mix_weighted_sample_is_map_only(spark, sf_dir):
     """Weighted mixing is a row-local hash predicate — no exchange."""
-    q = catalog()["q_mix_weighted_sample"].builder(spark, sf_dir)
+    q = builder("q_mix_weighted_sample")(spark, sf_dir)
     assert shuffle_count(q) == 0
 
 
@@ -296,7 +300,7 @@ def test_embedding_dedup_is_bucket_equi_join(spark, sf_dir):
     vec_a < vec_b theta join would plan (round-1 verdict item #4)."""
     from retail_datawarehouse_spark.plans.explain import formatted_plan
 
-    q = catalog()["q_dedup_embedding_cosine"].builder(spark, sf_dir)
+    q = builder("q_dedup_embedding_cosine")(spark, sf_dir)
     plan = formatted_plan(q)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan

@@ -5,11 +5,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.builders import builder  # noqa: E402
 from retail_datawarehouse_spark.registry import catalog
 
 
 def _run(name, spark, sf_dir):
-    return catalog()[name].builder(spark, sf_dir)
+    return builder(name)(spark, sf_dir)
 
 
 def test_snapshot_densified(spark, sf_dir):

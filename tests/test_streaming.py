@@ -9,6 +9,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from tests.builders import builder  # noqa: E402
 from retail_datawarehouse_spark.registry import catalog
 from retail_datawarehouse_spark.streaming.pipelines import (
     foreach_batch_upsert,
@@ -22,7 +23,7 @@ def _as_set(df):
 
 def test_streaming_matches_batch_image(spark, sf_dir):
     stream_out = run_available_now(spark, sf_dir, name="t_stream_smoke")
-    batch_out = catalog()["q_stream_tumbling_1h"].builder(spark, sf_dir)
+    batch_out = builder("q_stream_tumbling_1h")(spark, sf_dir)
     assert _as_set(stream_out) == _as_set(batch_out)
     assert stream_out.count() > 0
 
@@ -32,7 +33,7 @@ def test_foreach_batch_upsert_builds_target(spark, sf_dir):
     try:
         foreach_batch_upsert(spark, sf_dir, target)
         merged = spark.read.parquet(target)
-        batch_out = catalog()["q_stream_tumbling_1h"].builder(spark, sf_dir)
+        batch_out = builder("q_stream_tumbling_1h")(spark, sf_dir)
         merged_set = _as_set(merged)  # materialize BEFORE the rewrite below
         assert merged_set == _as_set(batch_out)
         # idempotency: re-running the upsert must not duplicate keys
@@ -53,12 +54,12 @@ def test_foreach_batch_upsert_builds_target(spark, sf_dir):
 def test_sliding_window_multiplicity(spark, sf_dir):
     """1h/15m slide: total (event, window) memberships = 4 × events."""
     events_n = (
-        catalog()["q_stream_tumbling_1h"].builder(spark, sf_dir)
+        builder("q_stream_tumbling_1h")(spark, sf_dir)
         .agg(F.sum("n_events"))
         .first()[0]
     )
     sliding_n = (
-        catalog()["q_stream_sliding_1h_15m"].builder(spark, sf_dir)
+        builder("q_stream_sliding_1h_15m")(spark, sf_dir)
         .agg(F.sum("n_events"))
         .first()[0]
     )
@@ -70,7 +71,7 @@ def test_session_windows_disjoint_per_user(spark, sf_dir):
     would violate the 30-min-gap closure; starts must be ≥ prev end."""
     from pyspark.sql import Window
 
-    s = catalog()["q_stream_session_30m"].builder(spark, sf_dir)
+    s = builder("q_stream_session_30m")(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("session_start_us")
     bad = (
         s.withColumn("prev_end", F.lag("session_end_us").over(w))
@@ -88,7 +89,7 @@ def test_stateful_user_totals_matches_batch_image(spark, sf_dir):
     )
 
     stream_out = run_stateful_available_now(spark, sf_dir, name="t_stateful_smoke")
-    batch_out = catalog()["q_stream_stateful_user_totals"].builder(spark, sf_dir)
+    batch_out = builder("q_stream_stateful_user_totals")(spark, sf_dir)
     assert _as_set(stream_out) == _as_set(batch_out)
     assert stream_out.count() > 0
 
@@ -119,7 +120,7 @@ def test_stream_stream_join_matches_batch_image(spark, sf_dir):
     )
 
     streamed = run_stream_stream_join_available_now(spark, sf_dir, "ssj_test")
-    batch = catalog()["q_stream_join_attribution"].builder(spark, sf_dir)
+    batch = builder("q_stream_join_attribution")(spark, sf_dir)
     a = sorted(map(tuple, streamed.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
@@ -135,7 +136,7 @@ def test_stream_static_enrichment_matches_batch_image(spark, sf_dir):
     )
 
     streamed = run_stream_enrich_available_now(spark, sf_dir, "enrich_test")
-    batch = catalog()["q_stream_enrich_segment_revenue"].builder(spark, sf_dir)
+    batch = builder("q_stream_enrich_segment_revenue")(spark, sf_dir)
     a = sorted(map(tuple, streamed.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
