@@ -388,6 +388,12 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             ).alias("centroid")
         )
     )
+    # 16 rows — but its lineage is the full assign-all cross-join pass.
+    # Both downstream consumers (final corpus assignment here, query
+    # probes in ivf_topk) would otherwise replay that pass; unlike the
+    # minhash case (tiny subtrees, overlap wins) this boundary collapses
+    # a genuinely expensive duplicate and measured faster.
+    centroids = centroids.persist()
     assigned = _nearest_cell(corpus, centroids, keep=1)
     return assigned, centroids
 
