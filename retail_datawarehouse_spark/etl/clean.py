@@ -507,6 +507,85 @@ def q_customer_derived_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Data-quality constraint checks (reference README.md:177-178:
+# "Record row counts, rejections, and data quality metrics") ------------
+
+
+def dq_referential_orphans(
+    fact: DataFrame, parent: DataFrame, fact_key: str, parent_key: str
+) -> DataFrame:
+    """Referential-integrity audit: fact keys with NO parent row —
+    the FK check a warehouse load gate runs before publishing. A
+    left-anti join on the key, aggregated to (orphan_key, n_lines):
+    at 100 TB the parent key column is far smaller than the fact, so
+    the anti probes a broadcast (or AQE picks a shuffled anti on the
+    key); the fact is scanned once."""
+    return (
+        fact.join(
+            parent.select(F.col(parent_key).alias(fact_key)), fact_key, "left_anti"
+        )
+        .groupBy(fact_key)
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def dq_duplicate_keys(df: DataFrame, key: str) -> DataFrame:
+    """Primary-key uniqueness audit: keys appearing more than once,
+    with their multiplicity — one hash aggregate on the key (shuffle
+    carries (key, partial count) only)."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK audit over lineitem→orders with deterministic orphan
+    injection (every 101st order key shifted out of the parent domain —
+    fixtures are referentially clean, so violations must be planted to
+    make the check observable, same discipline as the null/collision
+    injections)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_orderkey") % 101 == 0, F.col("l_orderkey") + 900000000
+        )
+        .otherwise(F.col("l_orderkey"))
+        .alias("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return dq_referential_orphans(li, orders, "l_orderkey", "o_orderkey")
+
+
+_DQ_REFERENTIAL_SQL = """
+    SELECT l_orderkey, COUNT(*) AS n_lines
+    FROM (SELECT CASE WHEN l_orderkey % 101 = 0
+                      THEN l_orderkey + 900000000
+                      ELSE l_orderkey END AS l_orderkey
+          FROM lineitem)
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    GROUP BY 1
+"""
+
+
+def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-uniqueness audit over orders with deterministic duplicate
+    injection (every 97th order re-appears): keys with multiplicity."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    dupes = orders.filter(F.col("o_orderkey") % 97 == 0)
+    return dq_duplicate_keys(orders.unionByName(dupes), "o_orderkey")
+
+
+_DQ_UNIQUENESS_SQL = """
+    SELECT o_orderkey, COUNT(*) AS n_rows
+    FROM (SELECT o_orderkey FROM orders
+          UNION ALL
+          SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+"""
+
+
 # --- Consolidated catalog entry (driver checks ≤50 sorted names) --------
 
 
@@ -516,7 +595,9 @@ def q_customer_derived_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH nulls AS ({_ETL_NULL_HANDLING_SQL}),
     keys AS ({_ETL_SMART_KEYS_SQL}),
     std AS ({_ETL_STANDARDIZE_SQL}),
-    coll AS ({_ETL_COLLISION_REMOVAL_SQL})
+    coll AS ({_ETL_COLLISION_REMOVAL_SQL}),
+    ref AS ({_DQ_REFERENTIAL_SQL}),
+    uniq AS ({_DQ_UNIQUENESS_SQL})
     SELECT 'null_handling' AS part, c_custkey AS k1, nation_code AS k2,
            segment AS s1, CAST(NULL AS VARCHAR) AS s2,
            CAST(NULL AS VARCHAR) AS s3
@@ -533,15 +614,24 @@ def q_customer_derived_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'collision', transaction_id, line_number,
            CAST(l_suppkey AS VARCHAR), ship_date, CAST(NULL AS VARCHAR)
     FROM coll
+    UNION ALL
+    SELECT 'ref_orphan', l_orderkey, n_lines,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM ref
+    UNION ALL
+    SELECT 'pk_dup', o_orderkey, n_rows,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM uniq
     """,
 )
 def q_etl_stages_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The four isolated cleaning-stage verifications — null handling
-    (P2/P3/P8), smart keys (P9/P10), value standardization (P14), and
-    collision removal (A4/F4) — as one part-tagged union. The full
-    composed pipeline stays its own entry (q_etl_clean_staging); these
-    parts pin each stage's semantics in isolation with its own injected
-    fault pattern, exactly as before the fold."""
+    """The isolated cleaning-stage and data-quality verifications —
+    null handling (P2/P3/P8), smart keys (P9/P10), value
+    standardization (P14), collision removal (A4/F4), referential
+    integrity (FK orphans), and PK uniqueness — as one part-tagged
+    union. The full composed pipeline stays its own entry
+    (q_etl_clean_staging); these parts pin each stage's semantics in
+    isolation with its own injected fault pattern."""
     null_l = F.lit(None).cast("long")
     null_s = F.lit(None).cast("string")
     nulls = q_etl_null_handling(spark, sf_dir).select(
@@ -576,4 +666,26 @@ def q_etl_stages_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ship_date").alias("s2"),
         null_s.alias("s3"),
     )
-    return nulls.unionByName(keys).unionByName(std).unionByName(coll)
+    ref = q_dq_referential(spark, sf_dir).select(
+        F.lit("ref_orphan").alias("part"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("n_lines").alias("k2"),
+        null_s.alias("s1"),
+        null_s.alias("s2"),
+        null_s.alias("s3"),
+    )
+    uniq = q_dq_uniqueness(spark, sf_dir).select(
+        F.lit("pk_dup").alias("part"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("n_rows").alias("k2"),
+        null_s.alias("s1"),
+        null_s.alias("s2"),
+        null_s.alias("s3"),
+    )
+    return (
+        nulls.unionByName(keys)
+        .unionByName(std)
+        .unionByName(coll)
+        .unionByName(ref)
+        .unionByName(uniq)
+    )
