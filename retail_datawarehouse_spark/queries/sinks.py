@@ -15,6 +15,7 @@ warehouse load would be).
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +26,18 @@ from retail_datawarehouse_spark.functions.money import dec_sum
 from retail_datawarehouse_spark.registry import register
 from retail_datawarehouse_spark.sources.readers import load_table
 from retail_datawarehouse_spark.sources.writers import write_csv, write_parquet_table
+
+def _scratch(name: str) -> str:
+    """Fixed per-query scratch path under the system temp root.
+
+    The sinks write with mode("overwrite"), so repeated driver/bench
+    runs REUSE this directory instead of accumulating a fresh mkdtemp
+    copy of the orders table per invocation (round-2 advice). The write
+    stays inside the measured operator."""
+    root = os.path.join(tempfile.gettempdir(), "rdw_sink_scratch")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, name)
+
 
 _CSV_SCHEMA = T.StructType(
     [
@@ -61,7 +74,7 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         "o_orderpriority",
     )
-    path = tempfile.mkdtemp(prefix="csv_sink_") + "/orders_csv"
+    path = _scratch("orders_csv")
     write_csv(orders, path)
     return (
         spark.read.option("header", "true")
@@ -90,15 +103,30 @@ def q_sink_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     match proves layout + partition-value fidelity (with type inference
     disabled, '011995' stays a string instead of collapsing to INT
     11995 — the F2 leading-zero hazard) and value fidelity through
-    Parquet. The aggregate runs on the READ-BACK data only."""
+    Parquet. The aggregate runs on the READ-BACK data only.
+
+    Round-2 red row, fixed: the read-back now declares its schema
+    (month_key StringType included), so the partition value's type
+    comes from the contract, not from inference — this holds on ANY
+    session, including the driver's externally built one. load_table
+    additionally pins partitionColumnTypeInference=false as a runtime
+    conf for every catalog query (sources/readers.py)."""
     orders = load_table(spark, sf_dir, "orders").select(
         F.date_format("o_orderdate", "MMyyyy").alias("month_key"),
         "o_orderkey",
         "o_totalprice",
     )
-    path = tempfile.mkdtemp(prefix="warehouse_sink_") + "/fact_orders"
+    path = _scratch("fact_orders")
     write_parquet_table(orders, path, partition_by=["month_key"])
-    back = spark.read.parquet(path)
+    back = spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_totalprice", T.DoubleType()),
+                T.StructField("month_key", T.StringType()),
+            ]
+        )
+    ).parquet(path)
     return back.groupBy("month_key").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("o_totalprice", "month_value"),

@@ -140,6 +140,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the reference's coerce posture (Spark 4 defaults ANSI ON).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # Partition values are strings by contract (F2 smart keys are
+    # zero-padded: month_key '011995'); inference would collapse them
+    # to INT 11995 on read-back. The session factory pins this too, but
+    # the driver's externally built session must inherit it from here.
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     if name == "events":
         # events.parquet is TIMESTAMP(NANOS), which Spark's reader
         # rejects unless read as a raw long.
