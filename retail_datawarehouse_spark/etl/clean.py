@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from retail_datawarehouse_spark.functions.keys import date_key, month_key
+from retail_datawarehouse_spark.functions.keys import date_key, month_key, time_key
 from retail_datawarehouse_spark.registry import register
 from retail_datawarehouse_spark.sources.readers import load_table
 
@@ -39,10 +39,15 @@ RENAME_MAP = {
 }
 
 CRITICAL_COLUMNS = [
-    # reference clean_data.py:42-46
+    # reference clean_data.py:42-46 — 'Time' IS critical there; the
+    # driver fixtures carry no Time column, so the existence guard in
+    # drop_critical_nulls makes it a no-op for them while a real retail
+    # CSV (sources/readers.py RAW_RETAIL_SCHEMA) gets reference-exact
+    # null-Time dropping.
     "transaction_id",
     "Customer_ID",
     "Date",
+    "Time",
     "line_total_amount",
     "quantity",
     "unit_price",
@@ -95,6 +100,24 @@ def parse_date(df: DataFrame, col: str = "Date", fmt: str = "M/d/yyyy") -> DataF
     net behavior as the reference's try/except + dropna.
     """
     return df.withColumn(f"{col}_dt", F.try_to_date(F.col(col), fmt)).na.drop(
+        subset=[f"{col}_dt"]
+    )
+
+
+def parse_time(df: DataFrame, col: str = "Time", fmt: str = "H:mm:ss") -> DataFrame:
+    """P5 — time-of-day parse with coerce-or-drop (clean_data.py:61,100-104).
+
+    The reference parses ``Time`` strings ('14:30:05') to a timedelta and
+    later splits out hours/minutes/seconds. Here the parse lands on a
+    timestamp (date part irrelevant — only H/M/S are read downstream by
+    :func:`functions.keys.time_key`), via ``try_to_timestamp`` so
+    malformed values coerce to NULL and drop, mirroring the reference's
+    try/except + dropna posture. Existence-guarded: driver fixtures carry
+    no Time column and pass through untouched.
+    """
+    if col not in df.columns:
+        return df
+    return df.withColumn(f"{col}_dt", F.try_to_timestamp(F.col(col), F.lit(fmt))).na.drop(
         subset=[f"{col}_dt"]
     )
 
@@ -194,12 +217,18 @@ def remove_collisions_window(
     )
 
 
-def derive_smart_keys(df: DataFrame, date_col: str = "Date_dt") -> DataFrame:
-    """P9 — date_key DDMMYYYY + month_key MMYYYY as zero-padded strings
-    (clean_data.py:97-98; fidelity F1/F2)."""
-    return df.withColumn("date_key", date_key(F.col(date_col))).withColumn(
+def derive_smart_keys(
+    df: DataFrame, date_col: str = "Date_dt", time_col: str = "Time_dt"
+) -> DataFrame:
+    """P9/P10 — date_key DDMMYYYY + month_key MMYYYY (+ time_key SSMMHH
+    when a parsed Time is present) as zero-padded strings
+    (clean_data.py:97-104; fidelity F1/F2)."""
+    out = df.withColumn("date_key", date_key(F.col(date_col))).withColumn(
         "month_key", month_key(F.col(date_col))
     )
+    if time_col in df.columns:
+        out = out.withColumn("time_key", time_key(F.col(time_col)))
+    return out
 
 
 def project_final(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -218,6 +247,7 @@ def clean_pipeline(staging: DataFrame, final_columns: list[str]) -> DataFrame:
     df = drop_critical_nulls(df)
     df = fill_unknown(df)
     df = parse_date(df)
+    df = parse_time(df)
     df = cast_ids(df)
     df = remove_collisions_window(df)
     df = derive_smart_keys(df)
@@ -290,6 +320,7 @@ FINAL_COLUMNS = [
     "transaction_id",
     "line_number",
     "date_key",
+    "time_key",  # emitted only for Time-carrying inputs (clean_data.py:116)
     "month_key",
     "Customer_ID",
     "quantity",

@@ -158,6 +158,68 @@ def append_snapshot_month(
     return prior.unionByName(new_rows.select(*prior.columns))
 
 
+def append_latest_month_lazy(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Incremental append where the month boundary is DERIVED IN-PLAN:
+    a 1-row ``bounds`` aggregate (max order month + its predecessor) is
+    broadcast into every filter that previously took a Python-side
+    literal, so the whole build — boundary discovery included — is one
+    lazy plan with zero driver actions.
+
+    :func:`append_snapshot_month` stays the production API (in a real
+    deployment the month to append is a pipeline parameter, and literal
+    predicates give static partition pruning). This form is for when the
+    boundary genuinely lives in the data: the broadcast-joined filter is
+    exactly the shape dynamic partition pruning consumes on a
+    month-partitioned fact, so the scan still prunes at scale.
+    """
+    bounds = orders.agg(
+        F.max(F.date_trunc("month", "o_orderdate").cast("date")).alias("last_month")
+    ).withColumn("prior_last", F.add_months("last_month", -1))
+
+    ob = orders.crossJoin(F.broadcast(bounds))
+    prior_orders = ob.filter(F.col("o_orderdate") < F.col("last_month")).drop(
+        "last_month", "prior_last"
+    )
+    prior = build_monthly_snapshot(prior_orders, customer)
+
+    # last_month == max(order month), so >= is exactly the final month.
+    new_agg = (
+        ob.filter(F.col("o_orderdate") >= F.col("last_month"))
+        .groupBy(F.col("o_custkey").alias("customer_key"))
+        .agg(
+            F.sum(dec("o_totalprice")).alias("month_spend"),
+            F.countDistinct("o_orderkey").alias("month_orders"),
+        )
+    )
+    carried = (
+        prior.crossJoin(F.broadcast(bounds))
+        .filter(F.col("month_start") == F.col("prior_last"))
+        .select("customer_key", F.col("lifetime_dec").alias("prior_lifetime"))
+    )
+    spine = customer.select(F.col("c_custkey").alias("customer_key")).crossJoin(
+        F.broadcast(bounds.select("last_month"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    new_rows = (
+        spine.join(new_agg, "customer_key", "left")
+        .join(carried, "customer_key", "left")
+        .select(
+            "customer_key",
+            F.col("last_month").alias("month_start"),
+            "month_spend",
+            "month_orders",
+            F.coalesce("month_spend", zero).alias("month_total_dec"),
+            F.coalesce("month_orders", F.lit(0)).alias("month_order_count"),
+            (F.coalesce("prior_lifetime", zero) + F.coalesce("month_spend", zero))
+            .cast("decimal(18,4)")
+            .alias("lifetime_dec"),
+        )
+    )
+    return prior.unionByName(new_rows.select(*prior.columns))
+
+
 @register(
     "q_snapshot_incremental_mom",
     oracle=f"""
@@ -183,28 +245,16 @@ def q_snapshot_incremental_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides the result as a lag window; delta of the cumulative equals the
     month total, NULL on each customer's first month.
 
-    The one-row max-month lookup is a boundary action (which partition
-    to append — known a priori in production), not a data-path collect.
+    The month boundary is derived IN-PLAN (``append_latest_month_lazy``:
+    broadcast 1-row bounds aggregate) — no driver-side collect anywhere
+    in the path (round-2 verdict #4).
 
     month_iso sorts chronologically as a string, so the same ORDER BY
     works in both engines (unlike MMYYYY month_key — F2).
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    months = sorted(
-        r.m
-        for r in orders.select(
-            F.date_trunc("month", "o_orderdate").cast("date").alias("m")
-        )
-        .distinct()
-        .collect()
-    )
-    last_month, prior_last = months[-1], months[-2]
-    prior_orders = orders.filter(
-        F.col("o_orderdate") < F.lit(last_month).cast("date")
-    )
-    prior = build_monthly_snapshot(prior_orders, customer)
-    snap = append_snapshot_month(prior, prior_last, orders, customer, last_month)
+    snap = append_latest_month_lazy(orders, customer)
     # Delta over the DOUBLE image (not decimal-subtract-then-cast): the
     # oracle lags the double column, and double(a)-double(b) is not
     # always double(a_dec - b_dec) at the last ulp.

@@ -1,6 +1,8 @@
 from retail_datawarehouse_spark.functions.keys import (
+    HOLIDAYS,
     calendar_attrs,
     date_key,
+    is_holiday_flag,
     month_key,
     surrogate_key_hash,
     time_bucket_12hr,
@@ -10,8 +12,10 @@ from retail_datawarehouse_spark.functions.keys import (
 from retail_datawarehouse_spark.functions.money import dec, dec_sum
 
 __all__ = [
+    "HOLIDAYS",
     "calendar_attrs",
     "date_key",
+    "is_holiday_flag",
     "dec",
     "dec_sum",
     "month_key",

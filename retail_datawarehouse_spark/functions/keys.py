@@ -63,12 +63,39 @@ def time_bucket_12hr(t: Column) -> Column:
     )
 
 
+# Fixed-date holiday lookup (month, day, name) — THE single source of
+# truth for is_holiday_flag (round-2 verdict: calendar_attrs and
+# build_dim_date had diverged). A real deployment swaps this constant
+# for a curated per-locale holiday table joined broadcast-left; with an
+# in-code constant list the flag is a pure expression, so no join at
+# all. Reference README.md:51 declares the flag NULLABLE: TRUE when the
+# lookup matches, NULL (unknown) otherwise — never FALSE, because
+# absence from an incomplete holiday table is not evidence of a workday.
+HOLIDAYS: list[tuple[int, int, str]] = [
+    (1, 1, "New Year's Day"),
+    (7, 4, "Independence Day"),
+    (12, 25, "Christmas Day"),
+]
+
+
+def is_holiday_flag(d: Column) -> Column:
+    """Nullable TRUE/NULL holiday flag from the static HOLIDAYS list.
+
+    Pure codegen'd expression (no lookup join needed for a compile-time
+    constant list); both ``calendar_attrs`` and
+    ``dims.date_dim.build_dim_date`` emit exactly this.
+    """
+    match = F.lit(False)
+    for m, day, _name in HOLIDAYS:
+        match = match | ((F.month(d) == m) & (F.dayofmonth(d) == day))
+    return F.when(match, F.lit(True)).otherwise(F.lit(None).cast("boolean"))
+
+
 def calendar_attrs(d: Column) -> dict[str, Column]:
     """DimDate attribute block (reference README.md:51).
 
     ``dayofweek`` is 1=Sunday..7=Saturday; weekend = Sun|Sat.
-    ``is_holiday_flag`` is nullable per spec (populated via a lookup
-    join against a holiday table when one exists).
+    ``is_holiday_flag`` delegates to the shared HOLIDAYS expression.
     """
     return {
         "day_of_week": F.dayofweek(d),
@@ -78,7 +105,7 @@ def calendar_attrs(d: Column) -> dict[str, Column]:
         "quarter": F.quarter(d),
         "year": F.year(d),
         "is_weekend": F.dayofweek(d).isin(1, 7),
-        "is_holiday_flag": F.lit(None).cast("boolean"),
+        "is_holiday_flag": is_holiday_flag(d),
     }
 
 

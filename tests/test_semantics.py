@@ -182,3 +182,72 @@ def test_observe_audit_rides_the_single_pass(spark, sf_dir):
     assert got["n_rows"] == n
     expected_nulls = staged.filter(F.col("maybe_null").isNull()).count()
     assert got["nulls_maybe_null"] == expected_nulls > 0
+
+
+def test_clean_pipeline_time_fidelity(spark, tmp_path):
+    """P5/P2 Time fidelity (reference clean_data.py:42-46,61,100-104):
+    a retail-CSV-shaped input that CARRIES Time must drop null-Time and
+    malformed-Time rows and emit SSMMHH time_key; the driver fixtures
+    (no Time column) are untouched by the existence guards."""
+    from retail_datawarehouse_spark.etl.clean import FINAL_COLUMNS, clean_pipeline
+    from retail_datawarehouse_spark.sources.readers import read_retail_csv
+
+    header = (
+        "Transaction_ID;Customer_ID;Name;Email;Phone;Address;City;State;"
+        "Zipcode;Country;Age;Gender;Income;Customer_Segment;Date;Year;Month;"
+        "Time;Total_Purchases;Amount;Total_Amount;Product_Category;"
+        "Product_Brand;Product_Type;Shipping_Method;Payment_Method;"
+        "Order_Status;Ratings;products;Feedback"
+    )
+
+    def row(tid, time, date="3/7/2023"):
+        return (
+            f"{tid};10;n;e;p;a;c;s;1000;US;30;F;Medium;Regular;{date};2023;"
+            f"March;{time};2;5.0;10.0;Cat;Brand;Type;Standard;Card;Shipped;"
+            "4.0;Widget;Good"
+        )
+
+    lines = [
+        header,
+        row(1, "14:30:05"),      # keeps: time_key 053014
+        row(2, "9:05:00"),       # keeps: single-digit hour, time_key 000509
+        row(3, ""),              # null Time -> critical drop (P2)
+        row(4, "25:99:99"),      # malformed -> coerce NULL -> drop (P6)
+        row(5, "14:30:05", ""),  # null Date -> critical drop (control)
+    ]
+    csv_path = str(tmp_path / "retail.csv")
+    with open(csv_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    cleaned = clean_pipeline(
+        read_retail_csv(spark, csv_path), FINAL_COLUMNS + ["Date", "Time"]
+    )
+    rows = {r["transaction_id"]: r.asDict() for r in cleaned.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["time_key"] == "053014"  # SS MM HH, seconds FIRST (F1)
+    assert rows[2]["time_key"] == "000509"
+    assert rows[1]["date_key"] == "07032023" and rows[1]["month_key"] == "032023"
+
+
+def test_is_holiday_flag_single_source(spark, sf_dir):
+    """calendar_attrs and build_dim_date must emit the SAME holiday flag
+    for every date (round-2 verdict: the two surfaces had diverged —
+    calendar_attrs was stuck at lit(None))."""
+    from retail_datawarehouse_spark.functions.keys import HOLIDAYS, calendar_attrs
+
+    dim = _run("q_dim_date", spark, sf_dir).select(
+        F.to_date("date_iso").alias("d"), "is_holiday_flag"
+    )
+    attrs = calendar_attrs(F.col("d"))
+    recomputed = dim.withColumn("helper_flag", attrs["is_holiday_flag"])
+    # NULL-safe inequality: <=> negated
+    assert (
+        recomputed.filter(
+            ~F.col("is_holiday_flag").eqNullSafe(F.col("helper_flag"))
+        ).count()
+        == 0
+    )
+    # and the flag is actually populated (TRUE exists) for a range that
+    # covers at least one listed holiday
+    assert recomputed.filter(F.col("is_holiday_flag")).count() > 0
+    assert len(HOLIDAYS) >= 3
