@@ -573,14 +573,15 @@ def dq_duplicate_keys(df: DataFrame, key: str) -> DataFrame:
 
 def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FK audit over lineitem→orders with deterministic orphan
-    injection (every 101st order key shifted out of the parent domain —
-    fixtures are referentially clean, so violations must be planted to
-    make the check observable, same discipline as the null/collision
-    injections)."""
+    injection (every 101st order key NEGATED — fixtures are
+    referentially clean, so violations must be planted to make the
+    check observable, same discipline as the null/collision
+    injections). Negation, not a fixed shift: TPC-H keys are strictly
+    positive at every SF, so a negated key can never collide back into
+    the parent domain, where a '+constant' shift silently re-enters it
+    once SF grows past ~constant/24M (round-2 advice)."""
     li = load_table(spark, sf_dir, "lineitem").select(
-        F.when(
-            F.col("l_orderkey") % 101 == 0, F.col("l_orderkey") + 900000000
-        )
+        F.when(F.col("l_orderkey") % 101 == 0, -F.col("l_orderkey"))
         .otherwise(F.col("l_orderkey"))
         .alias("l_orderkey")
     )
@@ -591,7 +592,7 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DQ_REFERENTIAL_SQL = """
     SELECT l_orderkey, COUNT(*) AS n_lines
     FROM (SELECT CASE WHEN l_orderkey % 101 = 0
-                      THEN l_orderkey + 900000000
+                      THEN -l_orderkey
                       ELSE l_orderkey END AS l_orderkey
           FROM lineitem)
     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)

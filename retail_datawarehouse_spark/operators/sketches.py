@@ -25,6 +25,13 @@ from retail_datawarehouse_spark.sources.readers import load_table
 
 HLL_RSD = 0.02
 HLL_BOUND = 3 * HLL_RSD  # 3σ of the documented relative standard deviation
+# The CORRECTNESS-gate certification uses 5σ, not 3σ: the oracle asserts
+# the flag as literal TRUE, so a Spark-version change to the sketch/hash
+# implementation or an unlucky group at a new scale factor must not flip
+# the driver gate red without a real bug (round-2 advice). The tight 3σ
+# numeric assertion lives in tests (test_sketches_bounded_error_vs_exact)
+# where it can be tuned per fixture.
+HLL_CERT_BOUND = 5 * HLL_RSD
 
 
 def sketch_distinct_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,7 +86,8 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both sketches under one (now oracle-backed) hash gate: per group
     the EXACT value the oracle recomputes, plus a within_bound flag the
-    oracle asserts TRUE — 'hll' certifies |approx−exact|/exact ≤ 3·rsd,
+    oracle asserts TRUE — 'hll' certifies |approx−exact|/exact ≤ 5·rsd
+    (headroom so only a real bug flips the gate; 3σ stays in tests),
     'quantile' certifies each approx quantile lands inside a bracketing
     window of exact quantiles (approx_percentile at accuracy=10000 has
     rank error < n/10000, far inside these brackets at any SF)."""
@@ -90,7 +98,7 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("approx_parts") - F.col("exact_parts"))
             / F.col("exact_parts")
-            <= HLL_BOUND
+            <= HLL_CERT_BOUND
         ).alias("within_bound"),
     )
     q = sketch_price_quantiles(spark, sf_dir)

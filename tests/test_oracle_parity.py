@@ -29,3 +29,16 @@ def test_oracle_parity(name, spark, sf_correctness_dir, con):
     res = compare_to_oracle(name, q.builder(spark, sf_correctness_dir), con, q.oracle)
     assert res.ok, res.message()
     assert res.spark_rows > 0, f"{name}: empty result — not exercising anything"
+
+
+def test_catalog_fits_driver_window():
+    """The driver records exactly the FIRST 50 sorted catalog names; a
+    51st entry silently evicts the sort-order tail from the correctness
+    gate (round-1 postmortem). New operators must fold into an existing
+    suite query instead of adding an entry — see COVERAGE.md."""
+    from retail_datawarehouse_spark.registry import catalog
+
+    assert len(catalog()) <= 50, (
+        f"catalog has {len(catalog())} entries; the driver checks only "
+        "the first 50 sorted names — consolidate before registering more"
+    )
