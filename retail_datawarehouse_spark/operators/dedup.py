@@ -59,6 +59,11 @@ JACCARD_THRESHOLD = 0.3
 # there; the planted-stop-shingle test proves the explosion protection.
 MAX_SHINGLE_DF = 50
 
+# Repeated-span detection window (tokens) for the substring-granularity
+# exact dedup part — long enough that random-text collisions are
+# impossible, short enough that partial copies are caught.
+SPAN_N = 16
+
 # --- shared shingle builders (distinct word 5-grams per doc) ---
 
 # NOTE: operates on a pre-split ``toks`` column, not ``split(text)``
@@ -194,33 +199,82 @@ def _pair_jaccard(
 
 @register(
     "q_dedup_exact",
-    oracle="""
+    oracle=f"""
     WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+    ),
+    spans AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - {SPAN_N - 1}),
+                   i -> array_to_string(string_split(text, ' ')[i:i+{SPAN_N - 1}], ' ')
+               ))) AS w
+        FROM corpus
+        WHERE len(string_split(text, ' ')) >= {SPAN_N}
     )
-    SELECT md5(text) AS content_hash,
+    SELECT 'doc' AS part, md5(text) AS content_hash,
            MIN(doc_id) AS canonical_doc_id,
            COUNT(*) AS n_copies
     FROM corpus
-    GROUP BY 1
+    GROUP BY 2
+    UNION ALL
+    SELECT 'span', md5(w), MIN(doc_id), COUNT(DISTINCT doc_id)
+    FROM spans
+    GROUP BY 2
+    HAVING COUNT(DISTINCT doc_id) > 1
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on content hash, keep min doc_id as the
-    canonical copy. Fixture texts are all unique, so duplicates are
-    injected deterministically (every 50th doc re-appears under a new
-    id) to make the grouping observable."""
+    """Exact dedup at both granularities, one part-tagged hash gate:
+
+    - part 'doc': hash-groupBy on whole-content hash, min doc_id as
+      the canonical copy, multiplicity as n_copies.
+    - part 'span': repeated-SPAN span detection — every {SPAN_N}-token
+      sliding window hashed, windows appearing in >1 DISTINCT doc
+      emitted with the earliest doc and the distinct-doc count. This is
+      the shuffle-friendly approximation of suffix-array substring
+      dedup (the method behind "dedup training data" pipelines): the
+      window explode is map-local, the aggregate shuffles (hash,
+      partial state) only, never window text beyond the hash stage.
+
+    Fixture texts are all unique, so duplicates are injected
+    deterministically (every 50th doc re-appears under a new id); the
+    injected full-doc copies also make every window of those docs a
+    cross-doc repeated span, so BOTH parts are observable from one
+    injection."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dupes = docs.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(dupes)
-    return corpus.groupBy(F.md5("text").alias("content_hash")).agg(
+    doc_part = corpus.groupBy(F.md5("text").alias("content_hash")).agg(
         F.min("doc_id").alias("canonical_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
+    ).select(F.lit("doc").alias("part"), "content_hash", "canonical_doc_id", "n_copies")
+    # Distinct windows per doc via the hoisted-toks HOF (same
+    # per-element-re-eval discipline as the minhash shingles).
+    span_expr = (
+        "array_distinct(transform(sequence(0, size(toks) - {n}), "
+        "i -> concat_ws(' ', slice(toks, i + 1, {n}))))"
+    ).format(n=SPAN_N)
+    spans = (
+        corpus.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= SPAN_N)
+        .select("doc_id", F.explode(F.expr(span_expr)).alias("w"))
     )
+    span_part = (
+        spans.groupBy(F.md5("w").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.countDistinct("doc_id").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(F.lit("span").alias("part"), "content_hash",
+                "canonical_doc_id", "n_copies")
+    )
+    return doc_part.unionByName(span_part)
 
 
 # --- n-gram Jaccard near-dup ---

@@ -319,26 +319,145 @@ _SALIENT_SQL = f"""
 """
 
 
+# --- PII detection + redaction (map-only, the curation gate every
+# training-data pipeline runs before publishing a corpus) -------------
+#
+# Patterns restricted to the Java-regex ∩ RE2 common subset (char
+# classes, bounded repetition — no lookaround/backrefs) so Spark and
+# DuckDB match identically. Fixture texts carry no digits or '@', so
+# every match is injection-planted and deterministic.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\d{3}-\d{3}-\d{4}",
+    "ip": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+
+_DUCK_PII_DOCS = """
+    pii_docs AS (
+        SELECT doc_id, text
+            || CASE WHEN doc_id % 11 = 0
+                    THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE '' END
+            || CASE WHEN doc_id % 13 = 0
+                    THEN ' 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END
+            || CASE WHEN doc_id % 17 = 0
+                    THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+                    ELSE '' END AS pii_text
+        FROM documents
+    )
+"""
+
+_DUCK_PII_SQL = f"""
+    SELECT d.doc_id, t.skey,
+           CAST(len(regexp_extract_all(d.pii_text, t.pat)) AS BIGINT) AS n,
+           CAST(len(regexp_replace(regexp_replace(regexp_replace(d.pii_text,
+                '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                '{PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+                '{PII_PATTERNS["ip"]}', '<IP>', 'g')) AS BIGINT) AS redacted_len
+    FROM pii_docs d
+    CROSS JOIN (VALUES ('email', '{PII_PATTERNS["email"]}'),
+                       ('phone', '{PII_PATTERNS["phone"]}'),
+                       ('ip', '{PII_PATTERNS["ip"]}')) AS t(skey, pat)
+"""
+
+
+def pii_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc PII audit: (doc_id, skey=pii_type, n matches,
+    redacted_len) for every type that fires. ONE corpus scan: the
+    injection, the three counts, and the full redaction chain are all
+    row-local column expressions; the per-type rows come from exploding
+    a 3-element literal array, not from re-scanning. At 100 TB this is
+    the same zero-exchange map-only shape as q_text_metrics."""
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.concat(
+                    F.lit(" 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 250 + 1).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("pii_text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("pii_text"), PII_PATTERNS["email"], "<EMAIL>"
+            ),
+            PII_PATTERNS["phone"],
+            "<PHONE>",
+        ),
+        PII_PATTERNS["ip"],
+        "<IP>",
+    )
+    matches = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("skey"),
+                F.regexp_count("pii_text", F.lit(p)).cast("long").alias("n"),
+            )
+            for t, p in PII_PATTERNS.items()
+        ]
+    )
+    return (
+        injected.select(
+            "doc_id",
+            F.length(redacted).cast("long").alias("redacted_len"),
+            F.explode(matches).alias("m"),
+        )
+        .select("doc_id", F.col("m.skey").alias("skey"), F.col("m.n").alias("n"),
+                "redacted_len")
+    )
+
+
 @register(
     "q_text_mining",
     oracle=f"""
     WITH fp AS ({_FINGERPRINT_SQL}),
-    terms AS ({_SALIENT_SQL})
+    terms AS ({_SALIENT_SQL}),
+    {_DUCK_PII_DOCS},
+    pii AS ({_DUCK_PII_SQL})
     SELECT 'fp' AS part, doc_id, content_md5 AS skey,
            rolling_hash AS i1, CAST(0 AS BIGINT) AS i2, CAST(0 AS BIGINT) AS i3
     FROM fp
     UNION ALL
     SELECT 'term' AS part, doc_id, token AS skey, tf AS i1, df AS i2, rank AS i3
     FROM terms
+    UNION ALL
+    SELECT 'pii', doc_id, skey, n, redacted_len, CAST(0 AS BIGINT)
+    FROM pii WHERE n > 0
     """,
 )
 def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text mining pair — document fingerprints (content-md5 + rolling
-    hash, the map-only pass) and per-doc salient terms (the tf/df
-    explode-aggregate pipeline) — as one part-tagged union. Two distinct
-    plan shapes deliberately share the catalog entry; each keeps its own
-    full value surface ((md5, hash) / (token, tf, df, rank)) so the
-    driver hash still checks every cell of both."""
+    """Text mining suite — document fingerprints (content-md5 + rolling
+    hash, the map-only pass), per-doc salient terms (the tf/df
+    explode-aggregate pipeline), and the PII audit (regex detect +
+    redact over injected emails/phones/IPs, map-only) — as one
+    part-tagged union. Three distinct plan shapes deliberately share
+    the catalog entry; each keeps its own full value surface
+    ((md5, hash) / (token, tf, df, rank) / (type, count, redacted_len))
+    so the driver hash still checks every cell of all three."""
     docs = load_table(spark, sf_dir, "documents")
     fp = fingerprint_frame(docs).select(
         F.lit("fp").alias("part"),
@@ -356,7 +475,19 @@ def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").alias("i2"),
         F.col("rank").alias("i3"),
     )
-    return fp.unionByName(terms)
+    pii = (
+        pii_frame(docs)
+        .filter(F.col("n") > 0)
+        .select(
+            F.lit("pii").alias("part"),
+            "doc_id",
+            "skey",
+            F.col("n").alias("i1"),
+            F.col("redacted_len").alias("i2"),
+            F.lit(0).cast("long").alias("i3"),
+        )
+    )
+    return fp.unionByName(terms).unionByName(pii)
 
 
 _NORM_MD5_SQL = (
@@ -375,30 +506,149 @@ def _norm_md5_col() -> Column:
     )
 
 
+# N-gram decontamination parameters: the standard fuzzy-decontamination
+# method (flag a training doc if it shares any DECON_N-token n-gram
+# with a held-out eval doc — the GPT-3/PaLM discipline, where exact
+# hashing misses partial copies). Injection: every 7th non-eval doc
+# gets the first DECON_N tokens of its nearest eval doc appended, so
+# the flag is observable on a fixture whose random texts share no
+# natural n-grams.
+DECON_N = 8
+
+# Training corpus with deterministic contamination injection (Spark and
+# DuckDB mirror): doc_id % 7 == 0 (and not itself eval) appends the
+# first 8 tokens of eval doc (doc_id - doc_id % 10).
+_DUCK_DECON_CORPUS = f"""
+    eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    train_docs AS (
+        SELECT t.doc_id,
+               CASE WHEN t.doc_id % 7 = 0
+                    THEN t.text || ' ' || array_to_string(
+                        (string_split(e.text, ' '))[1:{DECON_N}], ' ')
+                    ELSE t.text END AS text
+        FROM documents t
+        LEFT JOIN eval_docs e ON e.doc_id = t.doc_id - t.doc_id % 10
+        WHERE t.doc_id % 10 <> 0
+    )
+"""
+
+
+def _decon_grams_sql(src: str) -> str:
+    """Distinct DECON_N-gram relation (doc_id, g) over ``src``."""
+    return f"""
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - {DECON_N - 1}),
+                   i -> array_to_string(string_split(text, ' ')[i:i+{DECON_N - 1}], ' ')
+               ))) AS g
+        FROM {src}
+        WHERE len(string_split(text, ' ')) >= {DECON_N}
+    """
+
+
+def _decon_grams_col() -> Column:
+    """Distinct DECON_N-gram array over a pre-split ``toks`` column —
+    same hoisted-tokenization discipline as the minhash shingles (an
+    inline split re-evaluates per array element)."""
+    return F.expr(
+        "array_distinct(transform(sequence(0, size(toks) - {n}), "
+        "i -> concat_ws(' ', slice(toks, i + 1, {n}))))".format(n=DECON_N)
+    )
+
+
 @register(
-    "q_decontaminate_exact",
+    "q_decontaminate_suite",
     oracle=f"""
     WITH eval_set AS (
         SELECT DISTINCT {_NORM_MD5_SQL} AS h
         FROM documents WHERE doc_id % 10 = 0
-    )
-    SELECT c.doc_id
+    ),
+    {_DUCK_DECON_CORPUS},
+    eval_grams AS (SELECT DISTINCT g FROM ({_decon_grams_sql('eval_docs')})),
+    train_grams AS ({_decon_grams_sql('train_docs')})
+    SELECT 'exact' AS part, c.doc_id, CAST(0 AS BIGINT) AS n_shared
     FROM (SELECT doc_id, {_NORM_MD5_SQL} AS h FROM documents) c
     WHERE c.h NOT IN (SELECT h FROM eval_set)
+    UNION ALL
+    SELECT 'ngram', tg.doc_id, COUNT(DISTINCT tg.g)
+    FROM train_grams tg JOIN eval_grams eg ON tg.g = eg.g
+    GROUP BY tg.doc_id
     """,
 )
-def q_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact decontamination: drop every training doc whose NORMALIZED
-    content hash appears in the held-out eval set (here simulated as
-    the doc_id % 10 = 0 members of the corpus itself — so the removal
-    is BY CONTENT, catching the eval docs and any exact copy of them,
-    not by id) — the mandatory counterpart of the fuzzy leakage report
-    (q_split_leakage_report). Shape at scale: eval sets are tiny next
-    to a 100 TB corpus, so the fingerprint anti-join is a BROADCAST
-    left-anti — the corpus is scanned once, probes a hash set in
-    memory, and never shuffles; normalization-before-hashing means
-    formatting-only edits of an eval doc still get caught."""
+def q_decontaminate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination, both industry-standard granularities under one
+    hash gate (the mandatory counterpart of the fuzzy leakage report
+    q_split_leakage_report):
+
+    - part 'exact': drop every training doc whose NORMALIZED content
+      hash appears in the held-out eval set (simulated as the
+      doc_id % 10 = 0 members of the corpus — removal is BY CONTENT,
+      catching any exact copy, not by id); emits the kept doc_ids.
+    - part 'ngram': flag every training doc sharing ANY distinct
+      8-token n-gram with an eval doc (the GPT-3/PaLM fuzzy method —
+      exact hashing misses partial copies), with the shared-gram count
+      as evidence. Contamination is injected (every 7th non-eval doc
+      carries 8 eval tokens) so the flag fires on random-text fixtures.
+
+    Shape at scale: eval sets are tiny next to a 100 TB corpus, so BOTH
+    parts probe broadcast structures — the exact part a broadcast
+    left-anti on the fingerprint, the ngram part a broadcast inner join
+    on the (distinct, deduped) eval gram set — and the corpus is
+    scanned once per part with no corpus-side shuffle before the
+    per-doc count aggregate."""
     docs = load_table(spark, sf_dir, "documents")
+
     withs = docs.select("doc_id", _norm_md5_col().alias("h"))
     eval_set = withs.filter(F.col("doc_id") % 10 == 0).select("h").distinct()
-    return withs.join(F.broadcast(eval_set), "h", "left_anti").select("doc_id")
+    exact = (
+        withs.join(F.broadcast(eval_set), "h", "left_anti")
+        .select(
+            F.lit("exact").alias("part"),
+            "doc_id",
+            F.lit(0).cast("long").alias("n_shared"),
+        )
+    )
+
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    train = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .alias("t")
+        .join(
+            F.broadcast(
+                eval_docs.select(
+                    F.col("doc_id").alias("e_id"),
+                    F.concat_ws(
+                        " ", F.slice(F.split("text", " "), 1, DECON_N)
+                    ).alias("e_head"),
+                )
+            ),
+            F.col("e_id") == F.col("t.doc_id") - F.col("t.doc_id") % 10,
+            "left",
+        )
+        .select(
+            F.col("t.doc_id").alias("doc_id"),
+            F.when(
+                F.col("t.doc_id") % 7 == 0,
+                F.concat_ws(" ", F.col("t.text"), F.col("e_head")),
+            )
+            .otherwise(F.col("t.text"))
+            .alias("text"),
+        )
+    )
+
+    def grams(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select("doc_id", F.split("text", " ").alias("toks"))
+            .filter(F.size("toks") >= DECON_N)
+            .select("doc_id", F.explode(_decon_grams_col()).alias("g"))
+        )
+
+    eval_grams = grams(eval_docs).select("g").distinct()
+    ngram = (
+        grams(train)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .select(F.lit("ngram").alias("part"), "doc_id", "n_shared")
+    )
+    return exact.unionByName(ngram)

@@ -29,10 +29,18 @@ def test_minhash_lsh_recall_vs_exhaustive(spark, sf_correctness_dir):
 
 
 def test_exact_dedup_finds_injected_copies(spark, sf_dir):
-    out = _run("q_dedup_exact", spark, sf_dir).filter(F.col("n_copies") > 1)
-    rows = out.collect()
-    assert rows and all(r.n_copies == 2 for r in rows)
-    assert all(r.canonical_doc_id % 50 == 0 for r in rows)
+    rows = _run("q_dedup_exact", spark, sf_dir).filter(F.col("n_copies") > 1).collect()
+    docs = [r for r in rows if r.part == "doc"]
+    assert docs and all(r.n_copies == 2 for r in docs)
+    assert all(r.canonical_doc_id % 50 == 0 for r in docs)
+    # span part: every window of a duplicated doc is a cross-doc
+    # repeated span; the fixture ALSO contains natural cross-doc
+    # repeated sequences (generator reuse), which the operator must
+    # surface too — so assert the injected anchors are present, not
+    # that they are the only ones
+    spans = [r for r in rows if r.part == "span"]
+    assert spans and all(r.n_copies >= 2 for r in spans)
+    assert any(r.canonical_doc_id % 50 == 0 for r in spans)
 
 
 def test_simhash_near_dups_are_close(spark, sf_correctness_dir):
@@ -331,14 +339,19 @@ def test_decontaminate_removes_eval_members_by_content(spark, sf_dir):
     from retail_datawarehouse_spark.registry import catalog
     from retail_datawarehouse_spark.sources.readers import load_table
 
-    survivors = {
-        r.doc_id
-        for r in builder("q_decontaminate_exact")(spark, sf_dir).collect()
-    }
+    rows = builder("q_decontaminate_suite")(spark, sf_dir).collect()
+    survivors = {r.doc_id for r in rows if r.part == "exact"}
     all_ids = {r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()}
     eval_ids = {i for i in all_ids if i % 10 == 0}
     assert eval_ids and survivors.isdisjoint(eval_ids)
     assert len(survivors) < len(all_ids)
+    # ngram part: every injected doc (%7, non-eval, long enough) is
+    # flagged with >= DECON_N shared grams (an appended 8-token head
+    # yields 1 gram from the copy + boundary grams; at minimum 1)
+    flagged = {r.doc_id: r.n_shared for r in rows if r.part == "ngram"}
+    injected = {i for i in all_ids if i % 7 == 0 and i % 10 != 0}
+    assert injected and injected <= set(flagged)
+    assert all(n >= 1 for n in flagged.values())
 
 
 def test_ivf_recall_floor_on_fixture(spark, sf_dir):

@@ -283,9 +283,11 @@ def test_decontaminate_is_broadcast_anti_no_corpus_shuffle(spark, sf_dir):
     relation; the corpus pipeline stays map-only."""
     from retail_datawarehouse_spark.plans.explain import formatted_plan
 
-    q = builder("q_decontaminate_exact")(spark, sf_dir)
+    q = builder("q_decontaminate_suite")(spark, sf_dir)
     plan = formatted_plan(q)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the ngram part's eval-gram probe must also be broadcast (inner)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
 def test_mix_weighted_sample_is_map_only(spark, sf_dir):
