@@ -331,18 +331,66 @@ IVF_CELLS = 16
 IVF_NPROBE = 4
 
 
+def _cosine_expr(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine over two array COLUMNS (not names) — the same sequential
+    left-fold in index order as ``cosine_col``'s expr form, so results
+    are bit-identical between the two (and to the DuckDB list_reduce
+    oracle)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nb = F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
 def _nearest_cell(vectors: DataFrame, centroids: DataFrame, keep: int) -> DataFrame:
     """Rank centroid cells by cosine for every vector; keep the top
-    ``keep`` cells. ``vectors`` needs (id, emb); ``centroids`` is small
-    → broadcast, so this is a map-side scoring pass + per-vector top-k."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "_cell_cos", cosine_col("emb", "centroid")
+    ``keep`` cells. ``vectors`` needs (id, emb).
+
+    MAP-SIDE: the K centroids are packed into ONE broadcast row
+    (collect_list aggregate — still a plan, no driver action) and each
+    vector scores/sorts/slices them inside a single projection via
+    array HOFs — where a crossJoin×K + row_number window would shuffle
+    K copies of every embedding just to pick the argmax, this shape
+    has ZERO exchanges on the vector side. The struct sort key
+    (-cosine, cell) reproduces the window's DESC-cosine,
+    ASC-cell tie-break exactly."""
+    packed = centroids.agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("_cents")
     )
-    w = Window.partitionBy("id").orderBy(F.desc("_cell_cos"), "cell")
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                "_cents",
+                lambda s: F.struct(
+                    (-_cosine_expr(F.col("emb"), s.centroid)).alias("negcos"),
+                    s.cell.alias("cell"),
+                ),
+            )
+        ),
+        1,
+        keep,
+    )
+    out_cols = [c for c in vectors.columns]
     return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= keep)
-        .drop("_rk", "_cell_cos", "centroid")
+        vectors.crossJoin(F.broadcast(packed))
+        .select(*out_cols, F.posexplode(ranked).alias("_pos", "_r"))
+        .select(
+            *out_cols,
+            F.col("_r.cell").alias("cell"),
+            (F.col("_pos") + 1).alias("cell_rank"),
+        )
     )
 
 
@@ -410,6 +458,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
     )
+    # NOT fused with the corpus assignment: both sides of the
+    # cell join consume their own pass, and a shared tagged-union pass
+    # would replay the full corpus HOF work on the (broadcast) probe
+    # side too — measured slower than keeping the probe pass
+    # queries-only (10 rows).
     probes = _nearest_cell(queries, centroids, keep=nprobe).select(
         F.col("id").alias("query_id"), F.col("emb").alias("q_emb"), "cell"
     )
