@@ -359,3 +359,15 @@ def test_snapshot_append_reads_one_month_of_orders(spark, sf_dir):
     # the appended branch scans orders with BOTH range bounds pushed
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan[-3000:]
     assert "LessThan(o_orderdate" in plan, plan[-3000:]
+
+
+def test_pii_frame_is_map_only(spark, sf_dir):
+    """The PII detect+redact pass must be a single map-only projection
+    (injection, three regexp counts, full redaction chain, and the
+    per-type explode are all row-local) — zero exchanges, same
+    discipline as q_text_metrics."""
+    from retail_datawarehouse_spark.operators.textual import pii_frame
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    q = pii_frame(load_table(spark, sf_dir, "documents"))
+    assert shuffle_count(q) == 0
