@@ -371,3 +371,14 @@ def test_pii_frame_is_map_only(spark, sf_dir):
 
     q = pii_frame(load_table(spark, sf_dir, "documents"))
     assert shuffle_count(q) == 0
+
+
+def test_new_suite_parts_bounded_shuffles(spark, sf_dir):
+    """Round-3 part additions keep their entries shuffle-bounded:
+    q_dedup_exact = doc aggregate (1) + span countDistinct (2-phase, 2);
+    q_decontaminate_suite = two tiny eval-side distincts + the
+    candidate-scoped shared-gram countDistinct (2-phase) — the corpus
+    side shuffles only rows that already matched the broadcast
+    eval-gram probe."""
+    assert shuffle_count(builder("q_dedup_exact")(spark, sf_dir)) <= 3
+    assert shuffle_count(builder("q_decontaminate_suite")(spark, sf_dir)) <= 4
