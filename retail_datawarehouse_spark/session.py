@@ -53,8 +53,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.crossJoin.enabled", "true")
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
-        # rejects; read as long and convert in sources.readers.load_table.
+        # Some fixture rounds store events.ts as TIMESTAMP(NANOS), which
+        # Spark's reader rejects; sources.readers.load_table probes the
+        # footer and reads ns files as long + µs conversion.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Smart keys are zero-padded STRINGS (SURVEY.md F1/F2); facts are
         # partitioned by month_key, and partition-value type inference

@@ -90,9 +90,11 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            # Parquet TIMESTAMP(NANOS): Spark reads it as epoch-nanos long
-            # (spark.sql.legacy.parquet.nanosAsLong); load_table converts
-            # to a µs TimestampType column.
+            # The fixture generator has shipped ts as BOTH Parquet
+            # TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across driver
+            # rounds; load_table probes the footer (events_ts_unit) and
+            # reads ns as an epoch-nanos long (nanosAsLong) truncated to
+            # µs, or µs natively. Post-load, ts is always TimestampType.
             T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
@@ -120,6 +122,42 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 
 TABLE_NAMES: tuple[str, ...] = tuple(TABLE_SCHEMAS)
 
+# events schema variant for files that store ts as TIMESTAMP(MICROS):
+# Spark reads µs natively into TimestampType, no conversion needed.
+EVENTS_SCHEMA_TS = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+        for f in TABLE_SCHEMAS["events"].fields
+    ]
+)
+
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Probe the Parquet timestamp unit of ``ts`` ('ns' or 'us').
+
+    Footer-only metadata read on the driver (same class of work as file
+    listing — no data scanned). Needed because the fixture generator has
+    shipped events.ts as TIMESTAMP(NANOS) in some rounds and
+    TIMESTAMP(MICROS) in others; a reader hard-wired to either unit
+    silently compresses or stretches event time 1000× on the other.
+    """
+    if path not in _TS_UNIT_CACHE:
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(probe):
+            parts = sorted(
+                f
+                for f in os.listdir(probe)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            probe = os.path.join(probe, parts[0])
+        ts_type = pq.read_schema(probe).field("ts").type
+        _TS_UNIT_CACHE[path] = getattr(ts_type, "unit", "us")
+    return _TS_UNIT_CACHE[path]
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -145,17 +183,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # to INT 11995 on read-back. The session factory pins this too, but
     # the driver's externally built session must inherit it from here.
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    if name == "events":
-        # events.parquet is TIMESTAMP(NANOS), which Spark's reader
-        # rejects unless read as a raw long.
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and events_ts_unit(path) == "ns":
+        # TIMESTAMP(NANOS), which Spark's reader rejects unless read as
+        # a raw long; then ns → µs truncation, matching DuckDB's
+        # TIMESTAMP_NS→TIMESTAMP cast. `div` is integral division: `/`
+        # would go through DOUBLE, which at ~1.7e18 ns has >1 µs ULP
+        # and rounds the value.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ns → µs truncation, matching DuckDB's TIMESTAMP_NS→TIMESTAMP
-        # cast. `div` is integral division: `/` would go through DOUBLE,
-        # which at ~1.7e18 ns has >1 µs ULP and rounds the value.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = EVENTS_SCHEMA_TS if name == "events" else TABLE_SCHEMAS[name]
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -56,13 +56,22 @@ def make_landing_dir(sf_dir: str) -> str:
 def stream_events(spark: SparkSession, landing_dir: str) -> DataFrame:
     """readStream over the events landing dir (parquet microbatches).
 
-    Same ns→µs conversion as the batch reader (events.parquet stores
-    TIMESTAMP(NANOS); integral `div`, not `/`, which rounds via DOUBLE —
-    see sources.readers.load_table).
+    Same unit handling as the batch reader (sources.readers.load_table):
+    the fixture's ts has shipped as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS), so probe the landed footer and read ns as a raw
+    long truncated to µs (integral `div`, not `/`, which rounds via
+    DOUBLE), µs natively.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(TABLE_SCHEMAS["events"]).parquet(landing_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from retail_datawarehouse_spark.sources.readers import (
+        EVENTS_SCHEMA_TS,
+        events_ts_unit,
+    )
+
+    if events_ts_unit(landing_dir) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(TABLE_SCHEMAS["events"]).parquet(landing_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(EVENTS_SCHEMA_TS).parquet(landing_dir)
 
 
 def tumbling_aggregation(events: DataFrame) -> DataFrame:

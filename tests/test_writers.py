@@ -4,6 +4,7 @@ bucketed tables — the physical-layout half of the 100 TB design."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -187,3 +188,47 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmpdir):
     plan = formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan
     assert joined.collect()[0]["count"] > 0
+
+
+def test_events_reader_handles_both_parquet_ts_units(spark, tmpdir):
+    """The driver fixture's events.ts has shipped as TIMESTAMP(NANOS)
+    (rounds 1-2) and TIMESTAMP(MICROS) (round 3). load_table probes the
+    footer and must return the SAME µs TimestampType values for either
+    encoding — a reader hard-wired to one unit compresses or stretches
+    event time 1000× on the other (caught live when the round-3 fixture
+    flipped units and every hour collapsed into a 2-bucket span)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1704067200000000 + i * 3_600_000_000 + 123456 for i in range(48)]
+    cols = {
+        "event_id": pa.array(range(48), pa.int64()),
+        "user_id": pa.array([i % 7 for i in range(48)], pa.int64()),
+        "event_type": pa.array(["view"] * 48),
+        "value": pa.array([float(i) for i in range(48)]),
+        "props": pa.array(["{}"] * 48),
+    }
+    for unit in ("us", "ns"):
+        scale = 1 if unit == "us" else 1000
+        tbl = pa.table(
+            {
+                "event_id": cols["event_id"],
+                "ts": pa.array([m * scale for m in micros], pa.timestamp(unit)),
+                "user_id": cols["user_id"],
+                "event_type": cols["event_type"],
+                "value": cols["value"],
+                "props": cols["props"],
+            }
+        )
+        d = f"{tmpdir}/events_{unit}"
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tbl, f"{d}/events.parquet", store_schema=False)
+
+    read = {}
+    for unit in ("us", "ns"):
+        df = load_table(spark, f"{tmpdir}/events_{unit}", "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        read[unit] = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
+    assert read["us"] == read["ns"]
+    epoch_us = [int(t.timestamp() * 1_000_000) for t in read["us"]]
+    assert epoch_us[0] == micros[0]
