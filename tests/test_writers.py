@@ -232,3 +232,62 @@ def test_events_reader_handles_both_parquet_ts_units(spark, tmpdir):
     assert read["us"] == read["ns"]
     epoch_us = [int(t.timestamp() * 1_000_000) for t in read["us"]]
     assert epoch_us[0] == micros[0]
+
+
+def test_fixture_schemas_match_declared(sf_dir):
+    """Schema-drift canary: the driver REGENERATES /root/testdata between
+    rounds, and round 3 silently flipped events.ts from TIMESTAMP(NANOS)
+    to TIMESTAMP(MICROS) — values stayed plausible, so only downstream
+    row counts caught it. This probes every fixture footer (metadata
+    only) against the declared DDL so the next drift fails here, with a
+    clear message, before it can corrupt query results."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from retail_datawarehouse_spark.sources.readers import (
+        TABLE_SCHEMAS,
+        events_ts_unit,
+    )
+
+    def spark_kind(dt):
+        if isinstance(dt, (T.LongType, T.IntegerType)):
+            return "int"
+        if isinstance(dt, T.DoubleType):
+            return "float"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.TimestampType):
+            return "timestamp"
+        if isinstance(dt, T.ArrayType):
+            return "list"
+        return type(dt).__name__
+
+    def arrow_kind(at):
+        import pyarrow as pa
+
+        if pa.types.is_integer(at):
+            return "int"
+        if pa.types.is_floating(at):
+            return "float"
+        if pa.types.is_string(at) or pa.types.is_large_string(at):
+            return "string"
+        if pa.types.is_timestamp(at):
+            return "timestamp"
+        if pa.types.is_list(at) or pa.types.is_large_list(at):
+            return "list"
+        return str(at)
+
+    for name, decl in TABLE_SCHEMAS.items():
+        actual = pq.read_schema(f"{sf_dir}/{name}.parquet")
+        assert actual.names == [f.name for f in decl.fields], (
+            f"{name}: fixture columns {actual.names} != declared"
+        )
+        for f in decl.fields:
+            got = arrow_kind(actual.field(f.name).type)
+            if name == "events" and f.name == "ts":
+                # declared long + unit-probed conversion path
+                assert got == "timestamp", f"events.ts: {got}"
+                assert events_ts_unit(f"{sf_dir}/{name}.parquet") in ("ns", "us")
+            else:
+                want = spark_kind(f.dataType)
+                assert got == want, f"{name}.{f.name}: fixture {got} != declared {want}"
