@@ -280,25 +280,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- n-gram Jaccard near-dup ---
 
 
-@register(
-    "q_dedup_ngram_jaccard",
-    oracle=f"""
-    WITH {_DUCK_SHINGLES_CTE},
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_sh AS na, sb.n_sh AS nb,
-           CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON i.doc_a = sa.doc_id
-    JOIN sizes sb ON i.doc_b = sb.doc_id
-    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
-          >= {JACCARD_THRESHOLD}
-    """,
-)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-5-gram Jaccard ≥ 0.3 via the inverted
     shingle index. The co-shingle join IS the intersection counter —
     ``|A∩B| = COUNT(*)`` grouped by pair, one shuffle-heavy join total
@@ -330,6 +312,151 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_inter", "na", "nb", "jaccard")
     )
+
+
+# --- Blocked fuzzy entity resolution (approximate string join) ---
+
+ER_INJECT_MOD = 53
+ER_MAX_DISTANCE = 2
+
+
+def entity_resolution_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over part names — the
+    approximate STRING join a curation/warehouse stack needs when a
+    second source arrives with typos and no shared key.
+
+    Shape at 100 TB: the incoming (dirty) batch is small next to the
+    resolved corpus, so the corpus NEVER shuffles — the dirty batch is
+    broadcast and the join is a hash equi-join on the BLOCKING key
+    (first character here; prefix/soundex/q-gram blocks in production),
+    which turns the quadratic all-pairs string comparison into
+    per-block candidates; the ``levenshtein`` verifier runs JVM-side
+    inside codegen on just those candidates. The naive formulation — a
+    cross join with a global edit-distance filter — plans a
+    BroadcastNestedLoopJoin doing N·M levenshteins, the classic ER
+    scale-killer (plan-pinned absent in tests).
+
+    Fixture names are TPC-H color sequences (unique, typo-free), so
+    the dirty batch is injected deterministically: every
+    ``ER_INJECT_MOD``-th part re-arrives with its 3rd character
+    dropped (a 1-deletion typo that PRESERVES the block character);
+    resolution must re-match it to its source by name alone.
+    """
+    part = load_table(spark, sf_dir, "part")
+    clean = part.select(
+        F.col("p_partkey").alias("clean_id"),
+        F.col("p_name").alias("clean_name"),
+        F.substring("p_name", 1, 1).alias("block_key"),
+    )
+    dirty = (
+        part.filter(F.col("p_partkey") % ER_INJECT_MOD == 0)
+        .select(
+            F.col("p_partkey").alias("dirty_id"),
+            F.expr("concat(substring(p_name, 1, 2), substring(p_name, 4))").alias(
+                "dirty_name"
+            ),
+        )
+        .withColumn("block_key", F.substring("dirty_name", 1, 1))
+    )
+    return (
+        clean.join(F.broadcast(dirty), "block_key")
+        .withColumn(
+            "edit_distance",
+            F.levenshtein("dirty_name", "clean_name").cast("long"),
+        )
+        .filter(F.col("edit_distance") <= ER_MAX_DISTANCE)
+        .select(
+            "dirty_id",
+            "clean_id",
+            "edit_distance",
+            "block_key",
+            F.length("dirty_name").cast("long").alias("len_dirty"),
+            F.length("clean_name").cast("long").alias("len_clean"),
+        )
+    )
+
+
+_ER_SQL = f"""
+    er_dirty AS (
+        SELECT p_partkey AS dirty_id,
+               substring(p_name, 1, 2) || substring(p_name, 4) AS dirty_name
+        FROM part WHERE p_partkey % {ER_INJECT_MOD} = 0
+    ),
+    er AS (
+        SELECT d.dirty_id, c.p_partkey AS clean_id,
+               CAST(levenshtein(d.dirty_name, c.p_name) AS BIGINT)
+                   AS edit_distance,
+               substring(c.p_name, 1, 1) AS block_key,
+               CAST(length(d.dirty_name) AS BIGINT) AS len_dirty,
+               CAST(length(c.p_name) AS BIGINT) AS len_clean
+        FROM er_dirty d
+        JOIN part c ON substring(d.dirty_name, 1, 1) = substring(c.p_name, 1, 1)
+        WHERE levenshtein(d.dirty_name, c.p_name) <= {ER_MAX_DISTANCE}
+    )"""
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    {_ER_SQL}
+    SELECT 'jaccard' AS part, i.doc_a, i.doc_b, i.n_inter,
+           sa.n_sh AS na, sb.n_sh AS nb,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard,
+           CAST(NULL AS BIGINT) AS edit_distance,
+           CAST(NULL AS VARCHAR) AS block_key
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter)
+          >= {JACCARD_THRESHOLD}
+    UNION ALL
+    SELECT 'entity', dirty_id, clean_id, CAST(NULL AS BIGINT),
+           len_dirty, len_clean, CAST(NULL AS DOUBLE),
+           edit_distance, block_key
+    FROM er
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-match dedup suite, part-tagged:
+
+    - part 'jaccard': word-5-gram Jaccard near-dup pairs via the
+      inverted shingle index (see :func:`ngram_jaccard_frame` — the
+      exact verifier next to MinHash-LSH's scale path).
+    - part 'entity': blocked fuzzy entity resolution — levenshtein ≤
+      ER_MAX_DISTANCE over a first-character blocking join (see
+      :func:`entity_resolution_frame`), the approximate string join
+      for keyless second-source records. (doc_a, doc_b) carry the
+      (dirty, clean) ids; (na, nb) carry the name lengths."""
+    null_l = F.lit(None).cast("long")
+    jac = ngram_jaccard_frame(spark, sf_dir).select(
+        F.lit("jaccard").alias("part"),
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "na",
+        "nb",
+        "jaccard",
+        null_l.alias("edit_distance"),
+        F.lit(None).cast("string").alias("block_key"),
+    )
+    er = entity_resolution_frame(spark, sf_dir).select(
+        F.lit("entity").alias("part"),
+        F.col("dirty_id").alias("doc_a"),
+        F.col("clean_id").alias("doc_b"),
+        null_l.alias("n_inter"),
+        F.col("len_dirty").alias("na"),
+        F.col("len_clean").alias("nb"),
+        F.lit(None).cast("double").alias("jaccard"),
+        "edit_distance",
+        "block_key",
+    )
+    return jac.unionByName(er)
 
 
 # --- MinHash-LSH ---

@@ -70,31 +70,114 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Count-Min sketch (frequency estimation / heavy hitters) ---
+#
+# Unlike HLL/approx_percentile (engine-native encodings), this CMS is
+# built from first principles on md5 hashing — the same cross-engine
+# determinism trick as the MinHash shingle images — so the ESTIMATES
+# themselves are hash-comparable with DuckDB, not just a bound flag.
+CMS_D = 3  # hash rows
+CMS_W = 256  # buckets per row
+
+_CMS_BUCKET_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST(k AS STRING), '#', event_type)), 1, 12), "
+    f"16, 10) AS BIGINT) % {CMS_W}"
+)
+_CMS_BUCKET_DUCK = (
+    "(('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || event_type), 1, 12))"
+    f"::BIGINT) % {CMS_W}"
+)
+
+
+def sketch_countmin_event_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimation over event_type: every row
+    increments one bucket per hash row; a key's estimate is the MIN of
+    its D bucket counts — always ≥ the true count (buckets only ever
+    collide upward), within ε·N with high probability.
+
+    Scale shape: the sketch is D×W = 3×256 counters TOTAL regardless
+    of input size — the explode is map-local and the shuffle carries at
+    most D·W partial counts per map task, so frequency estimation over
+    100 TB moves kilobytes. The probe side joins the tiny CMS table
+    back as a broadcast. This is the bounded-memory alternative to a
+    full groupBy when the key domain is huge (URLs, n-grams) and only
+    heavy hitters matter."""
+    events = load_table(spark, sf_dir, "events").select("event_type")
+    cells = events.select(
+        F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("k"), "event_type"
+    ).select("k", F.expr(_CMS_BUCKET_SPARK).alias("bucket"))
+    cms = cells.groupBy("k", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    keys = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = keys.select(
+        "event_type",
+        "exact_n",
+        F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("k"),
+    ).withColumn("bucket", F.expr(_CMS_BUCKET_SPARK))
+    return (
+        probes.join(F.broadcast(cms), ["k", "bucket"])
+        .groupBy("event_type", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+
+
+_CMS_SQL = f"""
+    cms_cells AS (
+        SELECT k, {_CMS_BUCKET_DUCK} AS bucket
+        FROM events, generate_series(0, {CMS_D - 1}) AS g(k)
+    ),
+    cms AS (
+        SELECT k, bucket, COUNT(*) AS c FROM cms_cells GROUP BY 1, 2
+    ),
+    cms_keys AS (
+        SELECT event_type, COUNT(*) AS exact_n FROM events GROUP BY 1
+    ),
+    cms_probes AS (
+        SELECT event_type, exact_n, k, {_CMS_BUCKET_DUCK} AS bucket
+        FROM cms_keys, generate_series(0, {CMS_D - 1}) AS g(k)
+    ),
+    cms_est AS (
+        SELECT p.event_type, p.exact_n, MIN(c.c) AS est_n
+        FROM cms_probes p JOIN cms c ON p.k = c.k AND p.bucket = c.bucket
+        GROUP BY 1, 2
+    )"""
+
+
 @register(
     "q_sketch_suite",
-    oracle="""
+    oracle=f"""
+    WITH {_CMS_SQL}
     SELECT 'hll' AS part, p_brand AS key,
-           COUNT(DISTINCT l_partkey) AS exact_n, TRUE AS within_bound
+           COUNT(DISTINCT l_partkey) AS exact_n,
+           CAST(NULL AS BIGINT) AS est_n, TRUE AS within_bound
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     UNION ALL
-    SELECT 'quantile', o_orderpriority, COUNT(*), TRUE
+    SELECT 'quantile', o_orderpriority, COUNT(*), CAST(NULL AS BIGINT), TRUE
     FROM orders
     GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'cms', event_type, exact_n, est_n, TRUE
+    FROM cms_est
     """,
 )
 def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both sketches under one (now oracle-backed) hash gate: per group
-    the EXACT value the oracle recomputes, plus a within_bound flag the
+    """Three sketches under one oracle-backed hash gate: per group the
+    EXACT value the oracle recomputes, plus a within_bound flag the
     oracle asserts TRUE — 'hll' certifies |approx−exact|/exact ≤ 5·rsd
     (headroom so only a real bug flips the gate; 3σ stays in tests),
     'quantile' certifies each approx quantile lands inside a bracketing
     window of exact quantiles (approx_percentile at accuracy=10000 has
-    rank error < n/10000, far inside these brackets at any SF)."""
+    rank error < n/10000, far inside these brackets at any SF), and
+    'cms' is the md5-deterministic Count-Min build whose per-key
+    ESTIMATE is itself hash-compared (est_n), certified against the
+    sketch's one deterministic guarantee est ≥ exact (the ε·N
+    tightness assertion lives in tests)."""
+    null_l = F.lit(None).cast("long")
     hll = sketch_distinct_parts_per_brand(spark, sf_dir).select(
         F.lit("hll").alias("part"),
         F.col("p_brand").alias("key"),
         F.col("exact_parts").alias("exact_n"),
+        null_l.alias("est_n"),
         (
             F.abs(F.col("approx_parts") - F.col("exact_parts"))
             / F.col("exact_parts")
@@ -108,6 +191,7 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("quantile").alias("part"),
         F.col("o_orderpriority").alias("key"),
         F.col("n_rows").alias("exact_n"),
+        null_l.alias("est_n"),
         (
             a[0].between(e[0], e[2])  # p50 in [p25, p75]
             & a[1].between(e[1], e[4])  # p90 in [p50, p99]
@@ -115,4 +199,11 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (a[2] <= F.col("mx"))
         ).alias("within_bound"),
     )
-    return hll.unionByName(quant)
+    cms = sketch_countmin_event_freq(spark, sf_dir).select(
+        F.lit("cms").alias("part"),
+        F.col("event_type").alias("key"),
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("within_bound"),
+    )
+    return hll.unionByName(quant).unionByName(cms)

@@ -387,3 +387,64 @@ def test_ivf_recall_floor_on_fixture(spark, sf_dir):
         assert mean >= floor, (nprobe, mean, floor)
         assert mean > nprobe / 16 + 0.05, ("no better than random routing", nprobe, mean)
     assert means == sorted(means), ("recall must be monotone in nprobe", means)
+
+
+def test_entity_resolution_matches_injected_typos(spark, sf_dir):
+    """Every injected dirty record (3rd char dropped) must resolve back
+    to its source part by NAME alone — a (k, k) pair at edit distance
+    exactly 1 — and nothing may exceed the distance cap. TPC-H color
+    names are long and pairwise far apart, so non-self matches within
+    distance 2 don't occur at fixture scale."""
+    from retail_datawarehouse_spark.operators.dedup import ER_INJECT_MOD
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    rows = (
+        _run("q_dedup_ngram_jaccard", spark, sf_dir)
+        .filter(F.col("part") == "entity")
+        .collect()
+    )
+    assert rows
+    n_dirty = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % ER_INJECT_MOD == 0)
+        .count()
+    )
+    self_pairs = [r for r in rows if r.doc_a == r.doc_b]
+    assert len(self_pairs) == n_dirty > 0
+    assert all(r.edit_distance == 1 for r in self_pairs)
+    assert all(r.edit_distance <= 2 for r in rows)
+    assert all(r.nb - 1 == r.na for r in self_pairs)  # one char dropped
+
+
+def test_countmin_overestimates_within_epsilon(spark, sf_dir):
+    """CMS guarantees: (1) est ≥ exact ALWAYS (buckets only collide
+    upward — deterministic, the oracle-certified property); (2) est ≤
+    exact + ε·N with ε = e/W (probabilistic; deterministic here because
+    the md5 hash rows are fixed); (3) the sketch state is at most D×W
+    counters no matter the input size — the whole point at 100 TB."""
+    import math
+
+    from pyspark.sql import functions as FF
+
+    from retail_datawarehouse_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        _CMS_BUCKET_SPARK,
+        sketch_countmin_event_freq,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    rows = sketch_countmin_event_freq(spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r.exact_n for r in rows)
+    eps = math.e / CMS_W
+    for r in rows:
+        assert r.est_n >= r.exact_n, r
+        assert r.est_n <= r.exact_n + eps * n_total, (r, eps * n_total)
+
+    events = load_table(spark, sf_dir, "events").select("event_type")
+    cells = events.select(
+        FF.explode(FF.expr(f"sequence(0, {CMS_D - 1})")).alias("k"), "event_type"
+    ).select("k", FF.expr(_CMS_BUCKET_SPARK).alias("bucket"))
+    n_cells = cells.distinct().count()
+    assert n_cells <= CMS_D * CMS_W

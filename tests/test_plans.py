@@ -382,3 +382,19 @@ def test_new_suite_parts_bounded_shuffles(spark, sf_dir):
     eval-gram probe."""
     assert shuffle_count(builder("q_dedup_exact")(spark, sf_dir)) <= 3
     assert shuffle_count(builder("q_decontaminate_suite")(spark, sf_dir)) <= 4
+
+
+def test_entity_resolution_blocked_join_no_corpus_shuffle(spark, sf_dir):
+    """The fuzzy ER join must be a hash equi-join on the BLOCKING key
+    with the dirty batch broadcast: zero shuffle Exchanges (the corpus
+    side never moves) and no BroadcastNestedLoopJoin (the all-pairs
+    levenshtein cross join this formulation exists to avoid)."""
+    from retail_datawarehouse_spark.operators.dedup import entity_resolution_frame
+
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    df = entity_resolution_frame(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert shuffle_count(df) == 0, plan
