@@ -1,0 +1,192 @@
+"""End-to-end training-data curation: the operator families COMPOSE.
+
+The catalog checks each family in isolation; this suite runs the whole
+curation DAG a training-data pipeline would run — ingest → exact dedup
+→ near-dup resolution (LSH pairs → connected components → one canonical
+doc per cluster) → eval-set decontamination → quality filter →
+deterministic split → shard+pack layout — over the documents fixture,
+using the same building blocks the catalog entries run, and asserts the
+corpus invariants the final dataset must deliver. This is the concrete
+payoff of having dedup, decontamination, scoring, splitting, and layout
+in ONE engine: every stage is a DataFrame against the same lineage, so
+the invariants below are checkable in-plan instead of across systems.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.operators.dedup import (
+    connected_components,
+    q_dedup_minhash_lsh,
+)
+from retail_datawarehouse_spark.operators.sampling import (
+    TRAIN_MAX_HEX,
+    VAL_MAX_HEX,
+    _shard_col,
+)
+from retail_datawarehouse_spark.operators.textual import _norm_md5_col, quality_cols
+from retail_datawarehouse_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def curated(spark, sf_dir):
+    """Run the full DAG once; stages returned for per-invariant tests."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Injected exact duplicates (same pattern as q_dedup_exact) so the
+    # dedup stages have observable work on the all-unique fixture.
+    dupes = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dupes)
+
+    # 1. exact dedup: keep the min doc_id per content hash.
+    canon = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact_deduped = corpus.join(
+        canon.select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 2. near-dup resolution: LSH pairs → components → keep the
+    # component representative (its min label). The pairs come from the
+    # catalog's own LSH builder over the base fixture.
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    vertices = exact_deduped.select(F.col("doc_id").alias("v"))
+    labels = connected_components(vertices, pairs)
+    near_deduped = (
+        exact_deduped.join(
+            labels, exact_deduped.doc_id == labels.v, "left"
+        )
+        .filter(
+            F.col("component").isNull()
+            | (F.col("component") == F.col("doc_id"))
+        )
+        .select("doc_id", "text")
+    )
+
+    # 3. decontamination: drop docs whose NORMALIZED content hash is in
+    # the held-out eval set (doc_id % 10 == 0, by content).
+    eval_fp = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(_norm_md5_col().alias("h"))
+        .distinct()
+    )
+    decontaminated = (
+        near_deduped.withColumn("h", _norm_md5_col())
+        .join(F.broadcast(eval_fp), "h", "left_anti")
+        .drop("h")
+    )
+
+    # 4. quality filter.
+    survivors = (
+        decontaminated.select("doc_id", "text", *quality_cols())
+        .filter(F.col("passes_quality"))
+        .select("doc_id", "text")
+    )
+
+    # 5. split + 6. shard/pos layout — both pure hash projections.
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    final = survivors.select(
+        "doc_id",
+        F.when(bucket < TRAIN_MAX_HEX, F.lit("train"))
+        .when(bucket < VAL_MAX_HEX, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        _shard_col().alias("shard"),
+    )
+    return {
+        "docs": docs,
+        "corpus": corpus,
+        "exact_deduped": exact_deduped,
+        "pairs": pairs,
+        "near_deduped": near_deduped,
+        "decontaminated": decontaminated,
+        "survivors": survivors,
+        "final": final,
+    }
+
+
+def test_exact_dedup_removes_all_content_copies(curated):
+    dup_hashes = (
+        curated["exact_deduped"]
+        .groupBy(F.md5("text").alias("h"))
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_hashes == 0
+    # strictly smaller than the injected corpus, nothing lost vs base
+    assert curated["exact_deduped"].count() < curated["corpus"].count()
+
+
+def test_near_dedup_keeps_one_doc_per_lsh_cluster(curated):
+    surviving_ids = curated["near_deduped"].select(
+        F.col("doc_id").alias("a")
+    )
+    both_alive = (
+        curated["pairs"]
+        .join(surviving_ids, "a", "left_semi")
+        .join(
+            curated["near_deduped"].select(F.col("doc_id").alias("b")),
+            "b",
+            "left_semi",
+        )
+        .count()
+    )
+    assert both_alive == 0  # no near-dup pair survives intact
+    assert curated["near_deduped"].count() > 0
+
+
+def test_decontamination_removes_eval_members(curated, spark):
+    leaked = (
+        curated["decontaminated"]
+        .withColumn("h", _norm_md5_col())
+        .join(
+            curated["docs"]
+            .filter(F.col("doc_id") % 10 == 0)
+            .select(_norm_md5_col().alias("h")),
+            "h",
+        )
+        .count()
+    )
+    assert leaked == 0
+
+
+def test_split_partitions_survivors(curated):
+    final = curated["final"]
+    n = final.count()
+    assert n > 0
+    by_split = {r["split"]: r["cnt"] for r in final.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sum(by_split.values()) == n  # exactly one split per doc
+    assert 0.65 <= by_split.get("train", 0) / n <= 0.92
+
+
+def test_shard_layout_is_complete_and_bounded(curated):
+    final = curated["final"]
+    n = final.count()
+    assert final.select("doc_id").distinct().count() == n
+    bad_shards = final.filter(
+        (F.col("shard") < 0) | (F.col("shard") >= 16)
+    ).count()
+    assert bad_shards == 0
+    assert final.select("shard").distinct().count() > 1
+
+
+def test_pipeline_is_monotone_shrinking(curated):
+    counts = [
+        curated["corpus"].count(),
+        curated["exact_deduped"].count(),
+        curated["near_deduped"].count(),
+        curated["decontaminated"].count(),
+        curated["survivors"].count(),
+    ]
+    assert counts == sorted(counts, reverse=True) or all(
+        a >= b for a, b in zip(counts, counts[1:])
+    )
+    # every stage did observable work except possibly quality
+    assert counts[1] < counts[0]  # exact dupes removed
+    assert counts[3] < counts[2]  # eval members removed
