@@ -398,3 +398,38 @@ def test_entity_resolution_blocked_join_no_corpus_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert shuffle_count(df) == 0, plan
+
+
+# Queries whose nested-loop joins are DELIBERATE, documented shapes:
+# the snapshot family's F6 spine densification is a cross join of two
+# SMALL broadcastable sides (customers × months — the reference's own
+# spec, with the incremental append as the scale path), and the ANN
+# suite's exact branch is the labeled brute-force baseline
+# (crossJoin(broadcast(queries)) — LSH/IVF are the scale paths).
+NESTED_LOOP_ALLOWLIST = {
+    "q55_snapshot_lifetime_read",
+    "q_ann_topk_suite",
+    "q_fact_monthly_snapshot",
+    "q_snapshot_incremental_mom",
+}
+
+
+def test_no_unintended_nested_loop_join_in_catalog(spark, sf_dir):
+    """Blanket plan canary over ALL 50 catalog entries: any
+    BroadcastNestedLoopJoin or CartesianProduct outside the explicit
+    allowlist is a scale bug by definition (an N·M row comparison a
+    1000-executor cluster cannot survive) — a new entry or a Catalyst
+    strategy regression must fail here, not in production."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    offenders = {}
+    for name, q in sorted(catalog().items()):
+        plan = formatted_plan(q.builder(spark, sf_dir))
+        flags = [
+            f
+            for f in ("BroadcastNestedLoopJoin", "CartesianProduct")
+            if f in plan
+        ]
+        if flags and name not in NESTED_LOOP_ALLOWLIST:
+            offenders[name] = flags
+    assert not offenders, offenders
