@@ -431,13 +431,146 @@ def pii_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- BM25 keyword retrieval (single-term queries, integer-exact) -----
+#
+# The retrieval operator every corpus-curation stack needs: rank
+# documents for a keyword by BM25 (k1=1.2, b=0.75). For SINGLE-TERM
+# queries the IDF factor is a per-term constant, so the BM25 *ranking*
+# is decided entirely by the tf-saturation / length-normalization term
+# — which means the classic log-IDF can be replaced by its exact
+# rational argument (2N-2df+1)/(2df+1) without changing any ordering,
+# and the whole score becomes two exact int64 ratios combined by two
+# correctly-rounded IEEE divisions and one multiply: bit-identical on
+# any engine, no libm log() dialect risk (the same discipline as the
+# salient-terms integer ranking above).
+#
+# Clearing k1/b to integers: tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# with avgdl = TL/N, multiplied through by 20*TL, is
+# 44*tf*TL / (20*tf*TL + 6*TL + 18*dl*N) — all int64-exact
+# (44*tf*TL ≲ 6e11 even at sf100; headroom to 2^63 is ~7 orders).
+BM25_TERMS = ("spark", "window", "customer", "vector", "merge")
+BM25_TOP_K = 10
+
+
+def bm25_topk_frame(docs: DataFrame) -> DataFrame:
+    """Top-``BM25_TOP_K`` documents per query term.
+
+    100 TB shape: tf for the (fixed, small) query-term set is computed
+    by per-row array HOFs over ONE hoisted tokenization — the corpus is
+    never exploded token-wise and never shuffles for tf; only matched
+    postings (docs with tf>0 for some query term) reach the window
+    top-k, and df is a query-term-cardinality aggregate broadcast back.
+    The 1-row corpus-stats frame (N, total token length) rides in-plan
+    via the same broadcast-bounds shape as the incremental snapshot —
+    no driver action."""
+    toksed = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    stats = toksed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("total_len"),
+    )
+    tf_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(F.filter("toks", lambda x: x == F.lit(t)))
+                .cast("long")
+                .alias("tf"),
+            )
+            for t in BM25_TERMS
+        ]
+    )
+    postings = (
+        toksed.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode(tf_structs).alias("m"),
+        )
+        .select(
+            "doc_id", "dl", F.col("m.term").alias("term"), F.col("m.tf").alias("tf")
+        )
+        .filter(F.col("tf") > 0)
+    )
+    df_counts = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    # Score association is pinned to (idf_num/idf_den) * (sat_num/sat_den)
+    # — two exact-int divisions then one multiply, each correctly
+    # rounded, so the double is bit-identical to the oracle's.
+    scored = (
+        postings.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            (
+                (2 * F.col("n_docs") - 2 * F.col("df") + 1).cast("double")
+                / (2 * F.col("df") + 1).cast("double")
+            )
+            * (
+                (44 * F.col("tf") * F.col("total_len")).cast("double")
+                / (
+                    20 * F.col("tf") * F.col("total_len")
+                    + 6 * F.col("total_len")
+                    + 18 * F.col("dl") * F.col("n_docs")
+                ).cast("double")
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+_BM25_SQL = f"""
+    SELECT doc_id, term, tf, df, rank FROM (
+        SELECT p.doc_id, p.term, p.tf, d.df,
+               CAST(row_number() OVER (
+                   PARTITION BY p.term
+                   ORDER BY (CAST(2 * s.n_docs - 2 * d.df + 1 AS DOUBLE)
+                             / CAST(2 * d.df + 1 AS DOUBLE))
+                          * (CAST(44 * p.tf * s.total_len AS DOUBLE)
+                             / CAST(20 * p.tf * s.total_len + 6 * s.total_len
+                                    + 18 * p.dl * s.n_docs AS DOUBLE)) DESC,
+                            p.doc_id
+               ) AS BIGINT) AS rank
+        FROM (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, t.term,
+                   CAST(len(list_filter(toks, x -> x = t.term)) AS BIGINT) AS tf
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            CROSS JOIN (VALUES {", ".join(f"('{t}')" for t in BM25_TERMS)})
+                 AS t(term)
+        ) p
+        JOIN (
+            SELECT term, COUNT(*) AS df FROM (
+                SELECT doc_id, t.term
+                FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+                CROSS JOIN (VALUES {", ".join(f"('{t}')" for t in BM25_TERMS)})
+                     AS t(term)
+                WHERE len(list_filter(toks, x -> x = t.term)) > 0
+            ) GROUP BY term
+        ) d USING (term)
+        CROSS JOIN (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_len
+            FROM documents
+        ) s
+        WHERE p.tf > 0
+    ) WHERE rank <= {BM25_TOP_K}
+"""
+
+
 @register(
     "q_text_mining",
     oracle=f"""
     WITH fp AS ({_FINGERPRINT_SQL}),
     terms AS ({_SALIENT_SQL}),
     {_DUCK_PII_DOCS},
-    pii AS ({_DUCK_PII_SQL})
+    pii AS ({_DUCK_PII_SQL}),
+    bm25 AS ({_BM25_SQL})
     SELECT 'fp' AS part, doc_id, content_md5 AS skey,
            rolling_hash AS i1, CAST(0 AS BIGINT) AS i2, CAST(0 AS BIGINT) AS i3
     FROM fp
@@ -447,17 +580,22 @@ def pii_frame(docs: DataFrame) -> DataFrame:
     UNION ALL
     SELECT 'pii', doc_id, skey, n, redacted_len, CAST(0 AS BIGINT)
     FROM pii WHERE n > 0
+    UNION ALL
+    SELECT 'bm25', doc_id, term, tf, df, rank
+    FROM bm25
     """,
 )
 def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text mining suite — document fingerprints (content-md5 + rolling
     hash, the map-only pass), per-doc salient terms (the tf/df
-    explode-aggregate pipeline), and the PII audit (regex detect +
-    redact over injected emails/phones/IPs, map-only) — as one
-    part-tagged union. Three distinct plan shapes deliberately share
-    the catalog entry; each keeps its own full value surface
-    ((md5, hash) / (token, tf, df, rank) / (type, count, redacted_len))
-    so the driver hash still checks every cell of all three."""
+    explode-aggregate pipeline), the PII audit (regex detect + redact
+    over injected emails/phones/IPs, map-only), and BM25 keyword
+    retrieval (integer-exact single-term ranking, hoisted-tokenization
+    HOF tf — the corpus never token-explodes) — as one part-tagged
+    union. Four distinct plan shapes deliberately share the catalog
+    entry; each keeps its own full value surface ((md5, hash) /
+    (token, tf, df, rank) / (type, count, redacted_len) /
+    (term, tf, df, rank)) so the driver hash checks every cell."""
     docs = load_table(spark, sf_dir, "documents")
     fp = fingerprint_frame(docs).select(
         F.lit("fp").alias("part"),
@@ -487,7 +625,15 @@ def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("i3"),
         )
     )
-    return fp.unionByName(terms).unionByName(pii)
+    bm25 = bm25_topk_frame(docs).select(
+        F.lit("bm25").alias("part"),
+        "doc_id",
+        F.col("term").alias("skey"),
+        F.col("tf").alias("i1"),
+        F.col("df").alias("i2"),
+        F.col("rank").alias("i3"),
+    )
+    return fp.unionByName(terms).unionByName(pii).unionByName(bm25)
 
 
 _NORM_MD5_SQL = (

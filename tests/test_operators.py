@@ -448,3 +448,52 @@ def test_countmin_overestimates_within_epsilon(spark, sf_dir):
     ).select("k", FF.expr(_CMS_BUCKET_SPARK).alias("bucket"))
     n_cells = cells.distinct().count()
     assert n_cells <= CMS_D * CMS_W
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 on a controlled corpus: (1) higher tf wins at equal length;
+    (2) at equal tf, the SHORTER doc wins (length normalization, the
+    property plain tf ranking lacks); (3) rank is dense 1..k per term;
+    (4) docs without the term never appear."""
+    from retail_datawarehouse_spark.operators.textual import bm25_topk_frame
+
+    pad = " filler" * 46  # long doc padding, no query terms inside
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark row row"),          # tf=3, dl=5
+            (1, "spark spark row row row"),            # tf=2, dl=5
+            (2, "spark spark row row row" + pad),      # tf=2, dl=51
+            (3, "row row row row row"),                # tf=0
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk_frame(docs).filter("term = 'spark'").collect()
+    by_rank = {r.rank: r for r in sorted(rows, key=lambda r: r.rank)}
+    assert [by_rank[k].doc_id for k in sorted(by_rank)] == [0, 1, 2]
+    assert {r.doc_id for r in rows} == {0, 1, 2}  # doc 3 absent
+    assert all(r.df == 3 for r in rows)
+    assert by_rank[1].tf == 3 and by_rank[2].tf == 2 and by_rank[3].tf == 2
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """The corpus side of BM25 must stay cheap at 100 TB: tf comes from
+    hoisted-tokenization array HOFs (the corpus never token-explodes
+    into a shuffle), df is a query-term-cardinality aggregate broadcast
+    back, and the only nested loop is the 1-row stats broadcast. Total
+    exchanges stay bounded (df agg + its read side + window top-k),
+    and the posting/df join is a BroadcastHashJoin."""
+    from retail_datawarehouse_spark.operators.textual import bm25_topk_frame
+    from retail_datawarehouse_spark.plans.explain import (
+        formatted_plan,
+        shuffle_count,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    df = bm25_topk_frame(load_table(spark, sf_dir, "documents"))
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    import re
+
+    # exactly one nested-loop NODE: the 1-row stats broadcast
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
+    assert shuffle_count(df) <= 3, plan

@@ -406,11 +406,15 @@ def test_entity_resolution_blocked_join_no_corpus_shuffle(spark, sf_dir):
 # spec, with the incremental append as the scale path), and the ANN
 # suite's exact branch is the labeled brute-force baseline
 # (crossJoin(broadcast(queries)) — LSH/IVF are the scale paths).
+# q_text_mining's BM25 part rides a 1-ROW corpus-stats frame in-plan
+# via crossJoin(broadcast(stats)) — the same broadcast-bounds shape as
+# the incremental snapshot (N×1, not N×M).
 NESTED_LOOP_ALLOWLIST = {
     "q55_snapshot_lifetime_read",
     "q_ann_topk_suite",
     "q_fact_monthly_snapshot",
     "q_snapshot_incremental_mom",
+    "q_text_mining",
 }
 
 
