@@ -63,6 +63,22 @@ def _duck_cosine(a: str, b: str) -> str:
     )
 
 
+def _duck_argmax_cell(vectors_cte: str, centroids_cte: str, keep: int) -> str:
+    """Rank centroid cells by cosine per vector, keep the top ``keep``
+    (DuckDB twin of ``_nearest_cell``; ties broken by cell id)."""
+    return f"""
+        SELECT id, emb, cell FROM (
+            SELECT v.id, v.emb, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY {_duck_cosine("v.emb", "ct.centroid")} DESC,
+                                ct.cell
+                   ) AS rk
+            FROM {vectors_cte} v CROSS JOIN {centroids_cte} ct
+        ) WHERE rk <= {keep}
+    """
+
+
 _ANN_EXACT_SQL = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                FROM embeddings WHERE vec_id < {N_QUERIES}),
@@ -169,53 +185,54 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_DUP_THRESHOLD = 0.99
+SEM_CELLS = 16
 
+# Shared injected-duplicate corpus CTE: fixtures carry no true
+# near-dups (max pairwise cosine ≈ 0.44), so every 50th vector
+# reappears under id+100000 scaled by 1.5 — same direction (cosine 1
+# up to one ulp), same sign pattern, same nearest centroid. A scaled
+# copy is exactly what a re-encoded/renormalized duplicate looks like.
+_DUP_CORPUS_SQL = """
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(embedding, x -> x::DOUBLE * 1.5)
+    FROM embeddings WHERE vec_id % 50 = 0
+"""
 
-@register(
-    "q_dedup_embedding_cosine",
-    oracle=f"""
-    WITH corpus AS (
-        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
-        FROM embeddings
-        UNION ALL
-        SELECT vec_id + 100000,
-               list_transform(embedding, x -> x::DOUBLE * 1.5)
-        FROM embeddings WHERE vec_id % 50 = 0
+# SemDeDup centroid recompute — the same fixed-point discipline as the
+# IVF index build (floor(v·2^20) int64 sums, one final division), so
+# the cluster assignment is bit-reproducible on any engine.
+_SEM_CENTROID_CHAIN_SQL = f"""
+    svec AS (SELECT vec_id AS id, embedding AS emb FROM corpus),
+    sseeds AS (
+        SELECT vec_id AS cell, embedding AS centroid FROM corpus
+        WHERE vec_id < {SEM_CELLS}
     ),
-    b AS (
-        SELECT vec_id, embedding, {_bucket_sql("embedding", 1)} AS bucket
-        FROM corpus
+    sassign0 AS ({_duck_argmax_cell("svec", "sseeds", 1)}),
+    scent_tall AS (
+        SELECT cell, generate_subscripts(emb, 1) AS pos,
+               CAST(unnest(emb) AS DOUBLE) AS v
+        FROM sassign0
     ),
-    scored AS (
-        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-               {_duck_cosine("a.embedding", "b2.embedding")} AS cosine
-        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-    )
-    SELECT vec_a, vec_b, cosine
-    FROM scored
-    WHERE cosine >= {EMB_DUP_THRESHOLD}
-    """,
-)
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup, LSH-BUCKETED — the scale-safe form is
-    the registered operator (round-1 verdict: the all-pairs non-equi
-    join was the one remaining BroadcastNestedLoop in the catalog).
-    Candidates come from the same sign-bit buckets as q_ann_lsh_bucketed
-    (equal bucket ⇒ equal sign pattern), so the pair join is a hash
-    EQUI-join on the bucket id — per-bucket quadratic, ~2^bits cheaper
-    than all-pairs, hash-partitionable and skew-splittable. Pairs at
-    cosine ≥ 0.99 are duplicates.
+    scent_agg AS (
+        SELECT cell, pos,
+               CAST(SUM(CAST(FLOOR(v * 1048576.0) AS BIGINT)) AS BIGINT) AS sq,
+               COUNT(*) AS n
+        FROM scent_tall GROUP BY 1, 2
+    ),
+    scentroids AS (
+        SELECT cell, list(sq::DOUBLE / (1048576.0 * n) ORDER BY pos) AS centroid
+        FROM scent_agg GROUP BY cell
+    ),
+    sassign AS ({_duck_argmax_cell("svec", "scentroids", 1)})
+"""
 
-    The fixtures carry no true near-dups (max pairwise cosine ≈ 0.44),
-    so duplicates are INJECTED deterministically, like q_dedup_exact
-    does: every 50th vector reappears under id+100000 scaled by 1.5 —
-    same direction (cosine 1 up to one ulp), same sign pattern, hence
-    guaranteed same bucket. A scaled copy is exactly what a re-encoded/
-    renormalized duplicate looks like. Recall caveat of the bucketed
-    form (a near-dup pair straddling a hyperplane lands in different
-    buckets) is inherent LSH recall<1; multi-band OR-construction is
-    the standard extension and rides the same plan shape."""
-    emb = load_table(spark, sf_dir, "embeddings")
+
+def _injected_dup_corpus(emb: DataFrame) -> DataFrame:
+    """Embeddings as double arrays + deterministic injected duplicates
+    (Spark twin of ``_DUP_CORPUS_SQL``)."""
     as_double = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -224,13 +241,23 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("embedding"),
     )
-    corpus = as_double.unionByName(dupes).withColumn(
-        "bucket", F.expr(_bucket_sql("embedding", 0))
-    )
-    a = corpus.select(
+    return as_double.unionByName(dupes)
+
+
+def lsh_dup_pairs(corpus: DataFrame) -> DataFrame:
+    """LSH-bucketed near-dup pairs: candidates come from the same
+    sign-bit buckets as q_ann_lsh_bucketed (equal bucket ⇒ equal sign
+    pattern), so the pair join is a hash EQUI-join on the bucket id —
+    per-bucket quadratic, ~2^bits cheaper than all-pairs,
+    hash-partitionable and skew-splittable. Recall caveat (a near-dup
+    pair straddling a hyperplane lands in different buckets) is
+    inherent LSH recall<1; multi-band OR-construction is the standard
+    extension and rides the same plan shape."""
+    bucketed = corpus.withColumn("bucket", F.expr(_bucket_sql("embedding", 0)))
+    a = bucketed.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "bucket"
     )
-    b = corpus.select(
+    b = bucketed.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), "bucket"
     )
     return (
@@ -240,6 +267,86 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def semdedup_pairs(corpus: DataFrame) -> DataFrame:
+    """SemDeDup-shape semantic dedup: cluster the corpus with the SAME
+    seeded one-iteration fixed-point k-means quantizer the IVF index
+    uses, then compare pairs ONLY within a cluster cell — the
+    cluster-then-pairwise discipline that bounds the quadratic term at
+    per-cell size instead of corpus size. At 100 TB the cell count
+    scales with the corpus (k ~ sqrt(N) keeps cells bounded), the
+    pair join stays a hash EQUI-join on the cell id, and the centroid
+    build is the linear-cost part. Complements the LSH form: buckets
+    are oblivious hyperplane cuts with per-pair recall loss; cells are
+    data-adaptive, and a full-corpus k-means is reusable downstream
+    (the same index serves ANN probes). Fixed-point centroid sums make
+    every assignment — hence the exact pair set — engine-reproducible."""
+    vs = corpus.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+    seeds = vs.filter(F.col("id") < SEM_CELLS).select(
+        F.col("id").alias("cell"), F.col("emb").alias("centroid")
+    )
+    assigned0 = _nearest_cell(vs, seeds, keep=1)
+    # 16 rows hiding the assign-all pass; two consumers (both join
+    # sides) — same justified materialization boundary as ivf_index.
+    centroids = _fixed_point_centroids(assigned0).persist()
+    assigned = _nearest_cell(vs, centroids, keep=1).drop("cell_rank")
+    a = assigned.select(F.col("id").alias("vec_a"), F.col("emb").alias("e_a"), "cell")
+    b = assigned.select(F.col("id").alias("vec_b"), F.col("emb").alias("e_b"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine_col("e_a", "e_b"))
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    b AS (
+        SELECT vec_id, embedding, {_bucket_sql("embedding", 1)} AS bucket
+        FROM corpus
+    ),
+    scored AS (
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+               {_duck_cosine("a.embedding", "b2.embedding")} AS cosine
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ),
+    {_SEM_CENTROID_CHAIN_SQL},
+    sem AS (
+        SELECT a.id AS vec_a, b2.id AS vec_b,
+               {_duck_cosine("a.emb", "b2.emb")} AS cosine
+        FROM sassign a JOIN sassign b2 ON a.cell = b2.cell AND a.id < b2.id
+    )
+    SELECT 'lsh' AS part, vec_a, vec_b, cosine
+    FROM scored WHERE cosine >= {EMB_DUP_THRESHOLD}
+    UNION ALL
+    SELECT 'sem', vec_a, vec_b, cosine
+    FROM sem WHERE cosine >= {EMB_DUP_THRESHOLD}
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection, BOTH scale-safe candidate
+    generators under one hash gate: 'lsh' (sign-bit bucket equi-join —
+    oblivious hyperplane cuts, round-1 verdict's replacement for the
+    all-pairs BroadcastNestedLoop) and 'sem' (SemDeDup shape:
+    fixed-point k-means cells, pairwise within cell — data-adaptive
+    clusters, the method used to semantically dedup LAION/LLM corpora).
+    Same injected ground truth (every 50th vector re-encoded ×1.5), so
+    tests can assert the two methods agree pair-for-pair; pairs at
+    cosine ≥ {EMB_DUP_THRESHOLD} are duplicates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = _injected_dup_corpus(emb)
+    lsh = lsh_dup_pairs(corpus).select(
+        F.lit("lsh").alias("part"), "vec_a", "vec_b", "cosine"
+    )
+    sem = semdedup_pairs(corpus).select(
+        F.lit("sem").alias("part"), "vec_a", "vec_b", "cosine"
+    )
+    return lsh.unionByName(sem)
 
 
 # --- Vectorized (Arrow/pandas-UDF) scale path ---------------------------
@@ -394,6 +501,35 @@ def _nearest_cell(vectors: DataFrame, centroids: DataFrame, keep: int) -> DataFr
     )
 
 
+def _fixed_point_centroids(assigned: DataFrame) -> DataFrame:
+    """Element-wise mean per cell as (cell, centroid array), computed
+    with fixed-point int64 sums (floor(v·2^20), one final division) —
+    same discipline as q_embedding_centroids: float-sum accumulation
+    order is nondeterministic under partitioning, so a naive avg()
+    would make any index built on these centroids irreproducible (and
+    un-oracle-able); integer sums make the centroids, hence every cell
+    assignment and probe, bit-identical on any engine or cluster.
+    Shared by the IVF index build and the SemDeDup clustering."""
+    return (
+        assigned.select("cell", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long")
+            ).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("m", F.col("sq").cast("double") / (F.lit(1048576.0) * F.col("n")))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("centroid")
+        )
+    )
+
+
 def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index over the candidate corpus: seed centroids
     from the first IVF_CELLS corpus vectors, one Lloyd iteration
@@ -412,30 +548,7 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         (F.col("id") - N_QUERIES).alias("cell"), F.col("emb").alias("centroid")
     )
     assigned0 = _nearest_cell(corpus, seeds, keep=1)
-    # Fixed-point element-wise mean (floor(v·2^20) int64 sums, one final
-    # division) — same discipline as q_embedding_centroids: float-sum
-    # accumulation order is nondeterministic under partitioning, so a
-    # naive avg() would make the whole IVF index irreproducible (and
-    # un-oracle-able); integer sums make the centroids, hence every cell
-    # assignment and probe, bit-identical on any engine or cluster.
-    centroids = (
-        assigned0.select("cell", F.posexplode("emb").alias("pos", "v"))
-        .groupBy("cell", "pos")
-        .agg(
-            F.sum(
-                F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long")
-            ).alias("sq"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .withColumn("m", F.col("sq").cast("double") / (F.lit(1048576.0) * F.col("n")))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s.m,
-            ).alias("centroid")
-        )
-    )
+    centroids = _fixed_point_centroids(assigned0)
     # 16 rows — but its lineage is the full assign-all cross-join pass.
     # Both downstream consumers (final corpus assignment here, query
     # probes in ivf_topk) would otherwise replay that pass; unlike the
@@ -625,22 +738,6 @@ def q_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vectorized branch.
 
 COS_Q = 1_000_000  # cosine quantization for the suite's shared surface
-
-
-def _duck_argmax_cell(vectors_cte: str, centroids_cte: str, keep: int) -> str:
-    """Rank centroid cells by cosine per vector, keep the top ``keep``
-    (DuckDB twin of ``_nearest_cell``; ties broken by cell id)."""
-    return f"""
-        SELECT id, emb, cell FROM (
-            SELECT v.id, v.emb, ct.cell,
-                   row_number() OVER (
-                       PARTITION BY v.id
-                       ORDER BY {_duck_cosine("v.emb", "ct.centroid")} DESC,
-                                ct.cell
-                   ) AS rk
-            FROM {vectors_cte} v CROSS JOIN {centroids_cte} ct
-        ) WHERE rk <= {keep}
-    """
 
 
 _ANN_IVF_SQL = f"""

@@ -497,3 +497,26 @@ def test_bm25_plan_shape(spark, sf_dir):
     # exactly one nested-loop NODE: the 1-row stats broadcast
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
     assert shuffle_count(df) <= 3, plan
+
+
+def test_semdedup_agrees_with_lsh_on_injected_ground_truth(spark, sf_dir):
+    """The two embedding near-dup candidate generators — oblivious
+    hyperplane buckets (lsh) and data-adaptive k-means cells (sem) —
+    must surface the IDENTICAL pair set on the fixture: exactly the
+    injected scaled-copy pairs (v, v+100000), nothing else (natural
+    max cosine ≈ 0.44 is far under the 0.99 threshold). Full recall by
+    construction in both: a scaled copy shares its source's sign
+    pattern AND its nearest centroid."""
+    from retail_datawarehouse_spark.operators.similarity import (
+        _injected_dup_corpus,
+        lsh_dup_pairs,
+        semdedup_pairs,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    corpus = _injected_dup_corpus(load_table(spark, sf_dir, "embeddings"))
+    lsh = {(r.vec_a, r.vec_b) for r in lsh_dup_pairs(corpus).collect()}
+    sem = {(r.vec_a, r.vec_b) for r in semdedup_pairs(corpus).collect()}
+    assert lsh == sem
+    assert lsh, "no pairs — injection not exercised"
+    assert all(b == a + 100000 for a, b in lsh), lsh

@@ -297,15 +297,41 @@ def test_mix_weighted_sample_is_map_only(spark, sf_dir):
 
 
 def test_embedding_dedup_is_bucket_equi_join(spark, sf_dir):
-    """The registered embedding near-dup must candidate via the LSH
-    bucket EQUI-join — never the all-pairs BroadcastNestedLoop that a
-    vec_a < vec_b theta join would plan (round-1 verdict item #4)."""
-    from retail_datawarehouse_spark.plans.explain import formatted_plan
+    """Both embedding near-dup candidate generators must pair via an
+    EQUI-join (bucket id / cell id) — never the all-pairs
+    BroadcastNestedLoop that a vec_a < vec_b theta join would plan
+    (round-1 verdict item #4). The LSH part must plan zero nested
+    loops; the sem part's only permitted nested-loop nodes are its two
+    1-ROW packed-centroid broadcasts (the map-side argmax shape), so
+    any regression to an N×M pair comparison still fails here."""
+    import re
 
-    q = builder("q_dedup_embedding_cosine")(spark, sf_dir)
-    plan = formatted_plan(q)
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
+    from retail_datawarehouse_spark.operators.similarity import (
+        _injected_dup_corpus,
+        lsh_dup_pairs,
+        semdedup_pairs,
+    )
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    corpus = _injected_dup_corpus(load_table(spark, sf_dir, "embeddings"))
+    lsh_plan = formatted_plan(lsh_dup_pairs(corpus))
+    assert "BroadcastNestedLoopJoin" not in lsh_plan, lsh_plan
+    assert "CartesianProduct" not in lsh_plan, lsh_plan
+
+    sem_plan = formatted_plan(semdedup_pairs(corpus))
+    assert "CartesianProduct" not in sem_plan, sem_plan
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", sem_plan))
+    # two logical 1-row pack broadcasts (seed pack, centroid pack); the
+    # centroid pack's lineage is replayed on both self-join sides, so
+    # up to 4 plan NODES — every one an N×1 against a single packed row
+    assert n_bnlj <= 4, sem_plan
+    # the pair join itself hashes on the cell id (keys are printed on
+    # their own line in the formatted plan)
+    assert re.search(
+        r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", sem_plan
+    ), sem_plan
+    assert re.search(r"Left keys \[1\]: \[cell#", sem_plan), sem_plan
 
 
 def test_hot_shingle_cap_bounds_join_fanout(spark):
@@ -408,10 +434,14 @@ def test_entity_resolution_blocked_join_no_corpus_shuffle(spark, sf_dir):
 # (crossJoin(broadcast(queries)) — LSH/IVF are the scale paths).
 # q_text_mining's BM25 part rides a 1-ROW corpus-stats frame in-plan
 # via crossJoin(broadcast(stats)) — the same broadcast-bounds shape as
-# the incremental snapshot (N×1, not N×M).
+# the incremental snapshot (N×1, not N×M). q_dedup_embedding_cosine's
+# sem part scores packed centroids via two 1-ROW broadcast frames (the
+# map-side argmax shape); its pair join is pinned as a cell equi-join
+# by test_embedding_dedup_is_bucket_equi_join.
 NESTED_LOOP_ALLOWLIST = {
     "q55_snapshot_lifetime_read",
     "q_ann_topk_suite",
+    "q_dedup_embedding_cosine",
     "q_fact_monthly_snapshot",
     "q_snapshot_incremental_mom",
     "q_text_mining",
