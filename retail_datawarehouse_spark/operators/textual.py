@@ -79,14 +79,22 @@ _SW_SQL = " + ".join(_count_occurrences_sql("text", w) for w in STOPWORDS)
 
 def quality_cols() -> list[Column]:
     """Quality scoring: length / punctuation / stopword-ratio heuristics
-    (the Gopher-rule shape) as map-only column expressions."""
+    plus the Gopher-rule panel (token-count window, mean word length,
+    lexical diversity) as map-only column expressions. Every ratio is
+    exact-int arithmetic + one correctly-rounded IEEE division, so the
+    booleans cut on them are engine-exact too."""
     text = F.col("text")
-    n_tokens = F.size(F.split(text, " ")).cast("long")
+    toks = F.split(text, " ")
+    n_tokens = F.size(toks).cast("long")
     n_stop = None
     for w in STOPWORDS:
         c = _count_occurrences(text, w)
         n_stop = c if n_stop is None else (n_stop + c)
     sw_ratio = n_stop.cast("double") / n_tokens
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    ttr = n_distinct.cast("double") / n_tokens
+    # mean token length over single-spaced text: (chars − spaces) / n
+    mean_word = (F.length(text) - n_tokens + 1).cast("double") / n_tokens
     return [
         n_tokens.alias("n_tokens"),
         n_stop.alias("n_stopwords"),
@@ -99,6 +107,17 @@ def quality_cols() -> list[Column]:
         (
             (F.length(text) >= 100) & sw_ratio.between(0.01, 0.6)
         ).alias("passes_quality"),
+        n_distinct.alias("n_distinct_ws_tokens"),
+        ttr.alias("type_token_ratio"),
+        F.array_max(F.transform(toks, lambda t: F.length(t)))
+        .cast("long")
+        .alias("max_token_len"),
+        mean_word.alias("mean_word_len"),
+        (
+            n_tokens.between(50, 100000)
+            & mean_word.between(3.0, 10.0)
+            & (ttr > 0.2)
+        ).alias("gopher_pass"),
     ]
 
 
@@ -114,7 +133,23 @@ _QUALITY_SQL_COLS = f"""
            length(text) >= 100
                AND CAST(({_SW_SQL}) AS DOUBLE)
                    / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
-               AS passes_quality"""
+               AS passes_quality,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct_ws_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS type_token_ratio,
+           CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                              t -> len(t)), 'max') AS BIGINT)
+               AS max_token_len,
+           CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len,
+           len(string_split(text, ' ')) BETWEEN 50 AND 100000
+               AND (CAST(length(text) - len(string_split(text, ' ')) + 1
+                         AS DOUBLE)
+                    / len(string_split(text, ' '))) BETWEEN 3.0 AND 10.0
+               AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' '))) > 0.2
+               AS gopher_pass"""
 
 
 def _lang_score_sql(lang: str) -> str:

@@ -520,3 +520,31 @@ def test_semdedup_agrees_with_lsh_on_injected_ground_truth(spark, sf_dir):
     assert lsh == sem
     assert lsh, "no pairs — injection not exercised"
     assert all(b == a + 100000 for a, b in lsh), lsh
+
+
+def test_gopher_quality_panel_consistency(spark, sf_dir):
+    """The Gopher-rule columns must be internally consistent per row:
+    type_token_ratio = distinct/total, mean_word_len reconstructs from
+    chars/tokens of single-spaced text, and gopher_pass fires exactly
+    when its three published cuts hold. The fixture must exercise BOTH
+    outcomes of the flag."""
+    rows = _run("q_text_metrics", spark, sf_dir).select(
+        "n_chars", "n_ws_tokens", "n_distinct_ws_tokens",
+        "type_token_ratio", "max_token_len", "mean_word_len", "gopher_pass",
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_distinct_ws_tokens <= r.n_ws_tokens
+        assert abs(r.type_token_ratio - r.n_distinct_ws_tokens / r.n_ws_tokens) == 0
+        assert abs(
+            r.mean_word_len - (r.n_chars - r.n_ws_tokens + 1) / r.n_ws_tokens
+        ) == 0
+        assert 0 < r.max_token_len <= r.n_chars
+        expect = (
+            50 <= r.n_ws_tokens <= 100000
+            and 3.0 <= r.mean_word_len <= 10.0
+            and r.type_token_ratio > 0.2
+        )
+        assert r.gopher_pass == expect, r
+    outcomes = {r.gopher_pass for r in rows}
+    assert outcomes == {True, False}, outcomes
