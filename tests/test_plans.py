@@ -467,3 +467,46 @@ def test_no_unintended_nested_loop_join_in_catalog(spark, sf_dir):
         if flags and name not in NESTED_LOOP_ALLOWLIST:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark, sf_correctness_dir):
+    """At 100 TB a fact↔fact join can't broadcast either side; Spark's
+    runtime bloom filter is the scale path: the selective side's join
+    keys are bloom-aggregated and a might_contain(xxhash64(key)) filter
+    is injected on the probe side BEFORE its shuffle, so rows that
+    can't match never leave the scan stage. This pins that the engine's
+    plans actually get the injection when sizes warrant it (thresholds
+    lowered to fixture scale; broadcast disabled to model two
+    unbroadcastable sides)."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        orders = (
+            load_table(spark, sf_correctness_dir, "orders")
+            .filter("o_orderpriority = '1-URGENT'")
+            .select("o_orderkey", "o_orderpriority")
+        )
+        li = load_table(spark, sf_correctness_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = formatted_plan(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
