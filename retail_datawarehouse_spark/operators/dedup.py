@@ -277,6 +277,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_part.unionByName(span_part)
 
 
+def dedup_against_index(batch: DataFrame, index: DataFrame) -> DataFrame:
+    """Incremental exact dedup: keep only the batch docs whose content
+    hash is absent from a historical fingerprint index — the operational
+    form of exact dedup once a corpus is LIVE (every new crawl/delivery
+    dedups against everything already ingested, not just against
+    itself).
+
+    ``index`` is a one-column (content_hash) relation. At 100 TB the
+    index is far larger than any arriving batch and must never move:
+    store it BUCKETED on content_hash (``write_parquet_table(...,
+    buckets=(n, "content_hash"))``) and the left-anti join plans with
+    the index side reading its buckets in place — the only exchange is
+    the (small) batch shuffling into the index's bucket layout. Proven
+    by ``tests/test_writers.py::
+    test_incremental_dedup_against_bucketed_index_shuffles_batch_only``.
+    """
+    hashed = batch.withColumn("content_hash", F.md5("text"))
+    return hashed.join(index, "content_hash", "left_anti")
+
+
 # --- n-gram Jaccard near-dup ---
 
 

@@ -291,3 +291,45 @@ def test_fixture_schemas_match_declared(sf_dir):
             else:
                 want = spark_kind(f.dataType)
                 assert got == want, f"{name}.{f.name}: fixture {got} != declared {want}"
+
+
+def test_incremental_dedup_against_bucketed_index_shuffles_batch_only(
+    spark, sf_dir, tmpdir
+):
+    """Operational exact dedup: a new batch dedups against the LIVE
+    corpus's fingerprint index. At 100 TB the index dwarfs every batch,
+    so the physical contract is: the index NEVER moves — stored
+    bucketed on content_hash, its side of the left-anti join reads
+    buckets in place and the single exchange in the plan is the small
+    batch shuffling into the index's bucket layout. Broadcast is
+    disabled to model an unbroadcastable index; values are checked too
+    (exactly the never-seen docs survive)."""
+    from pyspark.sql import functions as FF
+
+    from retail_datawarehouse_spark.operators.dedup import dedup_against_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs.filter(FF.col("doc_id") % 3 != 0)
+    write_parquet_table(
+        history.select(FF.md5("text").alias("content_hash")),
+        f"{tmpdir}/fp_index",
+        buckets=(8, "content_hash"),
+        table_name="t_fp_index",
+    )
+    index = spark.table("t_fp_index")
+    batch = docs.filter(FF.col("doc_id") < 60)
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = dedup_against_index(batch, index)
+        plan = formatted_plan(out)
+        assert shuffle_count(out) == 1, plan  # batch side only; index in place
+        assert "LeftAnti" in plan, plan
+        got = {r.doc_id for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS t_fp_index")
+
+    expected = {i for i in range(60) if i % 3 == 0}  # never ingested
+    assert got == expected
