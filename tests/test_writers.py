@@ -333,3 +333,47 @@ def test_incremental_dedup_against_bucketed_index_shuffles_batch_only(
 
     expected = {i for i in range(60) if i % 3 == 0}  # never ingested
     assert got == expected
+
+
+def test_zorder_compaction_gives_every_dimension_file_locality(
+    spark, sf_dir, tmpdir
+):
+    """Z-order vs single-key range clustering, measured by the thing
+    that matters for scan pruning: per-file min/max SPAN of each
+    clustered column as a fraction of its global span (Parquet skips a
+    file when the predicate misses its [min,max]). Single-key
+    clustering makes its own column's per-file spans tiny but leaves
+    the other column's ~full (no pruning on it); z-order by BOTH gives
+    each dimension ~sqrt-of-files locality, so scans filtered on
+    EITHER column prune."""
+    from retail_datawarehouse_spark.sources.writers import compact_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+
+    def mean_span_frac(path, col):
+        back = spark.read.parquet(path)
+        spans = (
+            back.withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max(col) - F.min(col)).alias("span"),
+            )
+            .collect()
+        )
+        g = li.agg((F.max(col) - F.min(col)).alias("g")).collect()[0]["g"]
+        return sum(r.span for r in spans) / (len(spans) * g)
+
+    compact_table(li, f"{tmpdir}/li_1d", target_files=16, range_by=["l_orderkey"])
+    compact_table(
+        li, f"{tmpdir}/li_z", target_files=16, zorder_by=["l_orderkey", "l_partkey"]
+    )
+    assert spark.read.parquet(f"{tmpdir}/li_z").count() == li.count()
+
+    # single-key: own column tightly clustered, other column unpruned
+    assert mean_span_frac(f"{tmpdir}/li_1d", "l_orderkey") < 0.15
+    assert mean_span_frac(f"{tmpdir}/li_1d", "l_partkey") > 0.8
+
+    # z-order: BOTH columns get real locality (16 files ≈ 2 fixed top
+    # bits per dimension → ~1/4 of each key space per file; allow slack)
+    assert mean_span_frac(f"{tmpdir}/li_z", "l_orderkey") < 0.6
+    assert mean_span_frac(f"{tmpdir}/li_z", "l_partkey") < 0.6
