@@ -551,6 +551,126 @@ def q_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_attribution_join_outer(
+    views: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """LEFT OUTER variant of the watermarked stream-stream join: every
+    purchase emits — matched with its in-window views, or NULL-extended
+    once no match can still arrive. The outer side is what makes
+    watermarks LOAD-BEARING for results (not just for state size): a
+    NULL-extended row may only emit when the view-side watermark has
+    passed the purchase's match window (v_ts ≤ p_ts), because until
+    then a matching view could still be in flight. So the streamed
+    output is the batch left-join image MINUS the unmatched purchases
+    newer than (max event time − watermark delay) — still buffered,
+    awaiting proof of no match. State eviction bounds are identical to
+    the inner form."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", WATERMARK)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", WATERMARK)
+    return p.join(
+        v,
+        F.expr(
+            "p_user = v_user AND "
+            "v_ts > p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_event_id",
+        "view_event_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("v_ts").alias("view_ts_us"),
+    )
+
+
+def run_stream_stream_outer_join_available_now(
+    spark: SparkSession, sf_dir: str, name: str = "ssjo_out"
+) -> DataFrame:
+    """Drain the left-outer stream-stream join; must equal the batch
+    image with the watermark cutoff (q_stream_join_attribution_outer)."""
+    landing = make_landing_dir(sf_dir)
+    views = stream_events(spark, landing).filter(F.col("event_type") == "view")
+    purchases = stream_events(spark, landing).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        stream_stream_attribution_join_outer(views, purchases)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+_SSJOIN_OUTER_SQL = f"""
+    SELECT p.user_id,
+           p.event_id AS purchase_event_id,
+           v.event_id AS view_event_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(v.ts) AS view_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts > p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    WHERE v.event_id IS NOT NULL
+       OR p.ts < (SELECT max(ts) FROM events) - INTERVAL {WATERMARK}
+"""
+
+
+def q_stream_join_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch image of the drained left-outer stream-stream join:
+    the plain left join, with NULL-extended rows filtered to purchases
+    the final watermark (max event time − delay, a 1-row in-plan
+    broadcast aggregate) has already proven matchless — exactly the
+    rows append-mode streaming can have emitted."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    bounds = events.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {WATERMARK}")).alias("__wm")
+    )
+    return (
+        p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+            "left",
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("view_event_id").isNotNull() | (F.col("p_ts") < F.col("__wm")))
+        .select(
+            F.col("p_user").alias("user_id"),
+            "purchase_event_id",
+            "view_event_id",
+            F.unix_micros("p_ts").alias("purchase_ts_us"),
+            F.unix_micros("v_ts").alias("view_ts_us"),
+        )
+    )
+
+
 # --- Stream-static enrichment join (broadcast dimension) ----------------
 
 
@@ -724,12 +844,18 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_joins_stateful",
     oracle=f"""
     WITH attr AS ({_SSJOIN_SQL}),
+    outerj AS ({_SSJOIN_OUTER_SQL}),
     enrich AS ({_ENRICH_SQL}),
     stateful AS ({_STATEFUL_SQL})
     SELECT 'attr' AS part, user_id AS k1, CAST(NULL AS VARCHAR) AS k2,
            purchase_ts_us AS t1, view_ts_us AS t2,
            purchase_event_id AS n, CAST(view_event_id AS DOUBLE) AS v
     FROM attr
+    UNION ALL
+    SELECT 'outer', user_id, CAST(NULL AS VARCHAR),
+           purchase_ts_us, view_ts_us,
+           purchase_event_id, CAST(view_event_id AS DOUBLE)
+    FROM outerj
     UNION ALL
     SELECT 'enrich', {_NULL_L}, mktsegment, window_start_epoch, {_NULL_L},
            n_events, total_value
@@ -741,15 +867,26 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stream_joins_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three stateful/join shapes of the streaming layer — the
-    watermarked stream-stream attribution join, the stream-static
-    broadcast enrichment, and the applyInPandasWithState running totals
-    — as one part-tagged union of their batch images. total_cents and
-    view_event_id ride the double column exactly (both < 2^53)."""
+    """The stateful/join shapes of the streaming layer — the
+    watermarked stream-stream attribution join (inner AND left-outer,
+    the outer image carrying the watermark emission cutoff for
+    NULL-extended rows), the stream-static broadcast enrichment, and
+    the applyInPandasWithState running totals — as one part-tagged
+    union of their batch images. total_cents and view_event_id ride
+    the double column exactly (both < 2^53)."""
     null_l = F.lit(None).cast("long")
     null_s = F.lit(None).cast("string")
     attr = q_stream_join_attribution(spark, sf_dir).select(
         F.lit("attr").alias("part"),
+        F.col("user_id").alias("k1"),
+        null_s.alias("k2"),
+        F.col("purchase_ts_us").alias("t1"),
+        F.col("view_ts_us").alias("t2"),
+        F.col("purchase_event_id").alias("n"),
+        F.col("view_event_id").cast("double").alias("v"),
+    )
+    outerj = q_stream_join_attribution_outer(spark, sf_dir).select(
+        F.lit("outer").alias("part"),
         F.col("user_id").alias("k1"),
         null_s.alias("k2"),
         F.col("purchase_ts_us").alias("t1"),
@@ -775,4 +912,6 @@ def q_stream_joins_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("n"),
         F.col("total_cents").cast("double").alias("v"),
     )
-    return attr.unionByName(enrich).unionByName(stateful)
+    return (
+        attr.unionByName(outerj).unionByName(enrich).unionByName(stateful)
+    )

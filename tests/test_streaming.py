@@ -140,3 +140,27 @@ def test_stream_static_enrichment_matches_batch_image(spark, sf_dir):
     a = sorted(map(tuple, streamed.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
+
+
+def test_stream_stream_outer_join_matches_batch_image_with_wm_cutoff(
+    spark, sf_dir
+):
+    """The LEFT OUTER stream-stream join drained with availableNow:
+    matched pairs equal the batch image's, and NULL-extended rows are
+    exactly the unmatched purchases the final watermark has proven
+    matchless (p_ts < max event time − delay) — purchases newer than
+    the cutoff stay buffered and must NOT emit. This pins the append-
+    mode emission semantics, not just the join condition."""
+    from retail_datawarehouse_spark.streaming.pipelines import (
+        run_stream_stream_outer_join_available_now,
+    )
+
+    streamed = run_stream_stream_outer_join_available_now(
+        spark, sf_dir, "ssjo_test"
+    )
+    image = builder("q_stream_join_attribution_outer")(spark, sf_dir)
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, image.collect()))
+    assert a == b and len(a) > 0
+    n_null = sum(1 for r in a if r[2] is None)
+    assert n_null > 0, "no NULL-extended rows — outer semantics unexercised"
