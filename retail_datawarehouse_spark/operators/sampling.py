@@ -312,6 +312,52 @@ def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(prefix < rate).select("doc_id", "source")
 
 
+# --- Per-source quality-percentile cut ---------------------------------
+
+# Drop each source's bottom-percentile documents by a quality signal —
+# the "filter to the best X% per domain" stage every curation pipeline
+# runs between scoring and mixing.
+QCUT_P = 0.3  # survivors are docs at/above their source's p30 score
+
+_QCUT_SCORE_SQL = "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)"
+
+_QCUT_SQL = f"""
+    SELECT s.doc_id, s.source, s.score
+    FROM (SELECT doc_id, source, {_QCUT_SCORE_SQL} AS score FROM documents) s
+    JOIN (SELECT source, quantile_cont({_QCUT_SCORE_SQL}, {QCUT_P}) AS thr
+          FROM documents GROUP BY source) t USING (source)
+    WHERE s.score >= t.thr
+"""
+
+
+def q_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each source's docs scoring at/above that source's
+    ``QCUT_P`` quantile of a quality signal (lexical diversity here —
+    any text-metrics column slots in).
+
+    The 100 TB shape is deliberately NOT a per-source ranking window
+    (one giant source would funnel its whole corpus through a single
+    window partition): phase 1 aggregates only (source, score) pairs
+    into an exact interpolated per-source threshold — a narrow
+    two-column shuffle — and phase 2 is a broadcast threshold join +
+    map-only filter, so the corpus itself never shuffles and skewed
+    source sizes cost nothing. Threshold semantics keep ties (every
+    doc AT the threshold survives): no arbitrary rank tie-break, and
+    Spark's percentile() and DuckDB's quantile_cont interpolate the
+    same sorted multiset identically, so the cut is engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.size(F.array_distinct(F.split("text", " "))).cast("long")
+    scored = docs.select("doc_id", "source", score.alias("score"))
+    thr = scored.groupBy("source").agg(
+        F.percentile("score", QCUT_P).alias("thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("score") >= F.col("thr"))
+        .select("doc_id", "source", "score")
+    )
+
+
 # --- Consolidated catalog entry (driver checks ≤50 sorted names) --------
 
 
@@ -320,7 +366,8 @@ def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH assign AS ({_SPLIT_ASSIGN_SQL}),
     quota AS ({_QUOTA_SQL}),
-    mix AS ({_MIX_SQL})
+    mix AS ({_MIX_SQL}),
+    qcut AS ({_QCUT_SQL})
     SELECT 'split' AS part, doc_id, CAST(NULL AS VARCHAR) AS source,
            split, CAST(NULL AS BIGINT) AS pick
     FROM assign
@@ -330,15 +377,18 @@ def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'mix', doc_id, source, CAST(NULL AS VARCHAR),
            CAST(NULL AS BIGINT)
     FROM mix
+    UNION ALL
+    SELECT 'qcut', doc_id, source, CAST(NULL AS VARCHAR), score FROM qcut
     """,
 )
 def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three deterministic samplers — hash-derived train/val/test
-    assignment, per-source quota top-k, and weighted per-source mixing —
-    as one part-tagged union (round-1 verdict: fold the catalog into the
-    driver's 50-entry window without dropping value coverage). Each
-    part keeps its full output surface; the builders stay importable
-    (the repartition-stability property tests drive them directly)."""
+    """The deterministic samplers — hash-derived train/val/test
+    assignment, per-source quota top-k, weighted per-source mixing, and
+    the per-source quality-percentile cut — as one part-tagged union
+    (round-1 verdict: fold the catalog into the driver's 50-entry
+    window without dropping value coverage). Each part keeps its full
+    output surface; the builders stay importable (the
+    repartition-stability property tests drive them directly)."""
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("long")
     assign = q_split_assign(spark, sf_dir).select(
@@ -353,4 +403,8 @@ def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mix").alias("part"), "doc_id", "source",
         null_s.alias("split"), null_l.alias("pick"),
     )
-    return assign.unionByName(quota).unionByName(mix)
+    qcut = q_quality_percentile_cut(spark, sf_dir).select(
+        F.lit("qcut").alias("part"), "doc_id", "source",
+        null_s.alias("split"), F.col("score").alias("pick"),
+    )
+    return assign.unionByName(quota).unionByName(mix).unionByName(qcut)

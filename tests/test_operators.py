@@ -548,3 +548,51 @@ def test_gopher_quality_panel_consistency(spark, sf_dir):
         assert r.gopher_pass == expect, r
     outcomes = {r.gopher_pass for r in rows}
     assert outcomes == {True, False}, outcomes
+
+
+def test_quality_percentile_cut_semantics_and_plan(spark, sf_dir):
+    """Per-source percentile cut: (1) threshold semantics — every doc
+    at/above its source's p30 survives, everything below drops, so
+    max(dropped) < min(survivors) within a source and roughly the top
+    70% remain; (2) the 100 TB shape — the corpus never shuffles: the
+    plan's only exchange is the narrow (source, score) threshold
+    aggregate, applied back via broadcast join + map filter."""
+    from retail_datawarehouse_spark.operators.sampling import (
+        q_quality_percentile_cut,
+    )
+    from retail_datawarehouse_spark.plans.explain import (
+        formatted_plan,
+        shuffle_count,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    out = q_quality_percentile_cut(spark, sf_dir)
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert shuffle_count(out) <= 1, plan  # threshold agg only
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    score = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id",
+            F.size(F.array_distinct(F.split("text", " "))).alias("s"),
+        ).collect()
+    }
+    by_source = {}
+    for r in docs.select("doc_id", "source").collect():
+        by_source.setdefault(r.source, []).append(r.doc_id)
+    kept = {(r.doc_id, r.source) for r in out.collect()}
+    assert kept
+    for src, ids in by_source.items():
+        surv = [score[i] for i in ids if (i, src) in kept]
+        drop = [score[i] for i in ids if (i, src) not in kept]
+        assert surv, src
+        if drop:
+            assert max(drop) < min(surv), src
+        frac = len(surv) / len(ids)
+        assert 0.6 <= frac <= 1.0, (src, frac)
+    assert any(
+        len([i for i in ids if (i, src) not in kept]) > 0
+        for src, ids in by_source.items()
+    ), "no source dropped anything — cut unexercised"
