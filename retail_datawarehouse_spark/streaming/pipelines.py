@@ -106,11 +106,24 @@ def run_available_now(spark: SparkSession, sf_dir: str, name: str = "stream_out"
     return spark.sql(f"SELECT * FROM {name}")
 
 
-def foreach_batch_upsert(spark: SparkSession, sf_dir: str, target_dir: str) -> None:
+def foreach_batch_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    target_dir: str,
+    landing_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> None:
     """Exactly-once-style sink: per micro-batch, merge new hourly
     aggregates into the target (emulated MERGE: read target, anti-join
     overwritten keys, union, rewrite — the Delta-less upsert pattern;
-    with Delta/Iceberg on the classpath this becomes a real MERGE INTO)."""
+    with Delta/Iceberg on the classpath this becomes a real MERGE INTO).
+
+    ``landing_dir``/``checkpoint_dir`` make the drain INCREMENTAL: with
+    a checkpoint, a later call with more files landed resumes from the
+    recorded source offsets and recovered aggregation state — the
+    restart-recovery contract a production stream runs on (proven by
+    ``tests/test_streaming.py::
+    test_checkpointed_incremental_drains_recover_exactly_once``)."""
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -143,14 +156,16 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str, target_dir: str) -> N
         sess.catalog.refreshByPath(target_dir)
         batch.unpersist()
 
-    events = stream_events(spark, make_landing_dir(sf_dir))
-    q = (
+    events = stream_events(spark, landing_dir or make_landing_dir(sf_dir))
+    writer = (
         tumbling_aggregation(events)
         .writeStream.outputMode("update")
         .foreachBatch(upsert)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     q.awaitTermination(120)
 
 
