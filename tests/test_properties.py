@@ -67,3 +67,63 @@ def test_time_bucket_period_total_cover(spark):
         else "Night"
     )
     assert rows == {h: expect(h) for h in range(24)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=0, max_value=10**9),
+        ),
+        min_size=2,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_zorder_value_interleaves_quantized_bits_exactly(spark, pairs):
+    """zorder_value must be EXACTLY the bit interleaving of the two
+    min-max-quantized coordinates for arbitrary non-negative ints: the
+    even/odd bit planes of z reconstruct each column's quantization,
+    and z stays within 2*bits total bits. This pins the arithmetic the
+    multi-dimension locality guarantee rests on (a bit-order bug would
+    still 'cluster' but on a garbled curve)."""
+    from pyspark.sql import functions as FF
+
+    from retail_datawarehouse_spark.sources.writers import (
+        ZORDER_BITS,
+        zorder_value,
+    )
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    bounds = df.agg(
+        *[
+            agg(c).alias(f"__{tag}_{c}")
+            for c in ("a", "b")
+            for tag, agg in (("min", FF.min), ("max", FF.max))
+        ]
+    )
+    rows = (
+        df.crossJoin(FF.broadcast(bounds))
+        .withColumn("z", zorder_value(df, ["a", "b"]))
+        .collect()
+    )
+    los = {c: min(p[i] for p in pairs) for i, c in enumerate("ab")}
+    his = {c: max(p[i] for p in pairs) for i, c in enumerate("ab")}
+
+    def quant(v, c):
+        span = his[c] - los[c]
+        if span <= 0:
+            return 0
+        import math
+
+        return math.floor((v - los[c]) * ((1 << ZORDER_BITS) - 1) / span)
+
+    for r in rows:
+        qa, qb = quant(r.a, "a"), quant(r.b, "b")
+        expect = 0
+        for j in range(ZORDER_BITS):
+            expect |= ((qa >> j) & 1) << (2 * j)
+            expect |= ((qb >> j) & 1) << (2 * j + 1)
+        assert r.z == expect, (r.a, r.b, r.z, expect)
+        assert 0 <= r.z < (1 << (2 * ZORDER_BITS))
