@@ -216,6 +216,66 @@ def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_chunks(with_binary_payload(docs))
 
 
+# --- Token chunking with overlap (embedding-pipeline text prep) ---------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def token_chunk_frame(docs: DataFrame) -> DataFrame:
+    """Overlapping token chunks — how documents are actually fed to an
+    embedding model (fixed window, stride < window so no boundary
+    sentence is lost). Chunk k covers tokens [k·stride, k·stride+size);
+    k runs while k·stride < n, so every doc yields ≥1 chunk and the
+    tail chunk may be short.
+
+    Deliberate contrast with :func:`sample_chunks` (the BYTE chunker):
+    that one exercises the Arrow ``mapInPandas`` kernel path; this one
+    is pure JVM array HOFs over one hoisted tokenization — zero Python,
+    zero exchanges, the 1→N explosion stays inside whole-stage codegen.
+    Emits (doc_id, chunk_idx, n_toks, chunk_md5)."""
+    toksed = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return (
+        toksed.select(
+            "doc_id",
+            "toks",
+            F.posexplode(
+                F.expr(f"sequence(0, (size(toks) - 1) div {CHUNK_STRIDE})")
+            ).alias("_p", "k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("chunk_idx"),
+            F.size(
+                F.expr(f"slice(toks, k * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})")
+            )
+            .cast("long")
+            .alias("n_toks"),
+            F.md5(
+                F.expr(
+                    f"concat_ws(' ', slice(toks, k * {CHUNK_STRIDE} + 1,"
+                    f" {CHUNK_TOKENS}))"
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+_TCHUNK_SQL = f"""
+    SELECT doc_id, CAST(g.k AS BIGINT) AS chunk_idx,
+           CAST(len(toks[g.k * {CHUNK_STRIDE} + 1
+                         : g.k * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS BIGINT)
+               AS n_toks,
+           md5(array_to_string(
+               toks[g.k * {CHUNK_STRIDE} + 1
+                    : g.k * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
+               AS chunk_md5
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS k) g
+    WHERE g.k * {CHUNK_STRIDE} < len(toks)
+"""
+
+
 # --- Consolidated catalog entry (driver checks ≤50 sorted names) --------
 
 
@@ -224,6 +284,7 @@ def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH meta AS ({_META_SQL}),
     chunks AS ({_CHUNKS_SQL}),
+    tchunks AS ({_TCHUNK_SQL}),
     feats AS ({_FEATURES_SQL})
     SELECT 'meta' AS part, doc_id, payload_bytes AS i1,
            first_byte AS i2, payload_md5 AS s1, CAST(NULL AS DOUBLE) AS d1
@@ -236,6 +297,10 @@ def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'feat', doc_id, byte_min, byte_max, CAST(NULL AS VARCHAR),
            byte_mean
     FROM feats
+    UNION ALL
+    SELECT 'tchunk', doc_id, chunk_idx, n_toks, chunk_md5,
+           CAST(NULL AS DOUBLE)
+    FROM tchunks
     """,
 )
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,7 +309,9 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('chunk'), and the mapInPandas featurizer ('feat' — previously the
     catalog's only rows-only entry, now hash-checked because the fake
     featurizer's byte statistics are SQL-expressible over the ASCII
-    payload). The decode slot behind the featurizer remains the one
+    payload), plus the pure-JVM overlapping TOKEN chunker ('tchunk' —
+    the embedding-model text prep, zero Python by contrast with the
+    Arrow byte chunker). The decode slot behind the featurizer remains the one
     documented NotImplementedError stub (no imaging libs in the
     container); everything around it is value-verified."""
     docs = load_table(spark, sf_dir, "documents")
@@ -274,4 +341,14 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_s.alias("s1"),
         F.col("byte_mean").alias("d1"),
     )
-    return meta.unionByName(chunks).unionByName(feats)
+    tchunks = token_chunk_frame(docs).select(
+        F.lit("tchunk").alias("part"),
+        "doc_id",
+        F.col("chunk_idx").alias("i1"),
+        F.col("n_toks").alias("i2"),
+        F.col("chunk_md5").alias("s1"),
+        null_d.alias("d1"),
+    )
+    return (
+        meta.unionByName(chunks).unionByName(feats).unionByName(tchunks)
+    )

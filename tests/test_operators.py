@@ -596,3 +596,46 @@ def test_quality_percentile_cut_semantics_and_plan(spark, sf_dir):
         len([i for i in ids if (i, src) not in kept]) > 0
         for src, ids in by_source.items()
     ), "no source dropped anything — cut unexercised"
+
+
+def test_token_chunker_tiles_docs_with_overlap(spark, sf_dir):
+    """Overlapping token chunking: chunk k starts at k·stride, so (1)
+    chunk count per doc = floor((n−1)/stride)+1 — every token covered,
+    ≥1 chunk per doc; (2) all non-tail chunks carry exactly CHUNK_TOKENS
+    tokens and consecutive full chunks overlap by size−stride; (3) the
+    first chunk's md5 equals a direct hash of the first CHUNK_TOKENS
+    tokens; (4) the whole 1→N explosion is map-only (zero exchanges)."""
+    import hashlib
+
+    from retail_datawarehouse_spark.operators.multimodal import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        token_chunk_frame,
+    )
+    from retail_datawarehouse_spark.plans.explain import shuffle_count
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = token_chunk_frame(docs)
+    assert shuffle_count(out) == 0
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    chunks = {}
+    for r in out.collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    assert chunks.keys() == texts.keys()
+    for doc_id, text in texts.items():
+        toks = text.split(" ")
+        n = len(toks)
+        got = chunks[doc_id]
+        assert len(got) == (n - 1) // CHUNK_STRIDE + 1, doc_id
+        for k, r in got.items():
+            start = k * CHUNK_STRIDE
+            expect_toks = toks[start : start + CHUNK_TOKENS]
+            assert r.n_toks == len(expect_toks), (doc_id, k)
+            if start + CHUNK_TOKENS <= n:
+                assert r.n_toks == CHUNK_TOKENS
+        first = hashlib.md5(
+            " ".join(toks[:CHUNK_TOKENS]).encode()
+        ).hexdigest()
+        assert got[0].chunk_md5 == first, doc_id
