@@ -855,6 +855,27 @@ def connected_components(
     return labels
 
 
+def _pr_oracle_ctes() -> str:
+    from retail_datawarehouse_spark.operators.graph import (
+        PR_ITERS,
+        pagerank_sql_ctes,
+    )
+
+    return f"""prnodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+    pr_raw AS (
+        SELECT x.l_partkey AS u, y.l_partkey AS v
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+    ),
+    predges AS (
+        SELECT e.u, e.v, o.d
+        FROM pr_raw e
+        JOIN (SELECT u, COUNT(*) AS d FROM pr_raw GROUP BY u) o ON e.u = o.u
+    ),
+    {pagerank_sql_ctes()},
+    prfinal AS (SELECT node, rq FROM r{PR_ITERS})"""
+
+
 @register(
     "q_dedup_components",
     oracle=f"""
@@ -868,24 +889,48 @@ def connected_components(
         SELECT doc_id, doc_id FROM documents
         UNION
         SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.v
-    )
-    SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+    ),
+    {_pr_oracle_ctes()}
+    SELECT 'cc' AS part, v AS node, MIN(r) AS val FROM reach GROUP BY v
+    UNION ALL
+    SELECT 'pr', node, rq FROM prfinal
     """,
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup GROUP resolution: MinHash-LSH pairs → connected
-    components → (doc_id, component) where component = min doc id of
-    the duplicate cluster (docs with no near-dup label themselves).
-    The keep-list is then ``component = doc_id`` rows. The oracle
-    states the same fixpoint as a recursive transitive closure —
-    viable for DuckDB at test scale, quadratic-in-component-size at
-    100 TB, which is exactly why the engine runs label propagation
-    (linear per round, diameter-bounded rounds) instead."""
+    """The iterative-graph-analytics family, one part-tagged hash gate:
+
+    - part 'cc': near-dup GROUP resolution — MinHash-LSH pairs →
+      connected components → (doc, component = min doc id of the
+      duplicate cluster; docs with no near-dup label themselves). The
+      keep-list is the ``component = node`` rows. The oracle states
+      the same fixpoint as a recursive transitive closure — viable for
+      DuckDB at test scale, quadratic-in-component-size at 100 TB,
+      which is exactly why the engine runs label propagation (linear
+      per round, diameter-bounded rounds) instead.
+    - part 'pr': fixed-point PageRank over the co-purchase graph
+      (parts sharing an order), 5 exact integer iterations — the
+      importance score a curation pipeline uses to pick canonical
+      items; int64 fixed-point arithmetic is what makes an ITERATIVE
+      float algorithm hash-comparable cross-engine at all (the oracle
+      unrolls the same five rounds as chained CTEs)."""
+    from retail_datawarehouse_spark.operators.graph import (
+        copurchase_edges,
+        pagerank_fixed_point,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     vertices = docs.select(F.col("doc_id").alias("v"))
-    return connected_components(vertices, pairs).select(
-        F.col("v").alias("doc_id"), "component"
+    cc = connected_components(vertices, pairs).select(
+        F.lit("cc").alias("part"),
+        F.col("v").alias("node"),
+        F.col("component").alias("val"),
     )
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = pagerank_fixed_point(
+        li.select(F.col("l_partkey").alias("node")).distinct(),
+        copurchase_edges(li),
+    ).select(F.lit("pr").alias("part"), "node", F.col("rq").alias("val"))
+    return cc.unionByName(pr)

@@ -280,9 +280,10 @@ def test_components_are_a_valid_partition_of_dup_edges(spark, sf_correctness_dir
     from retail_datawarehouse_spark.registry import catalog
 
     comp = {
-        r.doc_id: r.component
+        r.node: r.val
         for r in catalog()["q_dedup_components"]
         .builder(spark, sf_correctness_dir)
+        .filter("part = 'cc'")
         .collect()
     }
     pairs = builder("q_dedup_minhash_lsh")(
@@ -639,3 +640,39 @@ def test_token_chunker_tiles_docs_with_overlap(spark, sf_dir):
             " ".join(toks[:CHUNK_TOKENS]).encode()
         ).hexdigest()
         assert got[0].chunk_md5 == first, doc_id
+
+
+def test_pagerank_fixed_point_bounds_and_partition_stability(spark, sf_dir):
+    """Fixed-point PageRank invariants: (1) every rank ≥ the teleport
+    base (nothing below 0.15) and total mass stays within [N·base,
+    N·1.0] (floor losses + dangling leak only shrink it); (2) ranks
+    are BIT-IDENTICAL under a different edge partitioning — the whole
+    point of integer accumulation (a float PageRank's partial-sum
+    order would differ); (3) some node actually gained rank (the graph
+    is non-trivial)."""
+    from retail_datawarehouse_spark.operators.graph import (
+        PR_BASE_Q,
+        PR_Q,
+        copurchase_edges,
+        pagerank_fixed_point,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    edges = copurchase_edges(li)
+    r1 = {r.node: r.rq for r in pagerank_fixed_point(nodes, edges).collect()}
+    assert r1
+    n = len(r1)
+    total = sum(r1.values())
+    assert all(rq >= PR_BASE_Q for rq in r1.values())
+    assert n * PR_BASE_Q <= total <= n * PR_Q
+    assert max(r1.values()) > PR_BASE_Q
+
+    r2 = {
+        r.node: r.rq
+        for r in pagerank_fixed_point(
+            nodes.repartition(7), edges.repartition(13)
+        ).collect()
+    }
+    assert r1 == r2
