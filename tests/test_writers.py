@@ -377,3 +377,31 @@ def test_zorder_compaction_gives_every_dimension_file_locality(
     # bits per dimension → ~1/4 of each key space per file; allow slack)
     assert mean_span_frac(f"{tmpdir}/li_z", "l_orderkey") < 0.6
     assert mean_span_frac(f"{tmpdir}/li_z", "l_partkey") < 0.6
+
+
+def test_schema_evolution_merge_read_across_file_generations(
+    spark, sf_dir, tmpdir
+):
+    """Lakehouse schema evolution: files written before a column was
+    added coexist with files written after. A mergeSchema read must
+    return the superset schema, NULL-filling the old generation — and
+    exactly the old generation (no value bleed). At 100 TB this is how
+    a column lands without rewriting petabytes of history."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "priority_tag", F.lit("migrated")
+    )
+    v1.write.parquet(f"{tmpdir}/evo", mode="overwrite")
+    v2.write.parquet(f"{tmpdir}/evo", mode="append")
+
+    back = spark.read.option("mergeSchema", "true").parquet(f"{tmpdir}/evo")
+    assert set(back.columns) == {"o_orderkey", "o_totalprice", "priority_tag"}
+    assert back.count() == orders.count()
+    nulls = back.filter(F.col("priority_tag").isNull())
+    assert nulls.count() == v1.count()
+    assert nulls.filter(F.col("o_orderkey") % 2 == 1).count() == 0
+    tagged = back.filter(F.col("priority_tag") == "migrated")
+    assert tagged.count() == v2.count()
