@@ -120,6 +120,88 @@ def sketch_countmin_event_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CMS-guided heavy hitters (two-phase, exact-verified) ---------------
+#
+# The pattern for "which keys exceed θ·N" when the key domain is too
+# large for a full groupBy (URLs, n-grams): phase 1 builds the D×W CMS
+# over the raw token stream (map-local explode, kilobytes of state);
+# phase 2 probes candidate keys — est ≥ exact ALWAYS, so keys with
+# est < θ·N are provably not heavy and the candidate set is a
+# guaranteed superset; phase 3 exact-counts ONLY the candidates
+# (broadcast semi-join scoped) and keeps those truly ≥ θ·N, discarding
+# CMS false positives. On the fixture the probe set is the vocabulary
+# (tiny); at scale candidates come from a per-partition top-k pre-pass.
+HH_INV = 512  # heavy = frequency > total/512
+
+_HH_TOKEN_BUCKET_SPARK = (
+    "CAST(conv(substr(md5(concat(CAST(k AS STRING), '#', token)), 1, 12), "
+    f"16, 10) AS BIGINT) % {CMS_W}"
+)
+_HH_TOKEN_BUCKET_DUCK = (
+    "(('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || token), 1, 12))"
+    f"::BIGINT) % {CMS_W}"
+)
+
+
+def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-verified heavy-hitter tokens over the document corpus:
+    CMS candidates (no false negatives) → candidate-scoped exact
+    verification (no false positives). Emits (token, exact_n, est_n)
+    for tokens with exact_n · HH_INV ≥ total tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    cells = toks.select(
+        F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("k"), "token"
+    ).select("k", F.expr(_HH_TOKEN_BUCKET_SPARK).alias("bucket"))
+    cms = cells.groupBy("k", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    total = tc.agg(F.sum("exact_n").alias("total"))
+    est = (
+        tc.select(
+            "token",
+            "exact_n",
+            F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("k"),
+        )
+        .withColumn("bucket", F.expr(_HH_TOKEN_BUCKET_SPARK))
+        .join(F.broadcast(cms), ["k", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        # candidate cut on the ESTIMATE (the only cut a huge domain
+        # affords pre-verification), then the exact verification cut
+        .filter(F.col("est_n") * HH_INV >= F.col("total"))
+        .filter(F.col("exact_n") * HH_INV >= F.col("total"))
+        .select("token", "exact_n", "est_n")
+    )
+
+
+_HH_SQL = f"""
+    hh_toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hh_cells AS (
+        SELECT k, {_HH_TOKEN_BUCKET_DUCK} AS bucket
+        FROM hh_toks, generate_series(0, {CMS_D - 1}) AS g(k)
+    ),
+    hh_cms AS (SELECT k, bucket, COUNT(*) AS c FROM hh_cells GROUP BY 1, 2),
+    hh_tc AS (SELECT token, COUNT(*) AS exact_n FROM hh_toks GROUP BY 1),
+    hh_total AS (SELECT SUM(exact_n) AS total FROM hh_tc),
+    hh_est AS (
+        SELECT p.token, p.exact_n, MIN(c.c) AS est_n
+        FROM (SELECT token, exact_n, k, {_HH_TOKEN_BUCKET_DUCK} AS bucket
+              FROM hh_tc, generate_series(0, {CMS_D - 1}) AS g(k)) p
+        JOIN hh_cms c ON p.k = c.k AND p.bucket = c.bucket
+        GROUP BY 1, 2
+    ),
+    hh AS (
+        SELECT token, exact_n, est_n
+        FROM hh_est, hh_total
+        WHERE est_n * {HH_INV} >= total AND exact_n * {HH_INV} >= total
+    )"""
+
+
 _CMS_SQL = f"""
     cms_cells AS (
         SELECT k, {_CMS_BUCKET_DUCK} AS bucket
@@ -145,7 +227,8 @@ _CMS_SQL = f"""
 @register(
     "q_sketch_suite",
     oracle=f"""
-    WITH {_CMS_SQL}
+    WITH {_CMS_SQL},
+    {_HH_SQL}
     SELECT 'hll' AS part, p_brand AS key,
            COUNT(DISTINCT l_partkey) AS exact_n,
            CAST(NULL AS BIGINT) AS est_n, TRUE AS within_bound
@@ -158,6 +241,9 @@ _CMS_SQL = f"""
     UNION ALL
     SELECT 'cms', event_type, exact_n, est_n, TRUE
     FROM cms_est
+    UNION ALL
+    SELECT 'hh', token, exact_n, est_n, TRUE
+    FROM hh
     """,
 )
 def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +257,10 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     'cms' is the md5-deterministic Count-Min build whose per-key
     ESTIMATE is itself hash-compared (est_n), certified against the
     sketch's one deterministic guarantee est ≥ exact (the ε·N
-    tightness assertion lives in tests)."""
+    tightness assertion lives in tests), and 'hh' is the CMS-guided
+    exact-verified heavy-hitter pipeline (candidates from estimates —
+    no false negatives; verification on candidates only — no false
+    positives; both cuts hash-compared)."""
     null_l = F.lit(None).cast("long")
     hll = sketch_distinct_parts_per_brand(spark, sf_dir).select(
         F.lit("hll").alias("part"),
@@ -206,4 +295,11 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_n",
         (F.col("est_n") >= F.col("exact_n")).alias("within_bound"),
     )
-    return hll.unionByName(quant).unionByName(cms)
+    hh = sketch_heavy_hitter_tokens(spark, sf_dir).select(
+        F.lit("hh").alias("part"),
+        F.col("token").alias("key"),
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("within_bound"),
+    )
+    return hll.unionByName(quant).unionByName(cms).unionByName(hh)

@@ -676,3 +676,37 @@ def test_pagerank_fixed_point_bounds_and_partition_stability(spark, sf_dir):
         ).collect()
     }
     assert r1 == r2
+
+
+def test_heavy_hitters_exact_verified_no_false_results(spark, sf_correctness_dir):
+    """CMS-guided heavy hitters must equal the ground-truth set a full
+    groupBy would give (candidates have no false negatives because
+    est ≥ exact; verification removes the false positives), and every
+    emitted estimate must sit at or above its exact count. The fixture
+    separates cleanly: ~30 heavy generator words vs the rare 'dup'
+    marker token far under total/HH_INV."""
+    from retail_datawarehouse_spark.operators.sketches import (
+        HH_INV,
+        sketch_heavy_hitter_tokens,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    got = {
+        r.token: (r.exact_n, r.est_n)
+        for r in sketch_heavy_hitter_tokens(spark, sf_correctness_dir).collect()
+    }
+    docs = load_table(spark, sf_correctness_dir, "documents")
+    tc = {
+        r.token: r.n
+        for r in docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(tc.values())
+    truth = {t for t, n in tc.items() if n * HH_INV >= total}
+    assert set(got) == truth
+    assert truth and len(truth) < len(tc), "threshold separates nothing"
+    for t, (exact_n, est_n) in got.items():
+        assert exact_n == tc[t]
+        assert est_n >= exact_n

@@ -439,12 +439,14 @@ def test_entity_resolution_blocked_join_no_corpus_shuffle(spark, sf_dir):
 # map-side argmax shape); its pair join is pinned as a cell equi-join
 # by test_embedding_dedup_is_bucket_equi_join. q_stream_joins_stateful's
 # outer part carries the watermark emission cutoff as a 1-row bounds
-# broadcast (max event time − delay), same N×1 shape.
+# broadcast (max event time − delay), same N×1 shape. q_sketch_suite's
+# hh part broadcasts the 1-row corpus token total for the θ·N cuts.
 NESTED_LOOP_ALLOWLIST = {
     "q55_snapshot_lifetime_read",
     "q_ann_topk_suite",
     "q_dedup_embedding_cosine",
     "q_fact_monthly_snapshot",
+    "q_sketch_suite",
     "q_snapshot_incremental_mom",
     "q_stream_joins_stateful",
     "q_text_mining",
