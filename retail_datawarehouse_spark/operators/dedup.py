@@ -334,6 +334,107 @@ def ngram_jaccard_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Containment near-dup (asymmetric: truncations / quotations) -------
+
+CONTAIN_THRESHOLD = 0.9
+CONTAIN_INJECT_MOD = 70
+
+
+def containment_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup by shingle CONTAINMENT — max(|A∩B|/|A|,
+    |A∩B|/|B|). Jaccard divides by the UNION, so a short doc fully
+    contained in a long one (a truncation, an excerpt, a quoted
+    passage) scores only ~|A|/|B| and slips under symmetric
+    thresholds; containment scores it 1.0. Same inverted-index
+    machinery and df cap as the Jaccard verifier — one co-shingle
+    join, per-doc sizes attached from a count aggregate.
+
+    Fixture docs share no natural containment, so it is injected like
+    the other dedup parts: every ``CONTAIN_INJECT_MOD``-th doc
+    re-arrives under id+200000 truncated to its first half — Jaccard
+    ≈ 0.5 on those pairs (a prefix's shingles are a subset, union is
+    the full doc), containment exactly 1.0."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = docs.filter(F.col("doc_id") % CONTAIN_INJECT_MOD == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(
+            F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) div 2)"),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(trunc)
+    shingled = drop_hot_shingles(
+        corpus.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= SHINGLE_N)
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
+    )
+    sizes = shingle_sizes(shingled)
+    a = shingled.withColumnsRenamed({"doc_id": "doc_a"})
+    b = shingled.withColumnsRenamed({"doc_id": "doc_b"})
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .withColumn(
+            "containment",
+            F.greatest(
+                F.col("n_inter").cast("double") / F.col("na"),
+                F.col("n_inter").cast("double") / F.col("nb"),
+            ),
+        )
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+        .select("doc_a", "doc_b", "n_inter", "na", "nb", "containment")
+    )
+
+
+_CONTAIN_SQL = f"""
+    cont_corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000,
+               array_to_string(
+                   string_split(text, ' ')[1:len(string_split(text, ' ')) // 2],
+                   ' ')
+        FROM documents WHERE doc_id % {CONTAIN_INJECT_MOD} = 0
+    ),
+    cont_sh_raw AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - {SHINGLE_N - 1}),
+                   i -> array_to_string(
+                       string_split(text, ' ')[i:i+{SHINGLE_N - 1}], ' ')
+               ))) AS sh
+        FROM cont_corpus
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_N}
+    ),
+    cont_sh AS (
+        SELECT doc_id, sh FROM cont_sh_raw
+        WHERE sh NOT IN (SELECT sh FROM cont_sh_raw
+                         GROUP BY sh HAVING COUNT(*) > {MAX_SHINGLE_DF})
+    ),
+    cont_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM cont_sh GROUP BY 1),
+    cont AS (
+        SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_sh AS na, sb.n_sh AS nb,
+               GREATEST(CAST(i.n_inter AS DOUBLE) / sa.n_sh,
+                        CAST(i.n_inter AS DOUBLE) / sb.n_sh) AS containment
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM cont_sh a JOIN cont_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) i
+        JOIN cont_sizes sa ON i.doc_a = sa.doc_id
+        JOIN cont_sizes sb ON i.doc_b = sb.doc_id
+        WHERE GREATEST(CAST(i.n_inter AS DOUBLE) / sa.n_sh,
+                       CAST(i.n_inter AS DOUBLE) / sb.n_sh)
+              >= {CONTAIN_THRESHOLD}
+    )"""
+
+
 # --- Blocked fuzzy entity resolution (approximate string join) ---
 
 ER_INJECT_MOD = 53
@@ -424,7 +525,8 @@ _ER_SQL = f"""
         FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    {_ER_SQL}
+    {_ER_SQL},
+    {_CONTAIN_SQL}
     SELECT 'jaccard' AS part, i.doc_a, i.doc_b, i.n_inter,
            sa.n_sh AS na, sb.n_sh AS nb,
            CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard,
@@ -440,6 +542,10 @@ _ER_SQL = f"""
            len_dirty, len_clean, CAST(NULL AS DOUBLE),
            edit_distance, block_key
     FROM er
+    UNION ALL
+    SELECT 'contain', doc_a, doc_b, n_inter, na, nb, containment,
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM cont
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,7 +558,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       ER_MAX_DISTANCE over a first-character blocking join (see
       :func:`entity_resolution_frame`), the approximate string join
       for keyless second-source records. (doc_a, doc_b) carry the
-      (dirty, clean) ids; (na, nb) carry the name lengths."""
+      (dirty, clean) ids; (na, nb) carry the name lengths.
+    - part 'contain': asymmetric CONTAINMENT near-dup (see
+      :func:`containment_frame`) — catches truncations/excerpts whose
+      Jaccard sits at ~|A|/|B|; the 'jaccard' value column carries the
+      containment score for this part."""
     null_l = F.lit(None).cast("long")
     jac = ngram_jaccard_frame(spark, sf_dir).select(
         F.lit("jaccard").alias("part"),
@@ -476,7 +586,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "edit_distance",
         "block_key",
     )
-    return jac.unionByName(er)
+    cont = containment_frame(spark, sf_dir).select(
+        F.lit("contain").alias("part"),
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "na",
+        "nb",
+        F.col("containment").alias("jaccard"),
+        null_l.alias("edit_distance"),
+        F.lit(None).cast("string").alias("block_key"),
+    )
+    return jac.unionByName(er).unionByName(cont)
 
 
 # --- MinHash-LSH ---

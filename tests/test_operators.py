@@ -710,3 +710,53 @@ def test_heavy_hitters_exact_verified_no_false_results(spark, sf_correctness_dir
     for t, (exact_n, est_n) in got.items():
         assert exact_n == tc[t]
         assert est_n >= exact_n
+
+
+def test_containment_catches_truncations_jaccard_misses(spark, sf_correctness_dir):
+    """The asymmetric detector's reason to exist: every injected
+    truncated copy (first half of a source doc) must surface with
+    containment ≈ 1.0 — every prefix shingle is in the source — while
+    the SAME pair's Jaccard sits near |A|/|B| ≈ 0.5, under typical
+    symmetric thresholds. Also: every injected pair is recovered, and
+    no spurious pair crosses the 0.9 containment cut."""
+    from retail_datawarehouse_spark.operators.dedup import (
+        CONTAIN_INJECT_MOD,
+        containment_frame,
+    )
+
+    rows = containment_frame(spark, sf_correctness_dir).collect()
+    assert rows
+    trunc = [
+        r
+        for r in rows
+        if r.doc_b == r.doc_a + 200000 and r.doc_a % CONTAIN_INJECT_MOD == 0
+    ]
+    assert len(trunc) >= 5
+    for r in trunc:
+        assert r.containment >= 0.99, r
+        jaccard = r.n_inter / (r.na + r.nb - r.n_inter)
+        # the symmetric score misses exactly what containment catches
+        assert jaccard < 0.7, r
+    # every doc injected as a truncation source must be recovered
+    src_ids = {
+        x.doc_id
+        for x in spark.read.parquet(f"{sf_correctness_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+        if x.doc_id % CONTAIN_INJECT_MOD == 0
+    }
+    assert {r.doc_a for r in trunc} == src_ids
+    # remaining pairs must be explainable, not invented: either both
+    # ids are original docs (fixture-native symmetric near-dups, high
+    # Jaccard too) or the pair involves a truncated doc contained in a
+    # NEAR-DUP of its source (transitive containment — e.g. trunc(420)
+    # inside 420's fixture near-dup 393)
+    for r in rows:
+        if r in trunc:
+            continue
+        if r.doc_a < 200000 and r.doc_b < 200000:
+            jaccard = r.n_inter / (r.na + r.nb - r.n_inter)
+            assert jaccard >= 0.7, r
+        else:
+            assert max(r.doc_a, r.doc_b) >= 200000
+            assert r.containment >= 0.9, r
