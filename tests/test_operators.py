@@ -21,7 +21,9 @@ def test_minhash_lsh_recall_vs_exhaustive(spark, sf_correctness_dir):
     lsh = _run("q_dedup_minhash_lsh", spark, sf_correctness_dir)
     high = set(
         (r.doc_a, r.doc_b)
-        for r in exhaustive.filter(F.col("jaccard") >= 0.9).collect()
+        for r in exhaustive.filter(
+            (F.col("part") == "jaccard") & (F.col("jaccard") >= 0.9)
+        ).collect()
     )
     found = set((r.doc_a, r.doc_b) for r in lsh.collect())
     assert high, "fixture should contain injected near-duplicates"
@@ -52,7 +54,7 @@ def test_simhash_near_dups_are_close(spark, sf_correctness_dir):
     }
     pairs = (
         _run("q_dedup_ngram_jaccard", spark, sf_correctness_dir)
-        .filter(F.col("jaccard") >= 0.9)
+        .filter((F.col("part") == "jaccard") & (F.col("jaccard") >= 0.9))
         .collect()
     )
     assert pairs
