@@ -515,3 +515,82 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark, sf_correctne
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# Per-entry shuffle-count ceilings, recorded from the shipped plans
+# (sf0.001, the fixture the plan tests run on). Exchange count is the
+# unit of cost at 100 TB, so ANY increase anywhere in the catalog must
+# be a conscious decision: lowering a count is free (improvement);
+# exceeding it fails here with the entry named. Iterative entries
+# (components: CC label-propagation rounds + PageRank's five unrolled
+# iterations) legitimately carry large STATIC counts — their runtime
+# is bounded by the per-round persists — but even they get a ceiling
+# so an accidental extra per-round exchange is caught.
+SHUFFLE_BUDGET = {
+    "q51_sales_by_hour": 2,
+    "q52_top10_products": 1,
+    "q53_sales_by_shipping_tier": 3,
+    "q54_rising_spend_customers": 2,
+    "q55_snapshot_lifetime_read": 4,
+    "q_ann_topk_suite": 9,
+    "q_corpus_shard": 1,
+    "q_customer_derived_attrs": 1,
+    "q_decontaminate_suite": 4,
+    "q_dedup_components": 151,
+    "q_dedup_embedding_cosine": 5,
+    "q_dedup_exact": 3,
+    "q_dedup_minhash_lsh": 16,
+    "q_dedup_ngram_jaccard": 14,
+    "q_dedup_simhash": 1,
+    "q_dim_customer": 1,
+    "q_dim_date": 1,
+    "q_dim_extracted_suite": 5,
+    "q_dim_product": 1,
+    "q_dim_time_of_day": 0,
+    "q_embedding_suite": 1,
+    "q_etl_audit_metrics": 0,
+    "q_etl_clean_staging": 1,
+    "q_etl_stages_suite": 5,
+    "q_event_funnel_asof": 2,
+    "q_fact_monthly_snapshot": 4,
+    "q_fact_sales": 4,
+    "q_grouping_sets_suite": 3,
+    "q_json_props_stats": 1,
+    "q_merge_upsert_customers": 2,
+    "q_multimodal_suite": 0,
+    "q_pack_sequences": 1,
+    "q_percentile_order_value": 1,
+    "q_pivot_status_by_priority": 2,
+    "q_range_join_price_bands": 1,
+    "q_rank_topk_suite": 3,
+    "q_sample_suite": 2,
+    "q_scd2_build": 2,
+    "q_scd2_point_in_time": 2,
+    "q_sessionize_batch": 1,
+    "q_setops_purchase_error_users": 6,
+    "q_sink_csv_roundtrip": 0,
+    "q_sink_warehouse_roundtrip": 1,
+    "q_sketch_suite": 9,
+    "q_snapshot_incremental_mom": 17,
+    "q_split_leakage_report": 16,
+    "q_stream_joins_stateful": 3,
+    "q_stream_windows": 3,
+    "q_text_metrics": 0,
+    "q_text_mining": 7,
+}
+
+
+def test_catalog_shuffle_budget(spark, sf_dir):
+    """Shuffle-creep canary over ALL 50 entries: each plan's Exchange
+    count must stay at or under its recorded ceiling. A new stage that
+    adds an exchange anywhere fails with the entry named instead of
+    surfacing as a silently costlier plan at scale."""
+    assert set(SHUFFLE_BUDGET) == set(catalog()), (
+        "catalog changed — update SHUFFLE_BUDGET deliberately"
+    )
+    over = {}
+    for name, q in sorted(catalog().items()):
+        n = shuffle_count(q.builder(spark, sf_dir))
+        if n > SHUFFLE_BUDGET[name]:
+            over[name] = (n, SHUFFLE_BUDGET[name])
+    assert not over, f"shuffle budget exceeded (got, ceiling): {over}"
