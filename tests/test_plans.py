@@ -585,6 +585,11 @@ def test_catalog_shuffle_budget(spark, sf_dir):
     count must stay at or under its recorded ceiling. A new stage that
     adds an exchange anywhere fails with the entry named instead of
     surfacing as a silently costlier plan at scale."""
+    # Earlier tests leave persisted frames behind, and Spark's
+    # CacheManager substitutes them into ANY later identical logical
+    # plan — which changes Exchange counts. Measure from a clean cache
+    # so the ceilings are context-independent.
+    spark.catalog.clearCache()
     assert set(SHUFFLE_BUDGET) == set(catalog()), (
         "catalog changed — update SHUFFLE_BUDGET deliberately"
     )
