@@ -88,9 +88,26 @@ def curated(spark, sf_dir):
         .select("doc_id", "text")
     )
 
+    # 4b. per-source quality-percentile cut (the "keep the best X% per
+    # domain" stage): exact per-source threshold from a narrow
+    # (source, score) aggregate, applied via broadcast + map-only
+    # filter — the surviving corpus itself never shuffles.
+    from retail_datawarehouse_spark.operators.sampling import QCUT_P
+
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = survivors.join(src, "doc_id").withColumn(
+        "score", F.size(F.array_distinct(F.split("text", " "))).cast("long")
+    )
+    thr = scored.groupBy("source").agg(F.percentile("score", QCUT_P).alias("thr"))
+    qcut_survivors = (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("score") >= F.col("thr"))
+        .select("doc_id", "text")
+    )
+
     # 5. split + 6. shard/pos layout — both pure hash projections.
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    final = survivors.select(
+    final = qcut_survivors.select(
         "doc_id",
         F.when(bucket < TRAIN_MAX_HEX, F.lit("train"))
         .when(bucket < VAL_MAX_HEX, F.lit("val"))
@@ -106,6 +123,7 @@ def curated(spark, sf_dir):
         "near_deduped": near_deduped,
         "decontaminated": decontaminated,
         "survivors": survivors,
+        "qcut_survivors": qcut_survivors,
         "final": final,
     }
 
@@ -183,6 +201,7 @@ def test_pipeline_is_monotone_shrinking(curated):
         curated["near_deduped"].count(),
         curated["decontaminated"].count(),
         curated["survivors"].count(),
+        curated["qcut_survivors"].count(),
     ]
     assert counts == sorted(counts, reverse=True) or all(
         a >= b for a, b in zip(counts, counts[1:])
@@ -190,3 +209,6 @@ def test_pipeline_is_monotone_shrinking(curated):
     # every stage did observable work except possibly quality
     assert counts[1] < counts[0]  # exact dupes removed
     assert counts[3] < counts[2]  # eval members removed
+    assert counts[5] < counts[4]  # per-source percentile cut dropped docs
+    # the cut keeps a meaningful majority per design (p30 threshold)
+    assert counts[5] >= 0.6 * counts[4]
