@@ -320,6 +320,33 @@ def test_connected_components_checkpoint_mode(spark, tmp_path):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
 
 
+def test_cc_round_count_is_logarithmic(spark):
+    """The scale claim of star-contraction CC, pinned: a planted PATH
+    graph (the worst case for label propagation — diameter = n-1, so
+    propagation needs ~n rounds) must converge in O(log n) star rounds.
+    64-node path: label propagation would need ~63 rounds; the bound
+    here is ⌈log₂ 63⌉ + 3 = 9."""
+    import math
+
+    from retail_datawarehouse_spark.operators.dedup import connected_components
+
+    n = 64
+    vertices = spark.range(n).selectExpr("id AS v")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    labels, rounds = connected_components(
+        vertices, edges, return_rounds=True
+    )
+    assert {r.component for r in labels.collect()} == {0}
+    diameter = n - 1
+    bound = math.ceil(math.log2(diameter)) + 3
+    assert rounds <= bound, (
+        f"star CC took {rounds} rounds on a diameter-{diameter} path; "
+        f"log-round bound is {bound}"
+    )
+
+
 def test_connected_components_raises_when_unconverged(spark):
     """A diameter-5 chain cannot converge in max_iter=1 — must raise,
     never silently return wrong labels."""

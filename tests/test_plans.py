@@ -522,10 +522,10 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark, sf_correctne
 # unit of cost at 100 TB, so ANY increase anywhere in the catalog must
 # be a conscious decision: lowering a count is free (improvement);
 # exceeding it fails here with the entry named. Iterative entries
-# (components: CC label-propagation rounds + PageRank's five unrolled
-# iterations) legitimately carry large STATIC counts — their runtime
-# is bounded by the per-round persists — but even they get a ceiling
-# so an accidental extra per-round exchange is caught.
+# (components: star-contraction CC truncates lineage per round, so only
+# its LAST round shows; PageRank's five fixed-point iterations are
+# unrolled in-plan) still get a ceiling so an accidental extra
+# per-round exchange is caught.
 SHUFFLE_BUDGET = {
     "q51_sales_by_hour": 2,
     "q52_top10_products": 1,
@@ -536,7 +536,11 @@ SHUFFLE_BUDGET = {
     "q_corpus_shard": 1,
     "q_customer_derived_attrs": 1,
     "q_decontaminate_suite": 4,
-    "q_dedup_components": 151,
+    # r4: star-contraction CC localCheckpoints each round, so the final
+    # plan no longer unrolls the label-propagation rounds (151 → 19);
+    # what remains is the last-round star join + PageRank's five
+    # unrolled fixed-point iterations.
+    "q_dedup_components": 19,
     "q_dedup_embedding_cosine": 5,
     "q_dedup_exact": 3,
     "q_dedup_minhash_lsh": 16,
