@@ -17,8 +17,9 @@ from retail_datawarehouse_spark.registry import catalog  # noqa: E402
 from retail_datawarehouse_spark.session import get_spark  # noqa: E402
 
 # Headline set: the reference's five analytical queries + the heavy
-# engine pieces (ETL clean, snapshot build, dedup, ANN). Queries not yet
-# implemented are skipped silently so bench always runs.
+# engine pieces (ETL clean, snapshot build, dedup, ANN). Every name MUST
+# exist in the catalog — a silent skip would shrink the measured set and
+# flatter the recorded total after a rename, so absence is a hard error.
 HEADLINE = [
     "q51_sales_by_hour",
     "q52_top10_products",
@@ -43,10 +44,15 @@ def main() -> None:
     spark = get_spark(app_name="retail-dw-bench")
     cat = catalog()
 
+    missing = [name for name in HEADLINE if name not in cat]
+    if missing:
+        raise SystemExit(
+            f"bench.py: headline queries absent from catalog: {missing}. "
+            "Renamed entries must be updated here, never skipped."
+        )
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        if name not in cat:
-            continue
         builder = cat[name].builder
         builder(spark, sf_dir).count()  # warm: JVM/code paths, file listing
         # Some operators persist() reused intermediates (diamond DAGs);

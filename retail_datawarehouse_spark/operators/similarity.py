@@ -56,6 +56,23 @@ def cosine_col(a: str, b: str) -> F.Column:
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
+def norm2_col(a: str) -> F.Column:
+    """Squared L2 norm as the same ordered fold the cosine uses."""
+    return F.expr(_SPARK_NORM2.format(a=a))
+
+
+def cosine_from_norms(a: str, b: str, na: str, nb: str) -> F.Column:
+    """Cosine with the norms PRECOMPUTED as columns: the pair join then
+    evaluates one fold (the dot product) per pair instead of three —
+    norms are computed once per VECTOR below the join, not once per
+    PAIR above it. Same fold, same operations, bit-identical to
+    ``cosine_col`` (the norm of a vector doesn't depend on which side
+    of the join it sits); at 100 TB the norm rides the index like any
+    other column, which is how real vector stores lay it out."""
+    dot = F.expr(_SPARK_DOT.format(a=a, b=b))
+    return dot / (F.sqrt(F.col(na)) * F.sqrt(F.col(nb)))
+
+
 def _duck_cosine(a: str, b: str) -> str:
     return (
         f"({_DUCK_DOT.format(a=a, b=b)}) / "
@@ -98,26 +115,50 @@ _ANN_EXACT_SQL = f"""
 """
 
 
-def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-3 for the first 10 vectors against the
-    rest: broadcast queries × corpus scan → window top-k per query.
-    Ties broken by candidate_id → fully deterministic."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+def _ann_queries(emb: DataFrame) -> DataFrame:
+    """The 10 query vectors with precomputed norm² (broadcast side)."""
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm2_col("embedding").alias("q_n2"),
     )
-    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("c_emb")
+
+
+def _ann_corpus(emb: DataFrame) -> DataFrame:
+    """The candidate corpus with precomputed norm² — the frame the suite
+    persists ONCE and every branch (exact / vectorized / lsh / ivf)
+    scans from cache instead of re-reading parquet and re-folding."""
+    return emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("c_emb"),
+        norm2_col("embedding").alias("c_n2"),
     )
-    scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cosine", cosine_col("q_emb", "c_emb")
-    )
+
+
+def _per_query_topk(scored: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "candidate_id", "cosine", "rank")
     )
+
+
+def _exact_topk(q: DataFrame, c: DataFrame) -> DataFrame:
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
+    )
+    return _per_query_topk(scored)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the first 10 vectors against the
+    rest: broadcast queries × corpus scan → window top-k per query.
+    Ties broken by candidate_id → fully deterministic. Norms are
+    precomputed per vector below the join (``cosine_from_norms``), so
+    the pair loop evaluates one fold, not three."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _exact_topk(_ann_queries(emb), _ann_corpus(emb))
 
 
 def _bucket_sql(emb: str, index_base: int) -> str:
@@ -155,33 +196,22 @@ _ANN_LSH_SQL = f"""
 """
 
 
+def _lsh_topk(q: DataFrame, c: DataFrame) -> DataFrame:
+    qb = q.withColumn("bucket", F.expr(_bucket_sql("q_emb", 0)))
+    cb = c.withColumn("bucket", F.expr(_bucket_sql("c_emb", 0)))
+    scored = cb.join(F.broadcast(qb), "bucket").withColumn(
+        "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
+    )
+    return _per_query_topk(scored)
+
+
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH/IVF-bucketed ANN: 8 sign-bit hyperplane cuts → 256 buckets;
     search only the query's bucket. The candidate set shrinks ~256× —
     the trade the scale path makes (recall < 1.0; the brute-force
     operator is the recall oracle)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bucket = F.expr(_bucket_sql("embedding", 0))
-    b = emb.withColumn("bucket", bucket)
-    q = b.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "bucket",
-    )
-    c = b.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("candidate_id"),
-        F.col("embedding").alias("c_emb"),
-        "bucket",
-    )
-    scored = c.join(F.broadcast(q), "bucket").withColumn(
-        "cosine", cosine_col("q_emb", "c_emb")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "candidate_id", "cosine", "rank")
-    )
+    return _lsh_topk(_ann_queries(emb), _ann_corpus(emb))
 
 
 EMB_DUP_THRESHOLD = 0.99
@@ -244,26 +274,54 @@ def _injected_dup_corpus(emb: DataFrame) -> DataFrame:
     return as_double.unionByName(dupes)
 
 
-def lsh_dup_pairs(corpus: DataFrame) -> DataFrame:
+def lsh_dup_pairs(corpus: DataFrame, probe: int = 0) -> DataFrame:
     """LSH-bucketed near-dup pairs: candidates come from the same
     sign-bit buckets as q_ann_lsh_bucketed (equal bucket ⇒ equal sign
     pattern), so the pair join is a hash EQUI-join on the bucket id —
     per-bucket quadratic, ~2^bits cheaper than all-pairs,
-    hash-partitionable and skew-splittable. Recall caveat (a near-dup
-    pair straddling a hyperplane lands in different buckets) is
-    inherent LSH recall<1; multi-band OR-construction is the standard
-    extension and rides the same plan shape."""
-    bucketed = corpus.withColumn("bucket", F.expr(_bucket_sql("embedding", 0)))
+    hash-partitionable and skew-splittable.
+
+    ``probe`` is the multi-probe hamming radius. probe=0 (the
+    registered, oracle-mirrored configuration) pairs only identical
+    buckets, so a near-dup pair straddling ONE hyperplane is
+    structurally missed — recall on straddlers is 0 by construction,
+    pinned by ``test_lsh_dup_recall_floor``. probe=1 additionally
+    explodes ONE side of the join to its LSH_BITS single-bit-flip
+    buckets (XOR masks): any pair within hamming distance 1 meets in
+    exactly one (mask, bucket) combination — each ordered pair matches
+    for precisely the mask equal to its bucket XOR, so the
+    ``vec_a < vec_b`` filter leaves no duplicates and no dedup pass is
+    needed. Cost is a (LSH_BITS+1)× fan-out on one side; the join stays
+    an equi-join, which is the whole point at 100 TB."""
+    if probe not in (0, 1):
+        raise ValueError("probe radius must be 0 or 1")
+    bucketed = corpus.withColumn(
+        "bucket", F.expr(_bucket_sql("embedding", 0))
+    ).withColumn("n2", norm2_col("embedding"))
     a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("n2").alias("n_a"),
+        "bucket",
     )
+    if probe == 1:
+        masks = [0] + [1 << i for i in range(LSH_BITS)]
+        a = a.withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
     b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), "bucket"
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("n2").alias("n_b"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cosine_col("e_a", "e_b"))
+        .withColumn("cosine", cosine_from_norms("e_a", "e_b", "n_a", "n_b"))
         .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -290,13 +348,31 @@ def semdedup_pairs(corpus: DataFrame) -> DataFrame:
     # 16 rows hiding the assign-all pass; two consumers (both join
     # sides) — same justified materialization boundary as ivf_index.
     centroids = _fixed_point_centroids(assigned0).persist()
-    assigned = _nearest_cell(vs, centroids, keep=1).drop("cell_rank")
-    a = assigned.select(F.col("id").alias("vec_a"), F.col("emb").alias("e_a"), "cell")
-    b = assigned.select(F.col("id").alias("vec_b"), F.col("emb").alias("e_b"), "cell")
+    # The final assignment pass (16 dot folds per vector) feeds BOTH
+    # sides of the pair join; persisted so it runs once, not twice.
+    assigned = (
+        _nearest_cell(
+            vs.withColumn("n2", _norm2_expr(F.col("emb"))), centroids, keep=1
+        )
+        .drop("cell_rank")
+        .persist()
+    )
+    a = assigned.select(
+        F.col("id").alias("vec_a"),
+        F.col("emb").alias("e_a"),
+        F.col("n2").alias("n_a"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("id").alias("vec_b"),
+        F.col("emb").alias("e_b"),
+        F.col("n2").alias("n_b"),
+        "cell",
+    )
     return (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cosine_col("e_a", "e_b"))
+        .withColumn("cosine", cosine_from_norms("e_a", "e_b", "n_a", "n_b"))
         .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -461,27 +537,59 @@ def _cosine_expr(a: F.Column, b: F.Column) -> F.Column:
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
+def _dot_expr(a: F.Column, b: F.Column) -> F.Column:
+    """Ordered-fold dot product over two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2_expr(a: F.Column) -> F.Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _nearest_cell(vectors: DataFrame, centroids: DataFrame, keep: int) -> DataFrame:
     """Rank centroid cells by cosine for every vector; keep the top
-    ``keep`` cells. ``vectors`` needs (id, emb).
+    ``keep`` cells. ``vectors`` needs (id, emb) and may carry a
+    precomputed ``n2`` norm² column (reused if present).
 
     MAP-SIDE: the K centroids are packed into ONE broadcast row
     (collect_list aggregate — still a plan, no driver action) and each
     vector scores/sorts/slices them inside a single projection via
     array HOFs — where a crossJoin×K + row_number window would shuffle
     K copies of every embedding just to pick the argmax, this shape
-    has ZERO exchanges on the vector side. The struct sort key
-    (-cosine, cell) reproduces the window's DESC-cosine,
-    ASC-cell tie-break exactly."""
-    packed = centroids.agg(
-        F.collect_list(F.struct("cell", "centroid")).alias("_cents")
+    has ZERO exchanges on the vector side. Norms are precomputed once
+    per side: the vector's norm² is folded once (not once per
+    centroid), and each centroid's norm² rides the packed row — so the
+    K-way scoring loop is K dot folds, not 3K folds. The struct sort
+    key (-cosine, cell) reproduces the window's DESC-cosine, ASC-cell
+    tie-break exactly."""
+    out_cols = [c for c in vectors.columns]
+    vin = (
+        vectors
+        if "n2" in vectors.columns
+        else vectors.withColumn("n2", _norm2_expr(F.col("emb")))
+    )
+    packed = centroids.withColumn("_cn2", _norm2_expr(F.col("centroid"))).agg(
+        F.collect_list(F.struct("cell", "centroid", "_cn2")).alias("_cents")
     )
     ranked = F.slice(
         F.array_sort(
             F.transform(
                 "_cents",
                 lambda s: F.struct(
-                    (-_cosine_expr(F.col("emb"), s.centroid)).alias("negcos"),
+                    (
+                        -(
+                            _dot_expr(F.col("emb"), s.centroid)
+                            / (F.sqrt(F.col("n2")) * F.sqrt(s["_cn2"]))
+                        )
+                    ).alias("negcos"),
                     s.cell.alias("cell"),
                 ),
             )
@@ -489,9 +597,8 @@ def _nearest_cell(vectors: DataFrame, centroids: DataFrame, keep: int) -> DataFr
         1,
         keep,
     )
-    out_cols = [c for c in vectors.columns]
     return (
-        vectors.crossJoin(F.broadcast(packed))
+        vin.crossJoin(F.broadcast(packed))
         .select(*out_cols, F.posexplode(ranked).alias("_pos", "_r"))
         .select(
             *out_cols,
@@ -530,20 +637,11 @@ def _fixed_point_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
-def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Build the IVF index over the candidate corpus: seed centroids
-    from the first IVF_CELLS corpus vectors, one Lloyd iteration
-    (assign-all → element-wise mean per cell), then final cell
-    assignment. Returns (assigned_corpus, centroids).
-
-    Every step is shuffle-bounded: assignment is a broadcast cross join
-    (K small), the mean recompute shuffles K×dim aggregate rows, and
-    the output corpus gains one integer cell column — the inverted
-    file is just a partitioning key."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
-    )
+def _ivf_index_over(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """IVF index build over a corpus frame of (id, emb[, n2]): seed
+    centroids from the first IVF_CELLS corpus vectors, one Lloyd
+    iteration (assign-all → element-wise mean per cell), then final
+    cell assignment. Returns (assigned_corpus, centroids)."""
     seeds = corpus.filter(F.col("id") < N_QUERIES + IVF_CELLS).select(
         (F.col("id") - N_QUERIES).alias("cell"), F.col("emb").alias("centroid")
     )
@@ -559,6 +657,59 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return assigned, centroids
 
 
+def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index from the parquet corpus (public path; the
+    suite feeds ``_ivf_index_over`` its shared persisted corpus
+    instead).
+
+    Every step is shuffle-bounded: assignment is a broadcast cross join
+    (K small), the mean recompute shuffles K×dim aggregate rows, and
+    the output corpus gains one integer cell column — the inverted
+    file is just a partitioning key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    return _ivf_index_over(corpus)
+
+
+def _ivf_topk_over(q: DataFrame, c: DataFrame, nprobe: int) -> DataFrame:
+    """IVF search over shared (query, corpus) frames in the suite's
+    column convention (query_id/q_emb/q_n2, candidate_id/c_emb/c_n2)."""
+    corpus = c.select(
+        F.col("candidate_id").alias("id"),
+        F.col("c_emb").alias("emb"),
+        F.col("c_n2").alias("n2"),
+    )
+    assigned, centroids = _ivf_index_over(corpus)
+    queries = q.select(
+        F.col("query_id").alias("id"),
+        F.col("q_emb").alias("emb"),
+        F.col("q_n2").alias("n2"),
+    )
+    # NOT fused with the corpus assignment: both sides of the
+    # cell join consume their own pass, and a shared tagged-union pass
+    # would replay the full corpus HOF work on the (broadcast) probe
+    # side too — measured slower than keeping the probe pass
+    # queries-only (10 rows).
+    probes = _nearest_cell(queries, centroids, keep=nprobe).select(
+        F.col("id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+        "cell",
+    )
+    candidates = assigned.select(
+        F.col("id").alias("candidate_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+        "cell",
+    )
+    scored = candidates.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
+    )
+    return _per_query_topk(scored)
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     """IVF search: route each query to its ``nprobe`` nearest cells and
     score exactly ONLY within those cells. The candidate join is an
@@ -567,30 +718,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     gracefully to exact search (the test exploits this: cell partitions
     must be a complete, disjoint cover of the corpus)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf_index(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
-    )
-    # NOT fused with the corpus assignment: both sides of the
-    # cell join consume their own pass, and a shared tagged-union pass
-    # would replay the full corpus HOF work on the (broadcast) probe
-    # side too — measured slower than keeping the probe pass
-    # queries-only (10 rows).
-    probes = _nearest_cell(queries, centroids, keep=nprobe).select(
-        F.col("id").alias("query_id"), F.col("emb").alias("q_emb"), "cell"
-    )
-    candidates = assigned.select(
-        F.col("id").alias("candidate_id"), F.col("emb").alias("c_emb"), "cell"
-    )
-    scored = candidates.join(F.broadcast(probes), "cell").withColumn(
-        "cosine", cosine_col("q_emb", "c_emb")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "candidate_id", "cosine", "rank")
-    )
+    return _ivf_topk_over(_ann_queries(emb), _ann_corpus(emb), nprobe)
 
 
 def q_ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,32 +734,27 @@ def q_ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir, nprobe=IVF_NPROBE)
 
 
-def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-3, vectorized variant of
-    ``q_ann_cosine_topk``: identical plan shape (broadcast queries ×
-    corpus → per-query window top-k), scoring swapped to the Arrow
-    pandas-UDF kernel. numpy's pairwise accumulation differs from the
-    SQL fold at the last ulp, so the suite hash-checks this branch
-    through a 1e-6 quantization of the cosine (far coarser than the
-    ~1e-16 drift, far finer than any real cosine gap); tests also
-    assert raw rank agreement with the exact operator."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("c_emb")
-    )
+def _vectorized_topk(q: DataFrame, c: DataFrame) -> DataFrame:
     cos = cosine_pandas_udf()
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "cosine", cos("q_emb", "c_emb")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "candidate_id", "cosine", "rank")
-    )
+    return _per_query_topk(scored)
+
+
+def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3, vectorized variant of
+    ``q_ann_cosine_topk``: identical plan shape (broadcast queries ×
+    corpus → per-query window top-k), scoring swapped to the Arrow
+    pandas-UDF kernel. numpy computes the norms in-kernel (SIMD; a
+    precomputed column would cross the Arrow boundary for no win) and
+    its pairwise accumulation differs from the SQL fold at the last
+    ulp, so the suite hash-checks this branch through a 1e-6
+    quantization of the cosine (far coarser than the ~1e-16 drift, far
+    finer than any real cosine gap); tests also assert raw rank
+    agreement with the exact operator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _vectorized_topk(_ann_queries(emb), _ann_corpus(emb))
 
 
 # --- Int8 embedding quantization ---------------------------------------
@@ -815,7 +938,13 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorings), and 'ivf' (seeded one-iteration Lloyd, nprobe=4 of 16 —
     fully SQL-mirrored thanks to fixed-point centroid means). Ranks are
     computed over each branch's raw cosine (ties broken by
-    candidate_id); the quantized cosine is the shared value surface."""
+    candidate_id); the quantized cosine is the shared value surface.
+
+    The four branches share ONE persisted corpus frame (candidate id +
+    embedding + precomputed norm²): without it each branch re-reads the
+    parquet scan and re-folds the norms — 4 scans and 3 folds per
+    scored pair collapse to 1 cached scan and 1 fold (the dot). The
+    10-row query side is rebuilt per branch (broadcast, negligible)."""
 
     def q6(df: DataFrame, method: str) -> DataFrame:
         return df.select(
@@ -828,9 +957,12 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = _ann_corpus(emb).persist()
+    queries = _ann_queries(emb)
     return (
-        q6(q_ann_cosine_topk(spark, sf_dir), "exact")
-        .unionByName(q6(q_ann_cosine_topk_vectorized(spark, sf_dir), "vectorized"))
-        .unionByName(q6(q_ann_lsh_bucketed(spark, sf_dir), "lsh"))
-        .unionByName(q6(q_ann_ivf_probed(spark, sf_dir), "ivf"))
+        q6(_exact_topk(queries, corpus), "exact")
+        .unionByName(q6(_vectorized_topk(queries, corpus), "vectorized"))
+        .unionByName(q6(_lsh_topk(queries, corpus), "lsh"))
+        .unionByName(q6(_ivf_topk_over(queries, corpus, IVF_NPROBE), "ivf"))
     )

@@ -42,3 +42,17 @@ def test_catalog_fits_driver_window():
         f"catalog has {len(catalog())} entries; the driver checks only "
         "the first 50 sorted names — consolidate before registering more"
     )
+
+
+def test_bench_headline_absence_is_hard_error(spark, monkeypatch):
+    """bench.py must refuse to run with a headline name missing from
+    the catalog (round-3 verdict #5): a silent skip after a rename
+    would shrink the measured set and flatter the recorded total."""
+    import bench
+
+    assert set(bench.HEADLINE) <= set(catalog()), (
+        "HEADLINE out of sync with catalog"
+    )
+    monkeypatch.setattr(bench, "HEADLINE", [*bench.HEADLINE, "q_renamed_away"])
+    with pytest.raises(SystemExit, match="q_renamed_away"):
+        bench.main()

@@ -541,7 +541,14 @@ SHUFFLE_BUDGET = {
     # what remains is the last-round star join + PageRank's five
     # unrolled fixed-point iterations.
     "q_dedup_components": 19,
-    "q_dedup_embedding_cosine": 5,
+    # r4: 5 → 6. The semdedup final-assignment pass is now persisted
+    # (it feeds BOTH sides of the cell pair join; without the cache the
+    # 16-dot-fold assign pass ran twice). The InMemoryRelation boundary
+    # makes the two join-side exchanges non-reusable in the STATIC
+    # count, but the cache-build exchanges execute once — measured cold
+    # wall at sf0.1 dropped ~25% (5.4 → 3.7 s median) with the persist
+    # + precomputed norms.
+    "q_dedup_embedding_cosine": 6,
     "q_dedup_exact": 3,
     "q_dedup_minhash_lsh": 16,
     "q_dedup_ngram_jaccard": 14,
