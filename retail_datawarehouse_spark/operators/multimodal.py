@@ -7,12 +7,17 @@ Python stage sees columnar batches, never rows, and the shuffle story is
 unchanged (payloads partition like any other column — size-aware
 ``maxPartitionBytes`` matters more than row counts).
 
-The container has no image/audio libraries, so the decode step is a
-STUB: ``decode_image`` raises NotImplementedError, and the featurizer
-runs a clearly-marked deterministic fake (byte-statistics) through the
-REAL plumbing — schema, batching, UDF signature are production-shaped.
-The fixtures carry no binary column either; payloads are derived by
-UTF-8-encoding ``documents.text`` (same plumbing, checkable content).
+The container has no image/audio libraries, so the decode step uses a
+format that needs none: binary PGM (P5) — a real raster format whose
+parser is ~30 lines of stdlib. The fixtures carry no binary column, so
+payloads are SYNTHESIZED as genuine PGM images JVM-side (header +
+``documents.text`` bytes as the raster, dimensions derived from
+doc_id), decoded back in the Arrow featurizer, and the decoded
+width/height/pixel statistics are hash-checked against a pure-SQL
+oracle that re-derives them from the text — the decode is real, the
+plumbing is real, and the values are value-verified end to end.
+Richer codecs (JPEG/PNG via PIL, audio via soundfile) slot into
+``decode_image`` behind the same featurizer without touching the plan.
 """
 
 from __future__ import annotations
@@ -28,13 +33,43 @@ from retail_datawarehouse_spark.registry import register
 from retail_datawarehouse_spark.sources.readers import load_table
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decoder slot (PIL/libvips at deploy time). Stubbed: the
-    container ships no imaging libraries."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "container; wire PIL/torchvision here at deploy time"
-    )
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free binary-PGM (P5) decoder: returns (width, height,
+    raster bytes). Netpbm header grammar: ``P5``, then width, height,
+    maxval as ASCII tokens separated by whitespace, ``#`` comments
+    running to end-of-line, then exactly ONE whitespace byte before the
+    8-bit raster. This is the real decoder slot — other codecs
+    (PIL/libvips for JPEG/PNG) extend the magic-byte dispatch here
+    without changing the featurizer or the plan."""
+    if payload[:2] != b"P5":
+        raise ValueError(
+            f"unsupported image magic {payload[:2]!r}; only binary PGM "
+            "(P5) decodes in-container — wire PIL here for JPEG/PNG"
+        )
+    pos, fields = 2, []
+    while len(fields) < 3:
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while not payload[end : end + 1].isspace():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+    width, height, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError(f"only 8-bit PGM supported (maxval={maxval})")
+    pos += 1  # the single whitespace byte terminating the header
+    raster = payload[pos : pos + width * height]
+    if len(raster) != width * height:
+        raise ValueError(
+            f"truncated raster: expected {width * height} bytes, "
+            f"got {len(raster)}"
+        )
+    return width, height, raster
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -47,38 +82,76 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+# PGM dimensions derived from doc_id so each image is a distinct,
+# arithmetic-reproducible shape: width 4..8, height 3..6 → 12..48 px.
+_PGM_W = "(4 + doc_id % 5)"
+_PGM_H = "(3 + doc_id % 4)"
+
+
+def with_pgm_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL binary-PGM payload per document, JVM-side:
+    ``P5\\n{W} {H}\\n255\\n`` + the first W·H bytes of the (ASCII) text,
+    right-padded with 'x' — rpad both pads AND truncates to exactly the
+    raster length in Spark and DuckDB alike, which is what makes the
+    decoded pixel statistics SQL-oracle-able."""
+    raster = F.expr(f"rpad(text, CAST({_PGM_W} * {_PGM_H} AS INTEGER), 'x')")
+    header = F.concat_ws(
+        "",
+        F.lit("P5\n"),
+        F.expr(_PGM_W).cast("string"),
+        F.lit(" "),
+        F.expr(_PGM_H).cast("string"),
+        F.lit("\n255\n"),
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(F.concat(header, raster), "utf-8").alias("payload"),
+        F.lit("image/x-portable-graymap").alias("media_type"),
+    )
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("payload_bytes", T.LongType()),
-        T.StructField("byte_mean", T.DoubleType()),
-        T.StructField("byte_min", T.LongType()),
-        T.StructField("byte_max", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("pixel_mean", T.DoubleType()),
+        T.StructField("pixel_md5", T.StringType()),
     ]
 )
 
 
 def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic FAKE featurizer (byte statistics) standing in for
-    decode→resize→embed. Arrow-batched: one pandas frame per batch, the
-    real shape a GPU feature-extractor consumes."""
+    """REAL image featurizer: decode the PGM payload, emit decoded
+    dimensions + raster statistics. Arrow-batched: one pandas frame per
+    batch, the shape a GPU feature-extractor consumes. The integer
+    pixel sum is exact and the ONE final IEEE division reproduces the
+    SQL oracle's bit-for-bit."""
+    import hashlib
+
     for pdf in batches:
-        payloads = pdf["payload"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "payload_bytes": payloads.map(len).astype("int64"),
-                "byte_mean": payloads.map(
-                    lambda b: float(sum(b)) / len(b) if len(b) else 0.0
-                ),
-                "byte_min": payloads.map(lambda b: int(min(b)) if len(b) else 0),
-                "byte_max": payloads.map(lambda b: int(max(b)) if len(b) else 0),
-            }
-        )
+        out = {
+            "doc_id": [],
+            "width": [],
+            "height": [],
+            "n_pixels": [],
+            "pixel_mean": [],
+            "pixel_md5": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            width, height, raster = decode_image(bytes(payload))
+            out["doc_id"].append(doc_id)
+            out["width"].append(width)
+            out["height"].append(height)
+            out["n_pixels"].append(len(raster))
+            out["pixel_mean"].append(float(sum(raster)) / len(raster))
+            out["pixel_md5"].append(hashlib.md5(raster).hexdigest())
+        yield pd.DataFrame(out)
 
 
 def featurize(df_with_payload: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over the binary column."""
+    """mapInPandas decode + feature extraction over the binary column."""
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         _featurize_batches, FEATURE_SCHEMA
     )
@@ -112,31 +185,34 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full multimodal plumbing: payload attach → Arrow-batched
-    mapInPandas featurizer (deterministic fake behind the real decode
-    slot). The kernel is Python, but its OUTPUT is SQL-expressible —
-    byte statistics over the (verified-ASCII) payload are ascii-value
-    aggregates — so the suite below hash-checks even the mapInPandas
-    path cell-by-cell, not just row counts."""
+    """The full multimodal pipeline, decode included: synthesize a real
+    binary-PGM payload JVM-side → Arrow-batched mapInPandas decode +
+    featurize. The kernel is Python, but its OUTPUT is SQL-expressible
+    — decoded dimensions are doc_id arithmetic and raster statistics
+    are ascii-value aggregates over the same rpad'd text the payload
+    builder embedded — so the suite below hash-checks the whole
+    decode→featurize path cell-by-cell, not just row counts."""
     docs = load_table(spark, sf_dir, "documents")
-    return featurize(with_binary_payload(docs))
+    return featurize(with_pgm_payload(docs))
 
 
-# The featurizer's byte stats re-expressed in SQL: payload = UTF-8 text,
-# text is pure ASCII (asserted by the chunker oracle's precondition), so
-# bytes == ascii(char). The integer byte-sum is exact; ONE IEEE division
-# reproduces numpy's float(sum)/len bit-for-bit.
-_FEATURES_SQL = """
+# The decoded-raster stats re-expressed in SQL: the raster is
+# rpad(text, W·H, 'x') in UTF-8, text is pure ASCII (asserted by the
+# chunker oracle's precondition), so pixel bytes == ascii(char). The
+# integer pixel-sum is exact; ONE IEEE division reproduces the
+# featurizer's float(sum)/len bit-for-bit, and md5(string) is md5(raster).
+_FEATURES_SQL = f"""
     SELECT doc_id,
-           length(text) AS payload_bytes,
+           CAST({_PGM_W} AS BIGINT) AS width,
+           CAST({_PGM_H} AS BIGINT) AS height,
+           CAST({_PGM_W} * {_PGM_H} AS BIGINT) AS n_pixels,
            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    list_transform(regexp_extract_all(text, '.'),
-                                   ch -> CAST(ascii(ch) AS BIGINT))),
-                (acc, x) -> acc + x) AS DOUBLE) / length(text) AS byte_mean,
-           CAST(list_aggregate(list_transform(regexp_extract_all(text, '.'),
-                    ch -> ascii(ch)), 'min') AS BIGINT) AS byte_min,
-           CAST(list_aggregate(list_transform(regexp_extract_all(text, '.'),
-                    ch -> ascii(ch)), 'max') AS BIGINT) AS byte_max
+                    list_transform(regexp_extract_all(
+                        rpad(text, CAST({_PGM_W} * {_PGM_H} AS INTEGER), 'x'), '.'),
+                        ch -> CAST(ascii(ch) AS BIGINT))),
+                (acc, x) -> acc + x) AS DOUBLE)
+               / ({_PGM_W} * {_PGM_H}) AS pixel_mean,
+           md5(rpad(text, CAST({_PGM_W} * {_PGM_H} AS INTEGER), 'x')) AS pixel_md5
     FROM documents
 """
 
@@ -191,18 +267,19 @@ def sample_chunks(df_with_payload: DataFrame) -> DataFrame:
 _CHUNKS_SQL = f"""
     -- documents.text is pure ASCII (verified: octet_length(encode(text))
     -- == length(text) for every row), so char windows == byte chunks.
-    WITH chunks AS (
-        SELECT doc_id,
-               CAST(g.k AS BIGINT) AS chunk_idx,
-               md5(substring(text, g.k * {CHUNK_SIZE} + 1, {CHUNK_SIZE}))
-                   AS chunk_md5,
-               length(substring(text, g.k * {CHUNK_SIZE} + 1, {CHUNK_SIZE}))
-                   AS chunk_bytes
-        FROM documents
-        CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS k) g
-        WHERE g.k * {CHUNK_SIZE} < length(text)
-    )
-    SELECT doc_id, chunk_idx, chunk_bytes, chunk_md5 FROM chunks
+    -- The chunk-index series bound is DERIVED FROM THE ROW (lateral),
+    -- never a fixed cap that would silently drop chunks of a longer doc.
+    SELECT doc_id,
+           CAST(g.k AS BIGINT) AS chunk_idx,
+           length(substring(text, g.k * {CHUNK_SIZE} + 1, {CHUNK_SIZE}))
+               AS chunk_bytes,
+           md5(substring(text, g.k * {CHUNK_SIZE} + 1, {CHUNK_SIZE}))
+               AS chunk_md5
+    FROM documents
+    CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(
+            0, (length(text) - 1) // {CHUNK_SIZE})) AS k
+    ) g
 """
 
 
@@ -262,6 +339,9 @@ def token_chunk_frame(docs: DataFrame) -> DataFrame:
 
 
 _TCHUNK_SQL = f"""
+    -- Series bound derived per-row (lateral) — mirrors the Spark
+    -- sequence(0, (size(toks)-1) div stride) exactly, so no doc length
+    -- can outrun the oracle.
     SELECT doc_id, CAST(g.k AS BIGINT) AS chunk_idx,
            CAST(len(toks[g.k * {CHUNK_STRIDE} + 1
                          : g.k * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS BIGINT)
@@ -270,9 +350,11 @@ _TCHUNK_SQL = f"""
                toks[g.k * {CHUNK_STRIDE} + 1
                     : g.k * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
                AS chunk_md5
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-    CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS k) g
-    WHERE g.k * {CHUNK_STRIDE} < len(toks)
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+    CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(
+            0, (len(t.toks) - 1) // {CHUNK_STRIDE})) AS k
+    ) g
 """
 
 
@@ -294,8 +376,7 @@ _TCHUNK_SQL = f"""
            CAST(NULL AS DOUBLE)
     FROM chunks
     UNION ALL
-    SELECT 'feat', doc_id, byte_min, byte_max, CAST(NULL AS VARCHAR),
-           byte_mean
+    SELECT 'feat', doc_id, width, height, pixel_md5, pixel_mean
     FROM feats
     UNION ALL
     SELECT 'tchunk', doc_id, chunk_idx, n_toks, chunk_md5,
@@ -306,17 +387,15 @@ _TCHUNK_SQL = f"""
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole multimodal stack as one part-tagged union: JVM-side
     typed metadata ('meta'), the mapInPandas 1→N frame-sampling chunker
-    ('chunk'), and the mapInPandas featurizer ('feat' — previously the
-    catalog's only rows-only entry, now hash-checked because the fake
-    featurizer's byte statistics are SQL-expressible over the ASCII
-    payload), plus the pure-JVM overlapping TOKEN chunker ('tchunk' —
-    the embedding-model text prep, zero Python by contrast with the
-    Arrow byte chunker). The decode slot behind the featurizer remains the one
-    documented NotImplementedError stub (no imaging libs in the
-    container); everything around it is value-verified."""
+    ('chunk'), the mapInPandas DECODE + featurizer ('feat' — a real
+    dependency-free binary-PGM decoder over payloads synthesized as
+    genuine PGM images, decoded width/height/raster stats hash-checked
+    against doc_id-arithmetic + ascii-aggregate SQL), plus the pure-JVM
+    overlapping TOKEN chunker ('tchunk' — the embedding-model text
+    prep, zero Python by contrast with the Arrow byte chunker). Every
+    part is value-verified; no stubbed step remains."""
     docs = load_table(spark, sf_dir, "documents")
     null_d = F.lit(None).cast("double")
-    null_s = F.lit(None).cast("string")
     meta = q_multimodal_meta(spark, sf_dir).select(
         F.lit("meta").alias("part"),
         "doc_id",
@@ -336,10 +415,10 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = q_multimodal_features(spark, sf_dir).select(
         F.lit("feat").alias("part"),
         "doc_id",
-        F.col("byte_min").alias("i1"),
-        F.col("byte_max").alias("i2"),
-        null_s.alias("s1"),
-        F.col("byte_mean").alias("d1"),
+        F.col("width").alias("i1"),
+        F.col("height").alias("i2"),
+        F.col("pixel_md5").alias("s1"),
+        F.col("pixel_mean").alias("d1"),
     )
     tchunks = token_chunk_frame(docs).select(
         F.lit("tchunk").alias("part"),

@@ -582,7 +582,8 @@ _BM25_SQL = f"""
         JOIN (
             SELECT term, COUNT(*) AS df FROM (
                 SELECT doc_id, t.term
-                FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents)
                 CROSS JOIN (VALUES {", ".join(f"('{t}')" for t in BM25_TERMS)})
                      AS t(term)
                 WHERE len(list_filter(toks, x -> x = t.term)) > 0

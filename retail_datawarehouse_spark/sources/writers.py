@@ -56,7 +56,7 @@ def write_parquet_table(
 ZORDER_BITS = 8
 
 
-def zorder_value(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS) -> Column:
+def zorder_value(cols: list[str], bits: int = ZORDER_BITS) -> Column:
     """Interleaved-bit z-value over ``cols`` — the multi-dimensional
     clustering key behind Delta/Iceberg OPTIMIZE ZORDER. Each column is
     min-max quantized to ``bits`` levels (bounds from a 1-row in-plan
@@ -129,7 +129,7 @@ def compact_table(
         )
         out = (
             df.crossJoin(F.broadcast(bounds))
-            .withColumn("__z", zorder_value(df, zorder_by))
+            .withColumn("__z", zorder_value(zorder_by))
             .repartitionByRange(target_files, "__z")
             .sortWithinPartitions("__z")
             .drop("__z", *[f"__{t}_{c}" for c in zorder_by for t in ("min", "max")])

@@ -83,26 +83,57 @@ def test_ann_lsh_is_subset_quality_of_bruteforce(spark, sf_correctness_dir):
 
 
 def test_multimodal_features_match_jvm_recompute(spark, sf_dir):
-    """The mapInPandas fake featurizer must agree with a JVM-side
-    recomputation of the same byte statistics (proves the Arrow batch
-    path transports payloads intact)."""
+    """The Arrow decode+featurize path must agree with a JVM-side
+    recomputation: the decoded raster md5 equals md5 of the same
+    rpad'd text the payload builder embedded, and decoded dimensions
+    equal the doc_id arithmetic — proving the PGM round-trip (encode
+    JVM-side, decode Python-side) transports every byte intact."""
+    from retail_datawarehouse_spark.operators.multimodal import _PGM_H, _PGM_W
+    from retail_datawarehouse_spark.sources.readers import load_table
+
     feats = _run("q_multimodal_features", spark, sf_dir)
-    docs = builder("q_multimodal_meta")(spark, sf_dir).select(
-        "doc_id", "payload_bytes"
+    jvm = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_PGM_W).cast("long").alias("jvm_w"),
+        F.expr(_PGM_H).cast("long").alias("jvm_h"),
+        F.md5(F.expr(f"rpad(text, {_PGM_W} * {_PGM_H}, 'x')")).alias("jvm_md5"),
     )
-    joined = feats.join(docs.withColumnsRenamed({"payload_bytes": "jvm_bytes"}), "doc_id")
-    assert joined.filter(F.col("payload_bytes") != F.col("jvm_bytes")).count() == 0
+    joined = feats.join(jvm, "doc_id")
+    assert joined.count() == jvm.count()
+    assert (
+        joined.filter(
+            (F.col("width") != F.col("jvm_w"))
+            | (F.col("height") != F.col("jvm_h"))
+            | (F.col("n_pixels") != F.col("jvm_w") * F.col("jvm_h"))
+            | (F.col("pixel_md5") != F.col("jvm_md5"))
+        ).count()
+        == 0
+    )
     sample = feats.orderBy("doc_id").first()
-    assert 0 < sample.byte_min <= sample.byte_mean <= sample.byte_max <= 255
+    assert 0 < sample.pixel_mean <= 255
 
 
-def test_decode_stub_raises(spark):
+def test_decode_image_parses_pgm(spark):
+    """The dependency-free P5 decoder: full netpbm header grammar
+    (comments, multi-whitespace), exact raster extraction, and hard
+    errors on foreign magics / truncated rasters — never a silent
+    wrong decode."""
     import pytest
 
     from retail_datawarehouse_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
+    raster = bytes(range(12))
+    w, h, px = decode_image(b"P5\n4 3\n255\n" + raster)
+    assert (w, h, px) == (4, 3, raster)
+    # comment + arbitrary whitespace in the header
+    w, h, px = decode_image(b"P5 # a comment\n 4\t3 #c\n255 " + raster)
+    assert (w, h, px) == (4, 3, raster)
+    with pytest.raises(ValueError, match="magic"):
         decode_image(b"\x89PNG")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P5\n4 3\n255\n" + raster[:-1])
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_image(b"P5\n1 1\n65535\n\x00\x00")
 
 
 def test_langid_outputs_valid_labels(spark, sf_dir):

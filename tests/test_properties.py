@@ -105,7 +105,7 @@ def test_zorder_value_interleaves_quantized_bits_exactly(spark, pairs):
     )
     rows = (
         df.crossJoin(FF.broadcast(bounds))
-        .withColumn("z", zorder_value(df, ["a", "b"]))
+        .withColumn("z", zorder_value(["a", "b"]))
         .collect()
     )
     los = {c: min(p[i] for p in pairs) for i, c in enumerate("ab")}
