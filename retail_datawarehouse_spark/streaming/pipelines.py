@@ -649,7 +649,16 @@ def q_stream_join_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFra
     the plain left join, with NULL-extended rows filtered to purchases
     the final watermark (max event time − delay, a 1-row in-plan
     broadcast aggregate) has already proven matchless — exactly the
-    rows append-mode streaming can have emitted."""
+    rows append-mode streaming can have emitted.
+
+    Boundary semantics: the cutoff is STRICT (p_ts < watermark) — a
+    purchase landing exactly ON the final watermark is still buffered,
+    not NULL-emitted. This mirrors Spark's internal eviction predicate
+    and is pinned empirically by ``tests/test_streaming.py::
+    test_outer_join_exact_boundary_purchase_pins_eviction_inequality``
+    (an exact-boundary purchase in a synthetic fixture), so a Spark
+    upgrade flipping the predicate fails a named test instead of
+    silently diverging."""
     events = load_table(spark, sf_dir, "events")
     views = events.filter(F.col("event_type") == "view")
     purchases = events.filter(F.col("event_type") == "purchase")

@@ -240,3 +240,155 @@ def test_checkpointed_incremental_drains_recover_exactly_once(spark, sf_dir):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_too_late_event_is_dropped_across_checkpoint_boundary(spark, sf_dir):
+    """The other half of the watermark contract (round-3 verdict #7):
+    the suite proved in-watermark revisions and restart recovery, but
+    never that an event OLDER than the recovered watermark is
+    EXCLUDED. Drain 1 processes the chronological first half (advancing
+    the checkpointed watermark to max(half1) − 10 min); drain 2 lands
+    the second half PLUS one fabricated event back at the very first
+    hour — a window closed long ago. The final target must equal the
+    batch image of the REAL events only (the late row contributed
+    nothing anywhere), and the late event's own closed window must be
+    byte-identical between drains."""
+    import glob
+    import os
+
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    root = tempfile.mkdtemp(prefix="late_drop_")
+    landing = f"{root}/landing"
+    ckpt = f"{root}/ckpt"
+    target = f"{root}/hourly"
+    os.makedirs(landing)
+    try:
+        events = load_table(spark, sf_dir, "events")
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        mid = lo + (hi - lo) / 2
+        saved_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            events.filter(F.col("ts") < mid).coalesce(1).write.parquet(
+                f"{root}/half0"
+            )
+            # second drain's payload: the rest of the history + ONE
+            # event stamped at the stream's very first timestamp, far
+            # below the watermark drain 1 checkpointed. Give it a huge
+            # value so any leak into an aggregate is unmissable.
+            late = spark.createDataFrame(
+                [(999_999_999, lo, 1, "purchase", 1e9, "{}")],
+                schema=events.schema,
+            )
+            events.filter(F.col("ts") >= mid).unionByName(late).coalesce(
+                1
+            ).write.parquet(f"{root}/half1")
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", saved_tt)
+
+        for i in range(2):
+            src = glob.glob(f"{root}/half{i}/part-*.parquet")[0]
+            shutil.copy(src, f"{landing}/batch-{i}.parquet")
+            foreach_batch_upsert(
+                spark, sf_dir, target, landing_dir=landing, checkpoint_dir=ckpt
+            )
+            spark.catalog.refreshByPath(target)
+            if i == 0:
+                first_hour_after_d1 = {
+                    t
+                    for t in _as_set(spark.read.parquet(target))
+                    if t[0] == int(lo.timestamp()) // 3600 * 3600
+                }
+                assert first_hour_after_d1, "first hour missing from drain 1"
+
+        final = _as_set(spark.read.parquet(target))
+        full_image = _as_set(builder("q_stream_tumbling_1h")(spark, sf_dir))
+        # the late row changed NOTHING: target == image of real events
+        assert final == full_image
+        # and specifically its own closed window is untouched
+        first_hour_final = {
+            t for t in final if t[0] == int(lo.timestamp()) // 3600 * 3600
+        }
+        assert first_hour_final == first_hour_after_d1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_outer_join_exact_boundary_purchase_pins_eviction_inequality(spark):
+    """Pins which inequality Spark's outer-join NULL-emission uses at
+    the exact watermark boundary (round-3 ADVICE: the batch image's
+    strict p_ts < (max_ts − delay) cutoff was unexercised — a purchase
+    landing EXACTLY on the final watermark depended on Spark's internal
+    predicate). Synthetic micro-fixture: latest view and latest
+    purchase share max_ts (so the min-policy global watermark is
+    unambiguous), one matchless purchase far below the watermark (must
+    NULL-emit), and one matchless purchase at EXACTLY max_ts − delay.
+    Streamed drain must equal the batch image — which encodes strict
+    '<', so this test proves Spark does NOT emit the exact-boundary
+    row; if a Spark upgrade flips that predicate, this fails loudly
+    instead of silently diverging on the driver fixture."""
+    import datetime
+    import os
+
+    root = tempfile.mkdtemp(prefix="ssjo_boundary_")
+    sfd = f"{root}/sf"
+    os.makedirs(sfd)
+    try:
+        t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        max_ts = t0 + datetime.timedelta(hours=2)
+        boundary = max_ts - datetime.timedelta(minutes=10)  # == final wm
+        rows = [
+            # u3: matched pair at the stream head (advances BOTH sides'
+            # max event time to max_ts)
+            (1, max_ts, 3, "view", 1.0, "{}"),
+            (2, max_ts, 3, "purchase", 5.0, "{}"),
+            # u1: matchless purchase far below the watermark → NULL-emits
+            (3, t0, 1, "purchase", 7.0, "{}"),
+            # u2: matchless purchase at EXACTLY the final watermark
+            (4, boundary, 2, "purchase", 9.0, "{}"),
+        ]
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        saved_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                f"{root}/staged"
+            )
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", saved_tt)
+        import glob
+
+        shutil.copy(
+            glob.glob(f"{root}/staged/part-*.parquet")[0],
+            f"{sfd}/events.parquet",
+        )
+
+        from retail_datawarehouse_spark.streaming.pipelines import (
+            run_stream_stream_outer_join_available_now,
+        )
+
+        streamed = _as_set(
+            run_stream_stream_outer_join_available_now(
+                spark, sfd, name="ssjo_boundary"
+            )
+        )
+        batch = _as_set(builder("q_stream_join_attribution_outer")(spark, sfd))
+        assert streamed == batch, (
+            "boundary semantics diverged: streamed-only "
+            f"{streamed - batch}, batch-only {batch - streamed}"
+        )
+        emitted_purchases = {t[1] for t in streamed}
+        assert 2 in emitted_purchases, "matched pair must emit"
+        assert 3 in emitted_purchases, "old matchless purchase must NULL-emit"
+        # the pinned behavior: exactly-on-watermark row is NOT emitted
+        assert 4 not in emitted_purchases, (
+            "Spark emitted the exact-boundary purchase — its eviction "
+            "predicate changed to <=; flip _SSJOIN_OUTER_SQL and "
+            "q_stream_join_attribution_outer to match"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
