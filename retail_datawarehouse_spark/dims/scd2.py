@@ -81,19 +81,173 @@ def _scd2_product_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_merge_batch(dim: DataFrame, changes: DataFrame) -> DataFrame:
+    """SCD2 MERGE: apply one change batch onto a versioned dim — the
+    close-out + insert-new-version composition every warehouse runs
+    nightly (round-3 verdict #8), as a single batch plan.
+
+    ``dim`` carries the standard SCD2 columns (natural_key, version_id,
+    attr_value, effective_date, end_date, is_current, version_seq);
+    ``changes`` carries at most ONE row per natural_key with
+    (natural_key, version_id, attr_value, effective_date).
+
+    Semantics per change row against the dim's current version:
+    - attr differs  → close the current version (end_date = change's
+      effective_date, is_current = false) AND insert a new current
+      version with version_seq + 1;
+    - attr equal    → no-op (idempotent re-delivery of the same state
+      must not spawn a version — the SCD2 analogue of MERGE's
+      "WHEN MATCHED AND changed" guard);
+    - no current row → brand-new key: insert version_seq 1.
+    History (non-current) rows always carry through untouched.
+
+    Scale shape: the change batch is the small side — the close-out
+    pass is a BroadcastHashJoin against it, so the dim (the 100 TB
+    side) NEVER shuffles for close-out; the insert pass preserves the
+    change side and therefore sort-merges, moving only the tiny change
+    relation plus the dim's already-key-partitioned current slice. In
+    a real warehouse the dim is a stored table bucketed by natural_key,
+    making both joins co-located."""
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+    ch = changes.withColumn("_ch_matched", F.lit(True))
+
+    # Close-out / carry pass: dim-preserved left join, change side
+    # broadcast. Match detection keys off the _ch_matched literal, not
+    # a payload column (a legitimately-NULL attr would misclassify).
+    j = cur.alias("t").join(
+        F.broadcast(ch).alias("c"), on="natural_key", how="left"
+    )
+    closes = F.col("c._ch_matched").isNotNull() & (
+        F.col("c.attr_value") != F.col("t.attr_value")
+    )
+    carried = j.select(
+        "natural_key",
+        F.col("t.version_id").alias("version_id"),
+        F.col("t.attr_value").alias("attr_value"),
+        F.col("t.effective_date").alias("effective_date"),
+        F.when(closes, F.col("c.effective_date"))
+        .otherwise(F.col("t.end_date"))
+        .alias("end_date"),
+        (~closes).alias("is_current"),
+        F.col("t.version_seq").alias("version_seq"),
+    )
+
+    # Insert pass: change-preserved left join (sort-merge; the change
+    # side is tiny). A change inserts iff there is no current version
+    # or the attribute actually moved.
+    cur_slim = cur.select(
+        "natural_key",
+        F.col("attr_value").alias("_cur_attr"),
+        F.col("version_seq").alias("_cur_seq"),
+    )
+    inserted = (
+        ch.alias("c")
+        .join(cur_slim.alias("t"), on="natural_key", how="left")
+        .filter(
+            F.col("t._cur_seq").isNull()
+            | (F.col("t._cur_attr") != F.col("c.attr_value"))
+        )
+        .select(
+            "natural_key",
+            F.col("c.version_id").alias("version_id"),
+            F.col("c.attr_value").alias("attr_value"),
+            F.col("c.effective_date").alias("effective_date"),
+            F.lit(None).cast("string").alias("end_date"),
+            F.lit(True).alias("is_current"),
+            (F.coalesce(F.col("t._cur_seq"), F.lit(0)) + F.lit(1))
+            .cast("long")
+            .alias("version_seq"),
+        )
+    )
+    return hist.select(*carried.columns).unionByName(carried).unionByName(inserted)
+
+
+# The deterministic change batch for the catalog entry, derived purely
+# from the fixtures so the DuckDB oracle can mirror it: updates for
+# every 5th customer key (synthetic priority), idempotent re-sends for
+# every 11th CURRENT dim row (same attr — must no-op), and brand-new
+# keys offset by +20M for every 97th customer. The three key sets are
+# disjoint by construction (%5-and-not-%11 / %11 / +20M offset), so the
+# batch has one row per key. Customers that never ordered have no dim
+# row, so their "update" exercises the brand-new-key path too.
+_MERGE_EFF = "2002-01-15"  # after every o_orderdate/l_shipdate in the fixtures
+_MERGE_KEY_OFFSET = 20_000_000
+
+
+def _scd2_customer_merge_changes(
+    spark: SparkSession, sf_dir: str, cur: DataFrame
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    upd = cust.filter(
+        (F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 11 != 0)
+    ).select(
+        F.col("c_custkey").alias("natural_key"),
+        (-F.col("c_custkey")).alias("version_id"),
+        F.lit("SYNTH-PRIORITY").alias("attr_value"),
+        F.lit(_MERGE_EFF).alias("effective_date"),
+    )
+    noop = cur.filter(F.col("natural_key") % 11 == 0).select(
+        "natural_key",
+        (-F.col("natural_key")).alias("version_id"),
+        "attr_value",
+        F.lit(_MERGE_EFF).alias("effective_date"),
+    )
+    new = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + F.lit(_MERGE_KEY_OFFSET)).alias("natural_key"),
+        (-(F.col("c_custkey") + F.lit(_MERGE_KEY_OFFSET))).alias("version_id"),
+        F.lit("NEW-CUSTOMER").alias("attr_value"),
+        F.lit(_MERGE_EFF).alias("effective_date"),
+    )
+    return upd.unionByName(noop).unionByName(new)
+
+
+def _scd2_customer_merged(
+    spark: SparkSession, sf_dir: str, dim: DataFrame
+) -> DataFrame:
+    """Customer dim AFTER one nightly merge batch, tagged for the suite.
+
+    ``dim`` is the (persisted) pre-merge version frame: in a real
+    warehouse the merge reads a STORED dim table, it does not rebuild
+    it — the persist models that, and keeps the entry's plan from
+    re-running the version window for each of the merge's four
+    references (hist / close pass / insert probe / no-op change feed)."""
+    changes = _scd2_customer_merge_changes(
+        spark, sf_dir, dim.filter(F.col("is_current"))
+    )
+    return scd2_merge_batch(dim, changes).select(
+        F.lit("customer_merged").alias("entity"), "*"
+    )
+
+
 @register(
     "q_scd2_build",
     oracle="""
-    SELECT 'customer' AS entity,
-           o_custkey AS natural_key,
-           o_orderkey AS version_id,
-           o_orderpriority AS attr_value,
-           strftime(o_orderdate, '%Y-%m-%d') AS effective_date,
-           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS end_date,
-           lead(o_orderdate) OVER w IS NULL AS is_current,
-           row_number() OVER w AS version_seq
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WITH ver AS (
+        SELECT o_custkey AS natural_key,
+               o_orderkey AS version_id,
+               o_orderpriority AS attr_value,
+               strftime(o_orderdate, '%Y-%m-%d') AS effective_date,
+               strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS end_date,
+               lead(o_orderdate) OVER w IS NULL AS is_current,
+               row_number() OVER w AS version_seq
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    cur AS (SELECT * FROM ver WHERE is_current),
+    changes AS (
+        SELECT c_custkey AS natural_key, -c_custkey AS version_id,
+               'SYNTH-PRIORITY' AS attr_value, '2002-01-15' AS eff
+        FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 11 <> 0
+        UNION ALL
+        SELECT natural_key, -natural_key, attr_value, '2002-01-15'
+        FROM cur WHERE natural_key % 11 = 0
+        UNION ALL
+        SELECT c_custkey + 20000000, -(c_custkey + 20000000),
+               'NEW-CUSTOMER', '2002-01-15'
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT 'customer' AS entity, * FROM ver
     UNION ALL
     SELECT 'product' AS entity,
            l_partkey AS natural_key,
@@ -106,15 +260,43 @@ def _scd2_product_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     WHERE l_linenumber = 1
     WINDOW w2 AS (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey)
+    UNION ALL
+    SELECT 'customer_merged', * FROM (
+        SELECT natural_key, version_id, attr_value, effective_date,
+               end_date, is_current, version_seq
+        FROM ver WHERE NOT is_current
+        UNION ALL
+        SELECT t.natural_key, t.version_id, t.attr_value, t.effective_date,
+               CASE WHEN c.natural_key IS NOT NULL
+                         AND c.attr_value <> t.attr_value
+                    THEN c.eff ELSE t.end_date END,
+               NOT (c.natural_key IS NOT NULL
+                    AND c.attr_value <> t.attr_value),
+               t.version_seq
+        FROM cur t LEFT JOIN changes c ON t.natural_key = c.natural_key
+        UNION ALL
+        SELECT c.natural_key, c.version_id, c.attr_value, c.eff,
+               NULL, TRUE, COALESCE(t.version_seq, 0) + 1
+        FROM changes c LEFT JOIN cur t ON c.natural_key = t.natural_key
+        WHERE t.natural_key IS NULL OR t.attr_value <> c.attr_value
+    )
     """,
 )
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 version build over BOTH dims the reference recommends it for
     (README.md:145-147, Customer and Product): effective/end dates via
     lead(), is_current flag, per-key version sequence — one generic
-    builder, two entity streams, tagged and unioned."""
-    return _scd2_customer_versions(spark, sf_dir).unionByName(
-        _scd2_product_versions(spark, sf_dir)
+    builder, two entity streams, tagged and unioned. A third branch
+    (entity='customer_merged') composes the build with the batch-MERGE
+    upsert (``scd2_merge_batch``): the customer dim AFTER one nightly
+    change batch — close-out + insert-new-version + idempotent no-op in
+    a single plan (round-3 verdict #8)."""
+    cust_ver = _scd2_customer_versions(spark, sf_dir)
+    dim = cust_ver.drop("entity").persist()
+    return (
+        cust_ver
+        .unionByName(_scd2_product_versions(spark, sf_dir))
+        .unionByName(_scd2_customer_merged(spark, sf_dir, dim))
     )
 
 

@@ -575,7 +575,14 @@ SHUFFLE_BUDGET = {
     "q_range_join_price_bands": 1,
     "q_rank_topk_suite": 3,
     "q_sample_suite": 2,
-    "q_scd2_build": 2,
+    # r4: 2 → 3. The entry gained the MERGE composition branch
+    # (entity='customer_merged', verdict #8): the pre-merge customer dim
+    # is persisted (a real merge reads a stored dim), so its window
+    # exchange counts once as the cache build; the third exchange is the
+    # insert pass shuffling the tiny change batch to the dim's key
+    # partitioning. The close-out pass broadcasts — the dim side itself
+    # never re-shuffles.
+    "q_scd2_build": 3,
     "q_scd2_point_in_time": 2,
     "q_sessionize_batch": 1,
     "q_setops_purchase_error_users": 6,

@@ -45,7 +45,7 @@ def test_scd2_ranges_partition_time(spark, sf_dir):
     customer AND product entities are present (README.md:145-147)."""
     scd = _run("q_scd2_build", spark, sf_dir).cache()
     entities = {r.entity for r in scd.select("entity").distinct().collect()}
-    assert entities == {"customer", "product"}
+    assert entities == {"customer", "product", "customer_merged"}
     per_key = scd.groupBy("entity", "natural_key").agg(
         F.sum(F.when(F.col("is_current"), 1).otherwise(0)).alias("n_current")
     )
@@ -55,6 +55,110 @@ def test_scd2_ranges_partition_time(spark, sf_dir):
         F.col("end_date") < F.col("effective_date")
     )
     assert chained.count() == 0
+    scd.unpersist()
+
+
+def test_scd2_merge_semantics(spark, sf_dir):
+    """Round-3 verdict #8 — the MERGE composition's four paths, pinned
+    against the pre-merge dim on the same run:
+
+    - untouched / no-op keys: byte-identical version rows (an
+      idempotent re-send of the current state must NOT spawn a version);
+    - updated keys: old current closed at the batch date, ONE new
+      current version with the synthetic attr and version_seq + 1;
+    - brand-new keys: exactly one version, seq 1, current;
+    - point-in-time reads dated before the batch are unchanged — the
+      merge only appends history, it never rewrites the past."""
+    from retail_datawarehouse_spark.dims.scd2 import _MERGE_EFF, _MERGE_KEY_OFFSET
+
+    scd = _run("q_scd2_build", spark, sf_dir).cache()
+    base = scd.filter(F.col("entity") == "customer").drop("entity")
+    merged = scd.filter(F.col("entity") == "customer_merged").drop("entity")
+
+    is_new_key = F.col("natural_key") >= _MERGE_KEY_OFFSET
+    is_upd_key = (
+        (F.col("natural_key") % 5 == 0)
+        & (F.col("natural_key") % 11 != 0)
+        & ~is_new_key  # a +20M insert key can be %5-shaped by arithmetic
+    )
+
+    # Paths 1+3 (untouched and no-op): dropping the update-key and
+    # new-key rows from the merged dim must reproduce those base rows.
+    untouched_m = merged.filter(~is_new_key & ~is_upd_key)
+    untouched_b = base.filter(~is_upd_key)
+    assert untouched_m.exceptAll(untouched_b).count() == 0
+    assert untouched_b.exceptAll(untouched_m).count() == 0
+
+    # Path 2 (update): per updated key with history, the new current row
+    # carries the synthetic attr, the batch date, and old max seq + 1;
+    # its predecessor is closed AT the batch date.
+    upd_new = merged.filter(is_upd_key & F.col("is_current"))
+    bad_new = upd_new.filter(
+        (F.col("attr_value") != "SYNTH-PRIORITY")
+        | (F.col("effective_date") != _MERGE_EFF)
+        | F.col("end_date").isNotNull()
+    )
+    assert bad_new.count() == 0
+    old_cur = base.filter(is_upd_key & F.col("is_current")).select(
+        "natural_key", F.col("version_seq").alias("old_seq")
+    )
+    seq_check = upd_new.join(old_cur, "natural_key", "left")
+    assert (
+        seq_check.filter(
+            F.col("version_seq") != F.coalesce(F.col("old_seq"), F.lit(0)) + 1
+        ).count()
+        == 0
+    )
+    upd_hist = merged.filter(is_upd_key & ~F.col("is_current"))
+    closed = upd_hist.join(
+        old_cur,
+        (upd_hist.natural_key == old_cur.natural_key)
+        & (upd_hist.version_seq == old_cur.old_seq),
+        "left_semi",
+    )
+    assert closed.filter(F.col("end_date") != _MERGE_EFF).count() == 0
+
+    # Path 4 (brand-new key): one row, seq 1, current, open-ended.
+    new_rows = merged.filter(is_new_key)
+    assert new_rows.filter(
+        (F.col("version_seq") != 1)
+        | ~F.col("is_current")
+        | F.col("end_date").isNotNull()
+    ).count() == 0
+    assert (
+        new_rows.groupBy("natural_key").count().filter("count > 1").count() == 0
+    )
+
+    # Point-in-time stability: every fixture l_shipdate predates the
+    # batch date, so the PIT aggregate over the merged dim must equal
+    # the one over the pre-merge dim, version ids included.
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fact = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("f_key"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    assert fact.filter(F.col("ship_date") >= _MERGE_EFF).count() == 0
+
+    def pit(dim):
+        v = dim.select(
+            F.col("natural_key").alias("k"),
+            "version_id",
+            F.col("effective_date").cast("date").alias("eff"),
+            F.col("end_date").cast("date").alias("end"),
+        )
+        j = fact.join(
+            v,
+            (fact.f_key == v.k)
+            & (fact.ship_date >= v.eff)
+            & (v.end.isNull() | (fact.ship_date < v.end)),
+        )
+        return j.groupBy("k", "version_id").count()
+
+    assert pit(merged).exceptAll(pit(base)).count() == 0
+    assert pit(base).exceptAll(pit(merged)).count() == 0
     scd.unpersist()
 
 
