@@ -10,6 +10,7 @@ float tolerance only to report how far off a mismatch is.
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 
 import duckdb
@@ -77,6 +78,10 @@ class CompareResult:
     spark_rows: int
     oracle_rows: int
     mismatches: list[str] = field(default_factory=list)
+    # Spark-side wall seconds (plan execution + Arrow collect), excluding
+    # the DuckDB oracle — feeds the wall-budget canary in
+    # test_oracle_parity so runtime creep in any entry is a named failure.
+    spark_secs: float = 0.0
 
     def message(self) -> str:
         return f"{self.name}: rows {self.spark_rows}/{self.oracle_rows} " + (
@@ -90,10 +95,12 @@ def compare_to_oracle(
     con: duckdb.DuckDBPyConnection,
     oracle_sql: str,
 ) -> CompareResult:
+    t0 = time.perf_counter()
     pdf_s = spark_df.toPandas()
+    spark_secs = time.perf_counter() - t0
     pdf_d = con.sql(oracle_sql).df()
 
-    res = CompareResult(name, True, len(pdf_s), len(pdf_d))
+    res = CompareResult(name, True, len(pdf_s), len(pdf_d), spark_secs=spark_secs)
     if sorted(pdf_s.columns) != sorted(pdf_d.columns):
         res.ok = False
         res.mismatches.append(
