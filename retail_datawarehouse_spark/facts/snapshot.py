@@ -174,15 +174,28 @@ def append_latest_month_lazy(
     exactly the shape dynamic partition pruning consumes on a
     month-partitioned fact, so the scan still prunes at scale.
     """
-    bounds = orders.agg(
-        F.max(F.date_trunc("month", "o_orderdate").cast("date")).alias("last_month")
-    ).withColumn("prior_last", F.add_months("last_month", -1))
+    # The 1-row bounds aggregate costs a full orders scan; it is
+    # referenced by FOUR downstream branches (both ob filters, carried,
+    # spine), so persist it — one scan, not four. Likewise the prior
+    # snapshot feeds both the union output and the carried-lifetime
+    # read; in production it IS a stored table (the warehouse's
+    # snapshot fact), so persisting models the read-from-storage and
+    # stops the spine-join-window subtree running twice.
+    bounds = (
+        orders.agg(
+            F.max(F.date_trunc("month", "o_orderdate").cast("date")).alias(
+                "last_month"
+            )
+        )
+        .withColumn("prior_last", F.add_months("last_month", -1))
+        .persist()
+    )
 
     ob = orders.crossJoin(F.broadcast(bounds))
     prior_orders = ob.filter(F.col("o_orderdate") < F.col("last_month")).drop(
         "last_month", "prior_last"
     )
-    prior = build_monthly_snapshot(prior_orders, customer)
+    prior = build_monthly_snapshot(prior_orders, customer).persist()
 
     # last_month == max(order month), so >= is exactly the final month.
     new_agg = (

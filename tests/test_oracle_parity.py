@@ -76,7 +76,7 @@ WALL_BUDGET_S: dict[str, float] = {
     "q_sink_csv_roundtrip": 5.0,  # measured 0.30
     "q_sink_warehouse_roundtrip": 5.0,  # measured 0.44
     "q_sketch_suite": 21.0,  # measured 8.21
-    "q_snapshot_incremental_mom": 22.0,  # measured 8.59
+    "q_snapshot_incremental_mom": 12.0,  # r4 persists: 8.59 → ~2.9 measured
     "q_split_leakage_report": 7.0,  # measured 1.36
     "q_stream_joins_stateful": 6.0,  # measured 0.64
     "q_stream_windows": 6.0,  # measured 0.83
