@@ -599,6 +599,103 @@ _BM25_SQL = f"""
 """
 
 
+# --- Character-trigram LM quality score (CCNet-style) -------------------
+#
+# CCNet/Gopher-class pipelines filter training text on a language-model
+# score: gibberish and boilerplate sit in the tails of the per-document
+# statistic. The classic statistic is log-perplexity under a char-n-gram
+# model; this implementation keeps the SAME model (corpus-trained
+# character-trigram frequencies) but scores with INTEGER-EXACT
+# arithmetic — qp(tri) = (LM_Q * count) DIV total, an integer division
+# both engines compute identically — instead of ln(count/total):
+# Java's Math.log and DuckDB's libm ln can differ in the last ulp, and
+# a fixed-point floor of a transcendental is one ulp away from a flaky
+# hash gate. Mean scaled frequency is a monotone transform of mean
+# probability (what perplexity monotonically orders for fixed doc
+# length), so the FILTERING decisions are the same; the rare-trigram
+# mass (n in trigrams seen <= LM_RARE_MAX times corpus-wide) is the
+# discrete tail signal a smoothed LM would assign the OOV floor.
+
+LM_Q = 1_000_000  # probability quantization: qp = (LM_Q * c) DIV total
+LM_RARE_MAX = 2  # corpus-wide count at or below which a trigram is "rare"
+
+
+def lm_score_frame(docs: DataFrame) -> DataFrame:
+    """Per-document char-trigram LM panel: (doc_id, lm_mass, n_tri,
+    n_rare). Mean model probability of the doc is lm_mass / n_tri / LM_Q.
+
+    Scale shape: per-doc trigram counts aggregate BEFORE the model
+    join (duplicates combine map-side, the join carries one row per
+    distinct (doc, tri)); the model relation is bounded by the
+    charset-cubed trigram domain (~1M rows worst case for ASCII-ish
+    text — broadcastable at any corpus size, the same reason CCNet can
+    hold its LM in memory per worker), and the scalar total rides a
+    broadcast 1-row aggregate. Docs shorter than 3 chars contribute no
+    trigrams and are consistently absent in both engines."""
+    lt = docs.select("doc_id", F.lower(F.col("text")).alias("tl"))
+    dt = lt.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(tl) >= 3 THEN "
+                "transform(sequence(1, length(tl) - 2), i -> substring(tl, i, 3)) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("tri"),
+    )
+    doc_tri = dt.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("n"))
+    # Model straight off the exploded stream, NOT via doc_tri: the tri
+    # groupBy partial-aggregates down to the bounded trigram domain
+    # map-side (cheapest possible second pass), where reusing doc_tri's
+    # plan would replay its corpus-scale (doc, tri) shuffle.
+    model = dt.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
+    total = model.agg(F.sum("c").alias("T"))
+    scored = (
+        doc_tri.join(F.broadcast(model), "tri")
+        .crossJoin(F.broadcast(total))
+        .withColumn("qp", F.expr(f"CAST(({LM_Q} * c) DIV T AS BIGINT)"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum(F.col("n") * F.col("qp")).cast("long").alias("lm_mass"),
+        F.sum("n").cast("long").alias("n_tri"),
+        F.sum(
+            F.when(F.col("c") <= LM_RARE_MAX, F.col("n")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_rare"),
+    )
+
+
+_LM_SQL = f"""
+    SELECT d.doc_id,
+           CAST(SUM(d.n * (({LM_Q} * m.c) // t.T)) AS BIGINT) AS lm_mass,
+           CAST(SUM(d.n) AS BIGINT) AS n_tri,
+           CAST(SUM(CASE WHEN m.c <= {LM_RARE_MAX} THEN d.n ELSE 0 END)
+                AS BIGINT) AS n_rare
+    FROM (
+        SELECT doc_id, tri, COUNT(*) AS n FROM (
+            SELECT doc_id, substr(tl, CAST(s.i AS INTEGER), 3) AS tri
+            FROM (SELECT doc_id, lower(text) AS tl FROM documents) lt,
+                 LATERAL (SELECT unnest(generate_series(1, length(tl) - 2)) AS i) s
+        ) GROUP BY 1, 2
+    ) d
+    JOIN (
+        SELECT tri, CAST(SUM(n) AS BIGINT) AS c FROM (
+            SELECT doc_id, tri, COUNT(*) AS n FROM (
+                SELECT doc_id, substr(tl, CAST(s.i AS INTEGER), 3) AS tri
+                FROM (SELECT doc_id, lower(text) AS tl FROM documents) lt,
+                     LATERAL (SELECT unnest(generate_series(1, length(tl) - 2)) AS i) s
+            ) GROUP BY 1, 2
+        ) GROUP BY 1
+    ) m USING (tri)
+    CROSS JOIN (
+        SELECT CAST(SUM(len(lower(text)) - 2) AS BIGINT) AS T
+        FROM documents WHERE length(text) >= 3
+    ) t
+    GROUP BY 1
+"""
+
+
 @register(
     "q_text_mining",
     oracle=f"""
@@ -606,7 +703,8 @@ _BM25_SQL = f"""
     terms AS ({_SALIENT_SQL}),
     {_DUCK_PII_DOCS},
     pii AS ({_DUCK_PII_SQL}),
-    bm25 AS ({_BM25_SQL})
+    bm25 AS ({_BM25_SQL}),
+    lm AS ({_LM_SQL})
     SELECT 'fp' AS part, doc_id, content_md5 AS skey,
            rolling_hash AS i1, CAST(0 AS BIGINT) AS i2, CAST(0 AS BIGINT) AS i3
     FROM fp
@@ -619,6 +717,9 @@ _BM25_SQL = f"""
     UNION ALL
     SELECT 'bm25', doc_id, term, tf, df, rank
     FROM bm25
+    UNION ALL
+    SELECT 'lm', doc_id, '', lm_mass, n_tri, n_rare
+    FROM lm
     """,
 )
 def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,11 +728,13 @@ def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode-aggregate pipeline), the PII audit (regex detect + redact
     over injected emails/phones/IPs, map-only), and BM25 keyword
     retrieval (integer-exact single-term ranking, hoisted-tokenization
-    HOF tf — the corpus never token-explodes) — as one part-tagged
-    union. Four distinct plan shapes deliberately share the catalog
-    entry; each keeps its own full value surface ((md5, hash) /
-    (token, tf, df, rank) / (type, count, redacted_len) /
-    (term, tf, df, rank)) so the driver hash checks every cell."""
+    HOF tf — the corpus never token-explodes), and the char-trigram LM
+    quality panel (``lm_score_frame`` — corpus-trained model, integer-
+    exact scoring) — as one part-tagged union. Five distinct plan
+    shapes deliberately share the catalog entry; each keeps its own
+    full value surface ((md5, hash) / (token, tf, df, rank) /
+    (type, count, redacted_len) / (term, tf, df, rank) /
+    (lm_mass, n_tri, n_rare)) so the driver hash checks every cell."""
     docs = load_table(spark, sf_dir, "documents")
     fp = fingerprint_frame(docs).select(
         F.lit("fp").alias("part"),
@@ -669,7 +772,17 @@ def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").alias("i2"),
         F.col("rank").alias("i3"),
     )
-    return fp.unionByName(terms).unionByName(pii).unionByName(bm25)
+    lm = lm_score_frame(docs).select(
+        F.lit("lm").alias("part"),
+        "doc_id",
+        F.lit("").alias("skey"),
+        F.col("lm_mass").alias("i1"),
+        F.col("n_tri").alias("i2"),
+        F.col("n_rare").alias("i3"),
+    )
+    return (
+        fp.unionByName(terms).unionByName(pii).unionByName(bm25).unionByName(lm)
+    )
 
 
 _NORM_MD5_SQL = (

@@ -874,3 +874,47 @@ def test_containment_catches_truncations_jaccard_misses(spark, sf_correctness_di
         else:
             assert max(r.doc_a, r.doc_b) >= 200000
             assert r.containment >= 0.9, r
+
+
+def test_lm_score_separates_gibberish_from_natural_text(spark):
+    """The char-trigram LM panel must do its curation job: on a corpus
+    of repetitive natural-ish English plus planted high-entropy
+    gibberish, every gibberish doc scores a LOWER mean trigram
+    probability (lm_mass/n_tri) than every clean doc, and carries
+    strictly more rare-trigram mass. Deterministic fixture — the
+    gibberish trigrams are near-unique by construction, so the
+    separation is structural, not statistical luck."""
+    from retail_datawarehouse_spark.operators.textual import lm_score_frame
+
+    clean_sents = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a customer ordered three large boxes of paper from the store",
+        "the store shipped the order to the customer the very next day",
+        "every order in the system has a status and a shipping priority",
+        "the lazy dog sleeps near the store while the fox watches the river",
+    ]
+    # Gibberish: md5-derived consonant mash — deterministic, and the
+    # trigrams are near-unique across the corpus (rare by construction).
+    def gib(i):
+        import hashlib
+
+        base = "bcdfghjklmnpqrstvwxz"
+        out = []
+        for j in range(12):
+            h = hashlib.md5(f"{i}:{j}".encode()).digest()
+            out.append("".join(base[b % len(base)] for b in h[:9]))
+        return " ".join(out)
+
+    rows = [(i, clean_sents[i % len(clean_sents)] + " " + clean_sents[(i + 1) % len(clean_sents)]) for i in range(20)]
+    rows += [(100 + i, gib(i)) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lm_score_frame(docs).collect()
+    mean_p = {r.doc_id: r.lm_mass / r.n_tri for r in out}
+    rare_rate = {r.doc_id: r.n_rare / r.n_tri for r in out}
+    clean_ids = [i for i in mean_p if i < 100]
+    gib_ids = [i for i in mean_p if i >= 100]
+    assert len(gib_ids) == 5 and len(clean_ids) == 20
+    worst_clean = min(mean_p[i] for i in clean_ids)
+    best_gib = max(mean_p[i] for i in gib_ids)
+    assert best_gib < worst_clean, (best_gib, worst_clean)
+    assert max(rare_rate[i] for i in clean_ids) < min(rare_rate[i] for i in gib_ids)

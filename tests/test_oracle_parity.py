@@ -81,7 +81,7 @@ WALL_BUDGET_S: dict[str, float] = {
     "q_stream_joins_stateful": 6.0,  # measured 0.64
     "q_stream_windows": 6.0,  # measured 0.83
     "q_text_metrics": 6.0,  # measured 0.82
-    "q_text_mining": 6.0,  # measured 0.90
+    "q_text_mining": 9.0,  # r4 +lm part: ~2.0 measured warm
 }
 
 _wall_seen: dict[str, float] = {}

@@ -598,7 +598,13 @@ SHUFFLE_BUDGET = {
     "q_stream_joins_stateful": 3,
     "q_stream_windows": 3,
     "q_text_metrics": 0,
-    "q_text_mining": 7,
+    # r4: 7 → 12. The suite gained the char-trigram LM part
+    # (lm_score_frame): per-doc trigram counts (1 corpus shuffle), the
+    # bounded-domain model aggregate (partial-agg'd map-side, 1), the
+    # 1-row total, and the per-doc score re-aggregate (1) — the model
+    # and total join back as broadcasts, the corpus never re-shuffles
+    # for scoring.
+    "q_text_mining": 12,
 }
 
 
