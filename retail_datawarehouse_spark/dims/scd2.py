@@ -114,13 +114,16 @@ def scd2_merge_batch(dim: DataFrame, changes: DataFrame) -> DataFrame:
 
     # Close-out / carry pass: dim-preserved left join, change side
     # broadcast. Match detection keys off the _ch_matched literal, not
-    # a payload column (a legitimately-NULL attr would misclassify).
+    # a payload column, and the changed-test is NULL-SAFE (<=>): with a
+    # plain !=, a change batch that legitimately sets the attribute to
+    # NULL compares as NULL → false on BOTH the close predicate and the
+    # insert filter, and the change silently drops as a no-op.
     j = cur.alias("t").join(
         F.broadcast(ch).alias("c"), on="natural_key", how="left"
     )
-    closes = F.col("c._ch_matched").isNotNull() & (
-        F.col("c.attr_value") != F.col("t.attr_value")
-    )
+    closes = F.col("c._ch_matched").isNotNull() & ~F.col(
+        "c.attr_value"
+    ).eqNullSafe(F.col("t.attr_value"))
     carried = j.select(
         "natural_key",
         F.col("t.version_id").alias("version_id"),
@@ -146,7 +149,7 @@ def scd2_merge_batch(dim: DataFrame, changes: DataFrame) -> DataFrame:
         .join(cur_slim.alias("t"), on="natural_key", how="left")
         .filter(
             F.col("t._cur_seq").isNull()
-            | (F.col("t._cur_attr") != F.col("c.attr_value"))
+            | ~F.col("t._cur_attr").eqNullSafe(F.col("c.attr_value"))
         )
         .select(
             "natural_key",
@@ -268,17 +271,17 @@ def _scd2_customer_merged(
         UNION ALL
         SELECT t.natural_key, t.version_id, t.attr_value, t.effective_date,
                CASE WHEN c.natural_key IS NOT NULL
-                         AND c.attr_value <> t.attr_value
+                         AND c.attr_value IS DISTINCT FROM t.attr_value
                     THEN c.eff ELSE t.end_date END,
                NOT (c.natural_key IS NOT NULL
-                    AND c.attr_value <> t.attr_value),
+                    AND c.attr_value IS DISTINCT FROM t.attr_value),
                t.version_seq
         FROM cur t LEFT JOIN changes c ON t.natural_key = c.natural_key
         UNION ALL
         SELECT c.natural_key, c.version_id, c.attr_value, c.eff,
                NULL, TRUE, COALESCE(t.version_seq, 0) + 1
         FROM changes c LEFT JOIN cur t ON c.natural_key = t.natural_key
-        WHERE t.natural_key IS NULL OR t.attr_value <> c.attr_value
+        WHERE t.natural_key IS NULL OR t.attr_value IS DISTINCT FROM c.attr_value
     )
     """,
 )

@@ -355,3 +355,50 @@ def test_is_holiday_flag_single_source(spark, sf_dir):
     # covers at least one listed holiday
     assert recomputed.filter(F.col("is_holiday_flag")).count() > 0
     assert len(HOLIDAYS) >= 3
+
+
+def test_scd2_merge_null_attr_change_is_null_safe(spark):
+    """A change batch that legitimately sets the attribute to NULL must
+    close the current version and insert a NULL-attr version — and a
+    re-send of a NULL current attr must no-op. A plain != here compares
+    to NULL → false on both the close predicate and the insert filter,
+    silently dropping the change; the operator uses <=> (eqNullSafe),
+    and this pins it."""
+    from retail_datawarehouse_spark.dims.scd2 import scd2_merge_batch
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: current attr 'A' — change sets NULL → close+insert
+            (1, 10, "A", "2020-01-01", None, True, 1),
+            # key 2: current attr NULL — change re-sends NULL → no-op
+            (2, 20, None, "2020-01-01", None, True, 1),
+            # key 3: current attr NULL — change sets 'B' → close+insert
+            (3, 30, None, "2020-01-01", None, True, 1),
+        ],
+        "natural_key long, version_id long, attr_value string, "
+        "effective_date string, end_date string, is_current boolean, "
+        "version_seq long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, -1, None, "2021-06-01"),
+            (2, -2, None, "2021-06-01"),
+            (3, -3, "B", "2021-06-01"),
+        ],
+        "natural_key long, version_id long, attr_value string, "
+        "effective_date string",
+    )
+    out = {
+        (r.natural_key, r.version_id): r
+        for r in scd2_merge_batch(dim, changes).collect()
+    }
+    # key 1: old version closed at the batch date, new NULL-attr current
+    assert out[(1, 10)].end_date == "2021-06-01" and not out[(1, 10)].is_current
+    assert out[(1, -1)].attr_value is None and out[(1, -1)].is_current
+    assert out[(1, -1)].version_seq == 2
+    # key 2: NULL == NULL under <=> → exactly one row, untouched
+    assert (2, -2) not in out
+    assert out[(2, 20)].is_current and out[(2, 20)].end_date is None
+    # key 3: NULL -> 'B' closes and inserts
+    assert out[(3, 30)].end_date == "2021-06-01" and not out[(3, 30)].is_current
+    assert out[(3, -3)].attr_value == "B" and out[(3, -3)].version_seq == 2
