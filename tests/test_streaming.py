@@ -392,3 +392,48 @@ def test_outer_join_exact_boundary_purchase_pins_eviction_inequality(spark):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_available_now_backfill_respects_admission_control(spark, sf_dir):
+    """The 100 TB backfill story: pointing a stream at a huge landing
+    zone must NOT load it in one giant micro-batch — availableNow +
+    maxFilesPerTrigger drains it in bounded chunks (bounded state,
+    bounded shuffle per batch) and still lands on exactly the batch
+    image. Pinned on recentProgress: 6 staged files at 2/trigger must
+    take >= 3 micro-batches, and the complete-mode result must equal
+    the one-shot drain's."""
+    from retail_datawarehouse_spark.sources.readers import (
+        EVENTS_SCHEMA_TS,
+        load_table,
+    )
+    from retail_datawarehouse_spark.streaming.pipelines import (
+        tumbling_aggregation,
+    )
+
+    landing = tempfile.mkdtemp(prefix="events_chunked_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(6).write.mode("overwrite").parquet(landing)
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA_TS)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(landing)
+        )
+        q = (
+            tumbling_aggregation(src)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("t_chunked_backfill")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        assert n_batches >= 3, (
+            f"admission control ignored: drained in {n_batches} batches"
+        )
+        out = spark.sql("SELECT * FROM t_chunked_backfill")
+        batch_out = builder("q_stream_tumbling_1h")(spark, sf_dir)
+        assert _as_set(out) == _as_set(batch_out)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
