@@ -127,3 +127,68 @@ def test_zorder_value_interleaves_quantized_bits_exactly(spark, pairs):
             expect |= ((qb >> j) & 1) << (2 * j + 1)
         assert r.z == expect, (r.a, r.b, r.z, expect)
         assert 0 <= r.z < (1 << (2 * ZORDER_BITS))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(  # dim: key -> list of version attrs (last = current)
+        st.integers(min_value=0, max_value=7),
+        st.lists(
+            st.sampled_from(["A", "B", "C", None]), min_size=1, max_size=3
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    st.dictionaries(  # change batch: key -> new attr (max 1 per key)
+        st.integers(min_value=0, max_value=9),  # 8,9 = brand-new keys
+        st.sampled_from(["A", "B", "C", None]),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_scd2_merge_batch_matches_python_reference(spark, dim_spec, changes_spec):
+    """scd2_merge_batch vs an independent Python implementation of the
+    documented semantics, over generated dims and change batches that
+    include NULL attributes, multi-version histories, keys with no
+    current match, and brand-new keys."""
+    from retail_datawarehouse_spark.dims.scd2 import scd2_merge_batch
+
+    dim_rows, ref = [], []
+    for k, attrs in dim_spec.items():
+        for i, a in enumerate(attrs):
+            eff = f"2020-0{i + 1}-01"
+            end = f"2020-0{i + 2}-01" if i + 1 < len(attrs) else None
+            dim_rows.append((k, k * 100 + i, a, eff, end, end is None, i + 1))
+    ch_rows = [(k, -k - 1, a, "2021-06-01") for k, a in changes_spec.items()]
+
+    # Python reference: close/insert on attr change (NULL-safe), no-op
+    # on equal, insert seq 1 for keys with no current version.
+    cur = {r[0]: r for r in dim_rows if r[5]}
+    for r in dim_rows:
+        k = r[0]
+        if r[5] and k in changes_spec and changes_spec[k] != r[2]:
+            ref.append((k, r[1], r[2], r[3], "2021-06-01", False, r[6]))
+        else:
+            ref.append(r)
+    for k, a in changes_spec.items():
+        if k not in cur or cur[k][2] != a:
+            seq = (cur[k][6] if k in cur else 0) + 1
+            ref.append((k, -k - 1, a, "2021-06-01", None, True, seq))
+
+    schema = (
+        "natural_key long, version_id long, attr_value string, "
+        "effective_date string, end_date string, is_current boolean, "
+        "version_seq long"
+    )
+    dim = spark.createDataFrame(dim_rows, schema) if dim_rows else spark.createDataFrame([], schema)
+    ch_schema = (
+        "natural_key long, version_id long, attr_value string, "
+        "effective_date string"
+    )
+    changes = (
+        spark.createDataFrame(ch_rows, ch_schema)
+        if ch_rows
+        else spark.createDataFrame([], ch_schema)
+    )
+    got = {tuple(r) for r in scd2_merge_batch(dim, changes).collect()}
+    assert got == set(ref)
