@@ -169,6 +169,28 @@ def test_merge_upsert_plans_single_join(spark, sf_dir):
     assert "FullOuter" in plan
 
 
+def test_scd2_merge_close_pass_broadcasts_the_change_batch(spark, sf_dir):
+    """The SCD2 merge's close-out pass must be a BroadcastHashJoin with
+    the CHANGE BATCH as the broadcast side — at 100 TB the dim is the
+    big side and must never re-shuffle just to find out which current
+    versions a nightly batch closes. The only sort-merge join allowed
+    is the insert pass (change-preserved, tiny left side)."""
+    from retail_datawarehouse_spark.dims.scd2 import (
+        _scd2_customer_merge_changes,
+        _scd2_customer_versions,
+        scd2_merge_batch,
+    )
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    dim = _scd2_customer_versions(spark, sf_dir).drop("entity")
+    changes = _scd2_customer_merge_changes(
+        spark, sf_dir, dim.filter(F.col("is_current"))
+    )
+    plan = formatted_plan(scd2_merge_batch(dim, changes))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert plan.count("SortMergeJoin") <= 1, plan[:2000]
+
+
 def test_ivf_candidate_join_is_hash_on_cell(spark, sf_dir):
     """The IVF search join (probes × inverted file) must be a hash
     equi-join on the cell id. The only nested-loop joins allowed are
