@@ -276,16 +276,74 @@ _REPETITION_GRAMS_SQL = """
                ELSE [] END AS grams"""
 
 
+TILE_WORDS = 8  # intra-doc dedup granularity: 8-word tiles ("paragraphs")
+
+
+def tile_dedup_cols() -> list[Column]:
+    """Dolma/C4-style INTRA-document dedup with text rewrite: tile the
+    token stream into fixed {TILE_WORDS}-word units (the fixture has no
+    sentence/paragraph boundaries; real corpora would split on \\n\\n),
+    drop every repeated tile keeping the FIRST occurrence, and emit the
+    rewritten text's md5 plus before/after tile counts. Spark's
+    ``array_distinct`` preserves first-occurrence order, so the rewrite
+    is deterministic. Like the rest of the quality stack this is pure
+    array HOFs — map-only, shuffle-free at any corpus size (the
+    repetition panel SCORES duplication; this one REMOVES it)."""
+    toks = F.split("text", " ")
+    tiles = F.transform(
+        # `div` (not /): Column `/` promotes to DOUBLE and sequence()
+        # rejects a fractional bound.
+        F.expr(f"sequence(0, (size(split(text, ' ')) - 1) div {TILE_WORDS})"),
+        lambda j: F.array_join(
+            F.slice(toks, j * TILE_WORDS + 1, TILE_WORDS), " "
+        ),
+    )
+    kept = F.array_distinct(tiles)
+    return [
+        F.size(tiles).cast("long").alias("n_tiles"),
+        F.size(kept).cast("long").alias("n_kept_tiles"),
+        F.md5(F.array_join(kept, " ").cast("binary")).alias("dedup_text_md5"),
+    ]
+
+
+_TILE_DEDUP_SQL = f"""
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tiles,
+               CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept_tiles,
+               md5(string_agg(tile, ' ' ORDER BY idx)
+                   FILTER (WHERE rn = 1)) AS dedup_text_md5
+        FROM (
+            SELECT doc_id, tile, idx,
+                   row_number() OVER (
+                       PARTITION BY doc_id, tile ORDER BY idx
+                   ) AS rn
+            FROM (
+                SELECT doc_id, j AS idx,
+                       array_to_string(
+                           list_slice(toks, j * {TILE_WORDS} + 1,
+                                      j * {TILE_WORDS} + {TILE_WORDS}), ' '
+                       ) AS tile
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents),
+                     LATERAL (SELECT unnest(generate_series(
+                         0, (len(toks) - 1) // {TILE_WORDS})) AS j) s
+            )
+        )
+        GROUP BY doc_id"""
+
+
 @register(
     "q_text_metrics",
     oracle=f"""
     WITH g AS (
         SELECT doc_id, text, lang, {_REPETITION_GRAMS_SQL}
         FROM documents
-    )
-    SELECT doc_id, {_TOKEN_STATS_SQL_COLS}, {_QUALITY_SQL_COLS},
-           {_LANGID_SQL_COLS}, {_REPETITION_SQL_COLS}
-    FROM g
+    ),
+    td AS ({_TILE_DEDUP_SQL})
+    SELECT g.doc_id, {_TOKEN_STATS_SQL_COLS}, {_QUALITY_SQL_COLS},
+           {_LANGID_SQL_COLS}, {_REPETITION_SQL_COLS},
+           td.n_tiles, td.n_kept_tiles, td.dedup_text_md5
+    FROM g JOIN td ON g.doc_id = td.doc_id
     """,
 )
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,6 +361,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         *quality_cols(),
         *langid_cols(),
         *repetition_cols(),
+        *tile_dedup_cols(),
     )
 
 

@@ -918,3 +918,32 @@ def test_lm_score_separates_gibberish_from_natural_text(spark):
     best_gib = max(mean_p[i] for i in gib_ids)
     assert best_gib < worst_clean, (best_gib, worst_clean)
     assert max(rare_rate[i] for i in clean_ids) < min(rare_rate[i] for i in gib_ids)
+
+
+def test_tile_dedup_removes_repeated_tiles_keeps_first_occurrence(spark):
+    """Intra-doc tile dedup: a doc built as A B A C A (five 8-word
+    tiles, tile A repeated three times) must report 5 tiles, 3 kept,
+    and a rewritten-text md5 equal to md5('A B C') — first occurrences
+    in original order. A doc with no repeats is untouched (md5 of the
+    full text, kept == total)."""
+    import hashlib
+
+    from retail_datawarehouse_spark.operators.textual import (
+        TILE_WORDS,
+        tile_dedup_cols,
+    )
+
+    def tile(ch):
+        return " ".join([ch] * TILE_WORDS)
+
+    dup_text = " ".join([tile("a"), tile("b"), tile("a"), tile("c"), tile("a")])
+    uniq_text = " ".join([tile("x"), tile("y")])
+    docs = spark.createDataFrame(
+        [(1, dup_text), (2, uniq_text)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in docs.select("doc_id", *tile_dedup_cols()).collect()}
+    assert out[1].n_tiles == 5 and out[1].n_kept_tiles == 3
+    expect1 = " ".join([tile("a"), tile("b"), tile("c")])
+    assert out[1].dedup_text_md5 == hashlib.md5(expect1.encode()).hexdigest()
+    assert out[2].n_tiles == 2 and out[2].n_kept_tiles == 2
+    assert out[2].dedup_text_md5 == hashlib.md5(uniq_text.encode()).hexdigest()
