@@ -217,6 +217,92 @@ _FEATURES_SQL = f"""
 """
 
 
+# --- Resize: decode → nearest-neighbor downsample → re-featurize ------
+
+RS_W, RS_H = 8, 6  # fixed thumbnail dims (model-input normalization)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("resized_mean", T.DoubleType()),
+    ]
+)
+
+
+def _resize_nn(raster: bytes, w: int, h: int) -> bytes:
+    """Nearest-neighbor resample to RS_W×RS_H with pure integer index
+    math — src = (dst * src_dim) // dst_dim — so the exact output bytes
+    are reproducible in SQL from the same payload."""
+    sy = [(y * h) // RS_H for y in range(RS_H)]
+    sx = [(x * w) // RS_W for x in range(RS_W)]
+    return bytes(raster[yy * w + xx] for yy in sy for xx in sx)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "width": [],
+            "height": [],
+            "resized_md5": [],
+            "resized_mean": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, raster = decode_image(bytes(payload))
+            rs = _resize_nn(raster, w, h)
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["resized_md5"].append(hashlib.md5(rs).hexdigest())
+            out["resized_mean"].append(float(sum(rs)) / len(rs))
+        yield pd.DataFrame(out)
+
+
+def resize_frame(df_with_payload: DataFrame) -> DataFrame:
+    """mapInPandas decode + RESIZE: normalize every image to a fixed
+    RS_W×RS_H thumbnail (the model-input shape) and emit the resized
+    raster's md5 + mean. Arrow-batched, map-only — 1 row in, 1 row out,
+    no shuffle; at 100 TB this is the decode-normalize pass that runs
+    once per payload before feature extraction."""
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        _resize_batches, RESIZE_SCHEMA
+    )
+
+
+# The resize mirrored in SQL: resized pixel (y, x) reads source byte
+# ((y·h) // RS_H)·w + ((x·w) // RS_W) of the same rpad'd-text raster the
+# payload embeds — integer index arithmetic, so the resized string (and
+# its md5 / ascii mean) is computable straight off `documents`.
+_RESIZE_SQL = f"""
+    SELECT doc_id,
+           CAST({_PGM_W} AS BIGINT) AS width,
+           CAST({_PGM_H} AS BIGINT) AS height,
+           md5(rs) AS resized_md5,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(regexp_extract_all(rs, '.'),
+                        ch -> CAST(ascii(ch) AS BIGINT))),
+                (acc, x) -> acc + x) AS DOUBLE) / {RS_W * RS_H}
+               AS resized_mean
+    FROM (
+        SELECT doc_id,
+               array_to_string(list_transform(
+                   generate_series(0, {RS_W * RS_H - 1}),
+                   i -> substr(
+                       rpad(text, CAST({_PGM_W} * {_PGM_H} AS INTEGER), 'x'),
+                       CAST((((i // {RS_W}) * {_PGM_H}) // {RS_H}) * {_PGM_W}
+                            + (((i % {RS_W}) * {_PGM_W}) // {RS_W}) + 1
+                            AS INTEGER),
+                       1)), '') AS rs
+        FROM documents
+    )
+"""
+
+
 # --- Frame sampling: the 1→N mapInPandas shape ---
 
 CHUNK_SCHEMA = T.StructType(
@@ -367,7 +453,8 @@ _TCHUNK_SQL = f"""
     WITH meta AS ({_META_SQL}),
     chunks AS ({_CHUNKS_SQL}),
     tchunks AS ({_TCHUNK_SQL}),
-    feats AS ({_FEATURES_SQL})
+    feats AS ({_FEATURES_SQL}),
+    rsz AS ({_RESIZE_SQL})
     SELECT 'meta' AS part, doc_id, payload_bytes AS i1,
            first_byte AS i2, payload_md5 AS s1, CAST(NULL AS DOUBLE) AS d1
     FROM meta
@@ -382,6 +469,9 @@ _TCHUNK_SQL = f"""
     SELECT 'tchunk', doc_id, chunk_idx, n_toks, chunk_md5,
            CAST(NULL AS DOUBLE)
     FROM tchunks
+    UNION ALL
+    SELECT 'resize', doc_id, width, height, resized_md5, resized_mean
+    FROM rsz
     """,
 )
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +518,17 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_md5").alias("s1"),
         null_d.alias("d1"),
     )
+    rsz = resize_frame(with_pgm_payload(docs)).select(
+        F.lit("resize").alias("part"),
+        "doc_id",
+        F.col("width").alias("i1"),
+        F.col("height").alias("i2"),
+        F.col("resized_md5").alias("s1"),
+        F.col("resized_mean").alias("d1"),
+    )
     return (
-        meta.unionByName(chunks).unionByName(feats).unionByName(tchunks)
+        meta.unionByName(chunks)
+        .unionByName(feats)
+        .unionByName(tchunks)
+        .unionByName(rsz)
     )

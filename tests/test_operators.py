@@ -947,3 +947,43 @@ def test_tile_dedup_removes_repeated_tiles_keeps_first_occurrence(spark):
     assert out[1].dedup_text_md5 == hashlib.md5(expect1.encode()).hexdigest()
     assert out[2].n_tiles == 2 and out[2].n_kept_tiles == 2
     assert out[2].dedup_text_md5 == hashlib.md5(uniq_text.encode()).hexdigest()
+
+
+def test_resize_nearest_neighbor_exact_index_map(spark):
+    """The resize kernel must implement src = (dst * src_dim) // dst_dim
+    exactly: hand-computed expectations for a 4x3 downsample-ish case
+    and a 2x2 upsample (pixel replication), plus the end-to-end Arrow
+    path over a synthesized payload frame."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from retail_datawarehouse_spark.operators.multimodal import (
+        RS_H,
+        RS_W,
+        _resize_nn,
+        resize_frame,
+    )
+
+    # 4x3 source, bytes 0..11 row-major
+    raster = bytes(range(12))
+    rs = _resize_nn(raster, 4, 3)
+    assert len(rs) == RS_W * RS_H
+    expect = bytes(
+        raster[((y * 3) // RS_H) * 4 + ((x * 4) // RS_W)]
+        for y in range(RS_H)
+        for x in range(RS_W)
+    )
+    assert rs == expect
+    # 2x2 upsample: each source pixel replicated into a 4x3 block
+    rs2 = _resize_nn(bytes([10, 20, 30, 40]), 2, 2)
+    assert rs2[:4] == bytes([10, 10, 10, 10]) and rs2[4:8] == bytes([20] * 4)
+    assert rs2.count(10) + rs2.count(20) + rs2.count(30) + rs2.count(40) == 48
+
+    # End-to-end Arrow path: payload -> decode -> resize row
+    payload = b"P5\n4 3\n255\n" + raster
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = resize_frame(df).first()
+    assert (row.width, row.height) == (4, 3)
+    assert row.resized_md5 == hashlib.md5(expect).hexdigest()
+    assert abs(row.resized_mean - sum(expect) / len(expect)) < 1e-12
