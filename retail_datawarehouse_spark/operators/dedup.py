@@ -932,7 +932,7 @@ def connected_components(
     max_iter: int = 25,
     use_checkpoint: bool = False,
     return_rounds: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, int]":
     """Resolve undirected edges into components with the alternating
     large-star / small-star algorithm (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC'14 — public). Returns

@@ -46,18 +46,31 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
             f"unsupported image magic {payload[:2]!r}; only binary PGM "
             "(P5) decodes in-container — wire PIL here for JPEG/PNG"
         )
-    pos, fields = 2, []
+    n, pos, fields = len(payload), 2, []
     while len(fields) < 3:
+        # Every branch is EOF-guarded: an unguarded tokenizer loops
+        # forever on a truncated header (b"".isspace() is False), and a
+        # hung executor task is strictly worse than a decode error.
+        if pos >= n:
+            raise ValueError("truncated header: EOF before width/height/maxval")
         c = payload[pos : pos + 1]
         if c == b"#":
-            pos = payload.index(b"\n", pos) + 1
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated header: unterminated comment")
+            pos = nl + 1
         elif c.isspace():
             pos += 1
         else:
             end = pos
-            while not payload[end : end + 1].isspace():
+            while end < n and not payload[end : end + 1].isspace():
                 end += 1
-            fields.append(int(payload[pos:end]))
+            if end == n:
+                raise ValueError("truncated header: EOF inside header token")
+            tok = payload[pos:end]
+            if not tok.isdigit():
+                raise ValueError(f"malformed header token {tok!r}")
+            fields.append(int(tok))
             pos = end
     width, height, maxval = fields
     if not (0 < maxval < 256):
@@ -118,6 +131,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_pixels", T.LongType()),
         T.StructField("pixel_mean", T.DoubleType()),
         T.StructField("pixel_md5", T.StringType()),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("resized_mean", T.DoubleType()),
     ]
 )
 
@@ -138,15 +153,24 @@ def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             "n_pixels": [],
             "pixel_mean": [],
             "pixel_md5": [],
+            "resized_md5": [],
+            "resized_mean": [],
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             width, height, raster = decode_image(bytes(payload))
+            # Resize rides the SAME decode: the suite needs both the
+            # full-raster stats and the thumbnail, and decoding the
+            # payload twice (two Arrow passes) was the entry's whole
+            # Python cost doubled.
+            rs = _resize_nn(raster, width, height)
             out["doc_id"].append(doc_id)
             out["width"].append(width)
             out["height"].append(height)
             out["n_pixels"].append(len(raster))
             out["pixel_mean"].append(float(sum(raster)) / len(raster))
             out["pixel_md5"].append(hashlib.md5(raster).hexdigest())
+            out["resized_md5"].append(hashlib.md5(rs).hexdigest())
+            out["resized_mean"].append(float(sum(rs)) / len(rs))
         yield pd.DataFrame(out)
 
 
@@ -480,10 +504,13 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('chunk'), the mapInPandas DECODE + featurizer ('feat' — a real
     dependency-free binary-PGM decoder over payloads synthesized as
     genuine PGM images, decoded width/height/raster stats hash-checked
-    against doc_id-arithmetic + ascii-aggregate SQL), plus the pure-JVM
-    overlapping TOKEN chunker ('tchunk' — the embedding-model text
-    prep, zero Python by contrast with the Arrow byte chunker). Every
-    part is value-verified; no stubbed step remains."""
+    against doc_id-arithmetic + ascii-aggregate SQL), the decode +
+    nearest-neighbor RESIZE normalization ('resize' — fixed thumbnail
+    dims, integer index map, sharing the 'feat' decode pass via one
+    persisted featurizer frame), plus the pure-JVM overlapping TOKEN
+    chunker ('tchunk' — the embedding-model text prep, zero Python by
+    contrast with the Arrow byte chunker). Every part is
+    value-verified; no stubbed step remains."""
     docs = load_table(spark, sf_dir, "documents")
     null_d = F.lit(None).cast("double")
     meta = q_multimodal_meta(spark, sf_dir).select(
@@ -502,7 +529,12 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_md5").alias("s1"),
         null_d.alias("d1"),
     )
-    feats = q_multimodal_features(spark, sf_dir).select(
+    # One decode pass serves BOTH image parts: the featurizer emits
+    # full-raster stats and the thumbnail together (single mapInPandas),
+    # persisted so 'feat' and 'resize' read the same 1-row-per-doc
+    # result instead of re-synthesizing and re-decoding every payload.
+    ff = q_multimodal_features(spark, sf_dir).persist()
+    feats = ff.select(
         F.lit("feat").alias("part"),
         "doc_id",
         F.col("width").alias("i1"),
@@ -518,7 +550,7 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_md5").alias("s1"),
         null_d.alias("d1"),
     )
-    rsz = resize_frame(with_pgm_payload(docs)).select(
+    rsz = ff.select(
         F.lit("resize").alias("part"),
         "doc_id",
         F.col("width").alias("i1"),

@@ -726,27 +726,23 @@ def lm_score_frame(docs: DataFrame) -> DataFrame:
 
 
 _LM_SQL = f"""
-    SELECT d.doc_id,
-           CAST(SUM(d.n * (({LM_Q} * m.c) // t.T)) AS BIGINT) AS lm_mass,
-           CAST(SUM(d.n) AS BIGINT) AS n_tri,
-           CAST(SUM(CASE WHEN m.c <= {LM_RARE_MAX} THEN d.n ELSE 0 END)
-                AS BIGINT) AS n_rare
-    FROM (
+    WITH lm_doc_tri AS (
         SELECT doc_id, tri, COUNT(*) AS n FROM (
             SELECT doc_id, substr(tl, CAST(s.i AS INTEGER), 3) AS tri
             FROM (SELECT doc_id, lower(text) AS tl FROM documents) lt,
                  LATERAL (SELECT unnest(generate_series(1, length(tl) - 2)) AS i) s
         ) GROUP BY 1, 2
-    ) d
-    JOIN (
-        SELECT tri, CAST(SUM(n) AS BIGINT) AS c FROM (
-            SELECT doc_id, tri, COUNT(*) AS n FROM (
-                SELECT doc_id, substr(tl, CAST(s.i AS INTEGER), 3) AS tri
-                FROM (SELECT doc_id, lower(text) AS tl FROM documents) lt,
-                     LATERAL (SELECT unnest(generate_series(1, length(tl) - 2)) AS i) s
-            ) GROUP BY 1, 2
-        ) GROUP BY 1
-    ) m USING (tri)
+    ),
+    lm_model AS (
+        SELECT tri, CAST(SUM(n) AS BIGINT) AS c FROM lm_doc_tri GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.n * (({LM_Q} * m.c) // t.T)) AS BIGINT) AS lm_mass,
+           CAST(SUM(d.n) AS BIGINT) AS n_tri,
+           CAST(SUM(CASE WHEN m.c <= {LM_RARE_MAX} THEN d.n ELSE 0 END)
+                AS BIGINT) AS n_rare
+    FROM lm_doc_tri d
+    JOIN lm_model m USING (tri)
     CROSS JOIN (
         SELECT CAST(SUM(len(lower(text)) - 2) AS BIGINT) AS T
         FROM documents WHERE length(text) >= 3

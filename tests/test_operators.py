@@ -134,6 +134,16 @@ def test_decode_image_parses_pgm(spark):
         decode_image(b"P5\n4 3\n255\n" + raster[:-1])
     with pytest.raises(ValueError, match="8-bit"):
         decode_image(b"P5\n1 1\n65535\n\x00\x00")
+    # Truncated/malformed HEADERS must raise, not hang: an unguarded
+    # tokenizer spins forever past EOF (b"".isspace() is False).
+    with pytest.raises(ValueError, match="truncated header"):
+        decode_image(b"P5")
+    with pytest.raises(ValueError, match="truncated header"):
+        decode_image(b"P5\n4 3")  # token runs to EOF
+    with pytest.raises(ValueError, match="truncated header"):
+        decode_image(b"P5 # comment never ends")
+    with pytest.raises(ValueError, match="malformed header"):
+        decode_image(b"P5\nxy 3\n255\n")
 
 
 def test_langid_outputs_valid_labels(spark, sf_dir):

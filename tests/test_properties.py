@@ -131,10 +131,13 @@ def test_zorder_value_interleaves_quantized_bits_exactly(spark, pairs):
 
 @settings(max_examples=8, deadline=None)
 @given(
-    st.dictionaries(  # dim: key -> list of version attrs (last = current)
+    st.dictionaries(  # dim: key -> (version attrs, all_closed?)
         st.integers(min_value=0, max_value=7),
-        st.lists(
-            st.sampled_from(["A", "B", "C", None]), min_size=1, max_size=3
+        st.tuples(
+            st.lists(
+                st.sampled_from(["A", "B", "C", None]), min_size=1, max_size=3
+            ),
+            st.booleans(),  # True = expired entity: every version closed
         ),
         min_size=0,
         max_size=6,
@@ -150,20 +153,33 @@ def test_scd2_merge_batch_matches_python_reference(spark, dim_spec, changes_spec
     """scd2_merge_batch vs an independent Python implementation of the
     documented semantics, over generated dims and change batches that
     include NULL attributes, multi-version histories, keys with no
-    current match, and brand-new keys."""
+    current match, brand-new keys, AND expired entities (all versions
+    closed) — a change to an expired key must reactivate it at
+    MAX(version_seq) + 1, never at a colliding seq 1."""
     from retail_datawarehouse_spark.dims.scd2 import scd2_merge_batch
 
     dim_rows, ref = [], []
-    for k, attrs in dim_spec.items():
+    for k, (attrs, all_closed) in dim_spec.items():
         for i, a in enumerate(attrs):
             eff = f"2020-0{i + 1}-01"
-            end = f"2020-0{i + 2}-01" if i + 1 < len(attrs) else None
-            dim_rows.append((k, k * 100 + i, a, eff, end, end is None, i + 1))
+            if i + 1 < len(attrs):
+                end = f"2020-0{i + 2}-01"
+            elif all_closed:
+                end = f"2020-0{len(attrs) + 1}-01"
+            else:
+                end = None
+            dim_rows.append(
+                (k, k * 100 + i, a, eff, end, end is None, i + 1)
+            )
     ch_rows = [(k, -k - 1, a, "2021-06-01") for k, a in changes_spec.items()]
 
-    # Python reference: close/insert on attr change (NULL-safe), no-op
-    # on equal, insert seq 1 for keys with no current version.
+    # Python reference: close/insert on attr change (NULL-safe) vs the
+    # CURRENT version only; no-op on equal; insert for keys with no
+    # current version at MAX(all version_seq) + 1 (0 for brand-new).
     cur = {r[0]: r for r in dim_rows if r[5]}
+    max_seq = {}
+    for r in dim_rows:
+        max_seq[r[0]] = max(max_seq.get(r[0], 0), r[6])
     for r in dim_rows:
         k = r[0]
         if r[5] and k in changes_spec and changes_spec[k] != r[2]:
@@ -172,8 +188,7 @@ def test_scd2_merge_batch_matches_python_reference(spark, dim_spec, changes_spec
             ref.append(r)
     for k, a in changes_spec.items():
         if k not in cur or cur[k][2] != a:
-            seq = (cur[k][6] if k in cur else 0) + 1
-            ref.append((k, -k - 1, a, "2021-06-01", None, True, seq))
+            ref.append((k, -k - 1, a, "2021-06-01", None, True, max_seq.get(k, 0) + 1))
 
     schema = (
         "natural_key long, version_id long, attr_value string, "
