@@ -437,3 +437,48 @@ def test_available_now_backfill_respects_admission_control(spark, sf_dir):
         assert _as_set(out) == _as_set(batch_out)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
+
+
+def test_stateful_query_on_rocksdb_state_store(spark, sf_dir):
+    """The state-store provider you actually run with 100 TB of keyed
+    state is RocksDB (bounded heap, changelog checkpointing), not the
+    default in-memory HDFS-backed store. Prove the session can run the
+    stateful pipeline on it end-to-end and that results are
+    byte-identical to the default provider's — a provider swap must be
+    a pure ops decision, never a semantics change."""
+    from retail_datawarehouse_spark.streaming.pipelines import (
+        make_landing_dir,
+        stateful_user_totals,
+        stream_events,
+    )
+
+    default_out = builder("q_stream_stateful_user_totals")(spark, sf_dir)
+    saved = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        events = stream_events(spark, make_landing_dir(sf_dir))
+        q = (
+            stateful_user_totals(events)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_rocksdb_stateful")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rocks_out = spark.sql("SELECT * FROM t_rocksdb_stateful")
+        assert _as_set(rocks_out) == _as_set(default_out)
+        assert rocks_out.count() > 0
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", saved
+            )
