@@ -373,6 +373,71 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class _UserTotalsProcessor(StatefulProcessor):
+    """``transformWithState`` twin of ``_user_totals_func`` — the
+    operator-API successor to applyInPandasWithState (typed state
+    handles, timers, TTL support; SPARK-49564). Same state transition,
+    same integer-cents discipline, so both APIs must produce the same
+    rows — pinned by test."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", STATEFUL_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        prior = self._totals.get() if self._totals.exists() else None
+        n, cents, first_us, last_us = prior or (0, 0, None, None)
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+            lo = int(pdf["ts_us"].min())
+            hi = int(pdf["ts_us"].max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        self._totals.update((n, cents, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+                "first_ts_us": [first_us],
+                "last_ts_us": [last_us],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same running-totals operator on the transformWithState API.
+
+    Runtime requirements beyond applyInPandasWithState: the RocksDB
+    state store provider, and ``google.protobuf`` (the state-server
+    protocol) in the Python environment — absent there, the query
+    fails at start with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+    (cleanly, never a silent wrong answer). The agreement test in
+    tests/test_streaming.py auto-activates wherever protobuf exists."""
+    proc = _UserTotalsProcessor()
+    shaped = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return shaped.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_stateful_available_now(
     spark: SparkSession, sf_dir: str, name: str = "stateful_out"
 ) -> DataFrame:

@@ -482,3 +482,59 @@ def test_stateful_query_on_rocksdb_state_store(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", saved
             )
+
+
+def test_transform_with_state_agrees_with_apply_in_pandas_with_state(
+    spark, sf_dir
+):
+    """The transformWithState successor API (typed state handles,
+    timers/TTL — where new stateful operators should land) must produce
+    exactly the applyInPandasWithState rows for the same state
+    transition, which themselves equal the batch groupBy image. Notes:
+    transformWithState requires the RocksDB state store provider, and
+    its Python<->JVM state protocol needs google.protobuf at runtime —
+    absent in this container, so the assertion auto-activates wherever
+    protobuf exists (verified: without it the query fails cleanly with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, never silently)."""
+    import pytest as _pytest
+
+    _pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState state protocol requires protobuf",
+    )
+    from retail_datawarehouse_spark.streaming.pipelines import (
+        make_landing_dir,
+        stateful_user_totals_tws,
+        stream_events,
+    )
+
+    old_api = builder("q_stream_stateful_user_totals")(spark, sf_dir)
+    saved = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        events = stream_events(spark, make_landing_dir(sf_dir))
+        q = (
+            stateful_user_totals_tws(events)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_tws_totals")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        tws_out = spark.sql("SELECT * FROM t_tws_totals")
+        assert _as_set(tws_out) == _as_set(old_api)
+        assert tws_out.count() > 0
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", saved
+            )
