@@ -105,9 +105,26 @@ def curated(spark, sf_dir):
         .select("doc_id", "text")
     )
 
+    # 4c. LM-score cut (CCNet shape): train the char-trigram model on
+    # the surviving corpus itself, drop the lowest-mean-probability
+    # tail below the corpus p05 — the perplexity-style filter between
+    # heuristic quality and splitting in a real curation DAG.
+    from retail_datawarehouse_spark.operators.textual import lm_score_frame
+
+    lm = lm_score_frame(qcut_survivors).withColumn(
+        "lm_meanq", F.col("lm_mass").cast("double") / F.col("n_tri")
+    )
+    lm_thr = lm.agg(F.percentile("lm_meanq", 0.05).alias("t"))
+    lm_survivors = (
+        qcut_survivors.join(lm.select("doc_id", "lm_meanq"), "doc_id")
+        .crossJoin(F.broadcast(lm_thr))
+        .filter(F.col("lm_meanq") >= F.col("t"))
+        .select("doc_id", "text")
+    )
+
     # 5. split + 6. shard/pos layout — both pure hash projections.
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    final = qcut_survivors.select(
+    final = lm_survivors.select(
         "doc_id",
         F.when(bucket < TRAIN_MAX_HEX, F.lit("train"))
         .when(bucket < VAL_MAX_HEX, F.lit("val"))
@@ -124,6 +141,7 @@ def curated(spark, sf_dir):
         "decontaminated": decontaminated,
         "survivors": survivors,
         "qcut_survivors": qcut_survivors,
+        "lm_survivors": lm_survivors,
         "final": final,
     }
 
@@ -202,6 +220,7 @@ def test_pipeline_is_monotone_shrinking(curated):
         curated["decontaminated"].count(),
         curated["survivors"].count(),
         curated["qcut_survivors"].count(),
+        curated["lm_survivors"].count(),
     ]
     assert counts == sorted(counts, reverse=True) or all(
         a >= b for a, b in zip(counts, counts[1:])
@@ -212,3 +231,6 @@ def test_pipeline_is_monotone_shrinking(curated):
     assert counts[5] < counts[4]  # per-source percentile cut dropped docs
     # the cut keeps a meaningful majority per design (p30 threshold)
     assert counts[5] >= 0.6 * counts[4]
+    # the LM p05 cut trims the low-probability tail but keeps >= 90%
+    assert counts[6] < counts[5]
+    assert counts[6] >= 0.9 * counts[5]
