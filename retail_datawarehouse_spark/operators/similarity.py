@@ -430,12 +430,19 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cosine_pandas_udf():
     """Arrow-batched cosine scorer: whole batches cross the JVM→Python
-    boundary as columnar Arrow, scored with one SIMD ``einsum`` — the
-    scale path for wide vectors, measured ~1.5× the JVM ordered-fold at
-    sf0.1 (the gap grows with dimension and corpus). Float accumulation
-    order differs from the fold, so results agree to ~1e-6, not
-    bit-exactly — which is why the ORACLE-checked operators use the fold
-    and this one is checked for rank agreement in tests instead.
+    boundary as columnar Arrow and score in vectorized C — the scale
+    path for wide vectors (the gap over per-row evaluation grows with
+    dimension and corpus).
+
+    Accumulation is ``cumsum(...)[:, -1]`` — a strict LEFT-TO-RIGHT
+    prefix sum per row — NOT ``einsum``/``dot``: BLAS reductions sum
+    pairwise, which differs from the JVM ordered fold in the last ulp,
+    and a cosine landing within an ulp of a 0.5e-6 quantization
+    boundary then flips the suite's Q6 hash (observed at sf0.1: 2 of
+    120 rows). With float64 elementwise products and sequential
+    accumulation the kernel performs the exact IEEE op sequence of
+    ``_cosine_expr``'s fold, so the two branches are BIT-identical —
+    pinned by test, still one vectorized pass.
     """
     import numpy as np
     import pandas as pd
@@ -446,11 +453,12 @@ def cosine_pandas_udf():
     # pandas-UDF signature inspection — the Series→Series scalar shape
     # is declared by the explicit returnType instead.
     def _cos(a, b):
-        A = np.stack(a.values)
-        B = np.stack(b.values)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return pd.Series(num / den)
+        A = np.stack(a.values).astype(np.float64)
+        B = np.stack(b.values).astype(np.float64)
+        num = np.cumsum(A * B, axis=1)[:, -1]
+        na = np.cumsum(A * A, axis=1)[:, -1]
+        nb = np.cumsum(B * B, axis=1)[:, -1]
+        return pd.Series(num / (np.sqrt(na) * np.sqrt(nb)))
 
     return F.pandas_udf(_cos, DoubleType())
 
@@ -932,9 +940,9 @@ _COSQ_SQL = f"CAST(FLOOR(cosine * {COS_Q} + 0.5) AS BIGINT)"
 def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k, all four strategies under one hash gate: 'exact'
     (fold-cosine brute force — the recall baseline), 'vectorized' (the
-    SAME plan with the Arrow pandas-UDF kernel; its oracle is the exact
-    branch, compared through a 1e-6 cosine quantization that absorbs
-    numpy-vs-fold last-ulp drift), 'lsh' (sign-bit bucketed, ~256× fewer
+    SAME plan with the Arrow pandas-UDF kernel — cumsum-fold
+    accumulation makes it BIT-identical to the exact branch, so its
+    oracle is simply the exact CTE), 'lsh' (sign-bit bucketed, ~256× fewer
     scorings), and 'ivf' (seeded one-iteration Lloyd, nprobe=4 of 16 —
     fully SQL-mirrored thanks to fixed-point centroid means). Ranks are
     computed over each branch's raw cosine (ties broken by

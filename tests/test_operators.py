@@ -162,9 +162,11 @@ def test_quality_flags_are_consistent(spark, sf_dir):
 
 
 def test_vectorized_cosine_agrees_with_exact(spark, sf_dir):
-    """The Arrow pandas-UDF scorer must produce the same top-k sets as
-    the oracle-checked JVM fold (scores agree to ~1e-6; rank ties are
-    broken by candidate_id in both)."""
+    """The Arrow pandas-UDF scorer must produce BIT-identical cosines
+    to the oracle-checked JVM fold: the kernel accumulates with a
+    strict left-to-right cumsum, the exact IEEE op sequence of the
+    fold (a BLAS pairwise reduction drifts in the last ulp and can
+    flip a quantization boundary — observed at sf0.1 pre-fix)."""
     from retail_datawarehouse_spark.registry import catalog
 
     exact = builder("q_ann_cosine_topk")(spark, sf_dir).collect()
@@ -178,7 +180,7 @@ def test_vectorized_cosine_agrees_with_exact(spark, sf_dir):
     assert exact_sets == vec_sets
     exact_cos = {(r.query_id, r.candidate_id): r.cosine for r in exact}
     for r in vec:
-        assert abs(exact_cos[(r.query_id, r.candidate_id)] - r.cosine) < 1e-6
+        assert exact_cos[(r.query_id, r.candidate_id)] == r.cosine
 
 
 def test_sketches_bounded_error_vs_exact(spark, sf_dir):
