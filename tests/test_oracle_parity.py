@@ -142,3 +142,27 @@ def test_bench_headline_absence_is_hard_error(spark, monkeypatch):
     monkeypatch.setattr(bench, "HEADLINE", [*bench.HEADLINE, "q_renamed_away"])
     with pytest.raises(SystemExit, match="q_renamed_away"):
         bench.main()
+
+
+@pytest.mark.skipif(
+    "SPARK_GRAFT_SCALEUP" not in __import__("os").environ,
+    reason="10x-scale sweep is opt-in: SPARK_GRAFT_SCALEUP=1 pytest -k scaleup",
+)
+@pytest.mark.parametrize("name", _oracle_names())
+def test_oracle_parity_scaleup_sf01(name, spark):
+    """The full oracle sweep at sf0.1 — 10× the driver gate's scale.
+    Opt-in (env-gated) because it adds ~5 min to the suite, but run it
+    before shipping numerical-kernel changes: scale moves values onto
+    quantization/ulp boundaries the sf0.01 gate never exercises — this
+    exact sweep caught the vectorized-cosine pairwise-summation flip
+    that sf0.01 could not (BASELINE.md round 4 cont. 4)."""
+    con = duck_connection("/root/testdata/sf0.1")
+    try:
+        q = catalog()[name]
+        res = compare_to_oracle(
+            name, q.builder(spark, "/root/testdata/sf0.1"), con, q.oracle
+        )
+        assert res.ok, res.message()
+        assert res.spark_rows > 0
+    finally:
+        con.close()
