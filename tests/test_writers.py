@@ -405,3 +405,25 @@ def test_schema_evolution_merge_read_across_file_generations(
     assert nulls.filter(F.col("o_orderkey") % 2 == 1).count() == 0
     tagged = back.filter(F.col("priority_tag") == "migrated")
     assert tagged.count() == v2.count()
+
+
+def test_fixture_document_text_is_ascii(sf_dir, sf_correctness_dir):
+    """Content-assumption canary (sibling of the schema-drift one):
+    several oracle pairs are cross-engine-exact ONLY on ASCII text —
+    lower() (JVM per-codepoint vs utf8proc differ on exotic casings),
+    the multimodal ascii()-aggregate featurizer, and the LM/tile
+    trigram substr arithmetic. The driver regenerates fixtures between
+    rounds; if documents.text ever gains non-ASCII, this fails with the
+    dependency list instead of a mysterious hash mismatch downstream."""
+    import duckdb
+
+    for d in (sf_dir, sf_correctness_dir):
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{d}/documents.parquet') "
+            "WHERE text ~ '^[\\x20-\\x7E]*$' = false"
+        ).fetchone()[0]
+        assert n == 0, (
+            f"{d}: {n} documents contain non-printable-ASCII text; "
+            "revisit lower()/ascii()/substr-based oracles (textual.py lm "
+            "+ tile dedup, multimodal featurizer) before trusting hashes"
+        )
