@@ -712,7 +712,17 @@ def lm_score_frame(docs: DataFrame) -> DataFrame:
     scored = (
         doc_tri.join(F.broadcast(model), "tri")
         .crossJoin(F.broadcast(total))
-        .withColumn("qp", F.expr(f"CAST(({LM_Q} * c) DIV T AS BIGINT)"))
+        # LM_Q * c through DECIMAL(38,0): a bare int64 product wraps
+        # silently (ansi off) once one trigram's corpus count exceeds
+        # ~9.2e12 — reachable at 100 TB (~1e14 trigrams, top English
+        # trigrams at 1-2%). Spark's DIV on decimal is exact floor
+        # (verified against DuckDB HUGEINT // — the decimal // there
+        # ROUNDS, so the oracle uses HUGEINT); agreement pinned by
+        # test_lm_qp_wide_product_no_wrap.
+        .withColumn(
+            "qp",
+            F.expr(f"CAST((CAST({LM_Q} AS DECIMAL(38,0)) * c) DIV T AS BIGINT)"),
+        )
     )
     return scored.groupBy("doc_id").agg(
         F.sum(F.col("n") * F.col("qp")).cast("long").alias("lm_mass"),
@@ -737,7 +747,7 @@ _LM_SQL = f"""
         SELECT tri, CAST(SUM(n) AS BIGINT) AS c FROM lm_doc_tri GROUP BY 1
     )
     SELECT d.doc_id,
-           CAST(SUM(d.n * (({LM_Q} * m.c) // t.T)) AS BIGINT) AS lm_mass,
+           CAST(SUM(d.n * ((CAST({LM_Q} AS HUGEINT) * m.c) // t.T)) AS BIGINT) AS lm_mass,
            CAST(SUM(d.n) AS BIGINT) AS n_tri,
            CAST(SUM(CASE WHEN m.c <= {LM_RARE_MAX} THEN d.n ELSE 0 END)
                 AS BIGINT) AS n_rare

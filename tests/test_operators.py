@@ -932,6 +932,47 @@ def test_lm_score_separates_gibberish_from_natural_text(spark):
     assert max(rare_rate[i] for i in clean_ids) < min(rare_rate[i] for i in gib_ids)
 
 
+def test_lm_qp_wide_product_no_wrap(spark):
+    """LM_Q * c must not wrap int64 at 100 TB corpus counts (ADVICE r4:
+    with ansi off a bare bigint product wraps silently once c exceeds
+    ~9.2e12, while the oracle errors — silent divergence in production
+    only). The kernel now widens through DECIMAL(38,0); this test runs
+    the exact production expression at c values beyond the int64 wrap
+    point and checks it against DuckDB's HUGEINT floor division (the
+    oracle's form) AND against Python's exact integer floor. Also pins
+    that DuckDB's DECIMAL // would be WRONG here (it rounds before
+    flooring) — i.e. the HUGEINT choice in _LM_SQL is load-bearing."""
+    import duckdb
+
+    from retail_datawarehouse_spark.operators.textual import LM_Q
+
+    cases = [
+        (7, 13),  # fractional tail .538 — rounding vs floor visible
+        (9_300_000_000_000, 18_600_000_000_000),  # beyond int64 wrap
+        (9_300_000_000_001, 18_600_000_000_000),
+        (99_999_999_999_999, 100_000_000_000_000),  # c ~ T, qp ~ LM_Q
+    ]
+    df = spark.createDataFrame(cases, "c long, T long").withColumn(
+        "qp", F.expr(f"CAST((CAST({LM_Q} AS DECIMAL(38,0)) * c) DIV T AS BIGINT)")
+    )
+    got = {(r.c, r.T): r.qp for r in df.collect()}
+    con = duckdb.connect()
+    for c, t in cases:
+        exact = (LM_Q * c) // t
+        assert got[(c, t)] == exact, (c, t, got[(c, t)], exact)
+        (duck,) = con.execute(
+            f"SELECT CAST((CAST({LM_Q} AS HUGEINT) * {c}) // {t} AS BIGINT)"
+        ).fetchone()
+        assert duck == exact, (c, t, duck, exact)
+    # The rejected alternative: DECIMAL // in DuckDB rounds (538462),
+    # diverging from the exact floor (538461) — never use it here.
+    (dec,) = con.execute(
+        f"SELECT CAST((CAST({LM_Q} AS DECIMAL(38,0)) * 7) // 13 AS BIGINT)"
+    ).fetchone()
+    assert dec != (LM_Q * 7) // 13
+    con.close()
+
+
 def test_tile_dedup_removes_repeated_tiles_keeps_first_occurrence(spark):
     """Intra-doc tile dedup: a doc built as A B A C A (five 8-word
     tiles, tile A repeated three times) must report 5 tiles, 3 kept,

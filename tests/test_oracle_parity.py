@@ -144,6 +144,25 @@ def test_bench_headline_absence_is_hard_error(spark, monkeypatch):
         bench.main()
 
 
+def test_bench_times_best_of_three_reps():
+    """Round-4 verdict #1: a single timed rep per entry let one noisy
+    scheduler slot mimic a 38% regression (minhash 3.29 s driver row vs
+    a quiet 2.5-2.6 s band, zero code change on that path). The
+    protocol is now best-of-BENCH_REPS>=3 with clearCache between reps;
+    this test pins both the constant and that the timing loop actually
+    consults it (so a refactor can't quietly drop back to one rep)."""
+    import inspect
+
+    import bench
+
+    assert bench.BENCH_REPS >= 3
+    src = inspect.getsource(bench.main)
+    assert "range(BENCH_REPS)" in src, "timing loop no longer uses BENCH_REPS"
+    assert src.count("clearCache") >= 1 and "clearCache" in src.split(
+        "range(BENCH_REPS)"
+    )[1], "clearCache must run inside the rep loop (between reps)"
+
+
 @pytest.mark.skipif(
     "SPARK_GRAFT_SCALEUP" not in __import__("os").environ,
     reason="10x-scale sweep is opt-in: SPARK_GRAFT_SCALEUP=1 pytest -k scaleup",
