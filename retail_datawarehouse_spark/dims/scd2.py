@@ -213,9 +213,30 @@ def _scd2_customer_merge_changes(
         "attr_value",
         F.lit(_MERGE_EFF).alias("effective_date"),
     )
+    # Disjointness guard (ADVICE r4): the brand-new-key construction is
+    # only collision-free while every real custkey sits BELOW the
+    # offset — TPC-H custkey tops out at 150k*sf, so at sf>=~134 the
+    # offset keys would silently alias existing dim keys and the merge
+    # would corrupt real histories. Per-row raise_error inside the key
+    # expression (not a separate audit pass, which column pruning could
+    # drop): any out-of-range key fails the job loudly at the exact row.
+    offset_key = F.when(
+        F.col("c_custkey") < F.lit(_MERGE_KEY_OFFSET),
+        F.col("c_custkey") + F.lit(_MERGE_KEY_OFFSET),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "scd2 merge fixture: c_custkey %s >= _MERGE_KEY_OFFSET "
+                + str(_MERGE_KEY_OFFSET)
+                + " — brand-new-key batch would collide with a real key; "
+                "raise the offset for this scale factor",
+                F.col("c_custkey"),
+            )
+        )
+    )
     new = cust.filter(F.col("c_custkey") % 97 == 0).select(
-        (F.col("c_custkey") + F.lit(_MERGE_KEY_OFFSET)).alias("natural_key"),
-        (-(F.col("c_custkey") + F.lit(_MERGE_KEY_OFFSET))).alias("version_id"),
+        offset_key.alias("natural_key"),
+        (-offset_key).alias("version_id"),
         F.lit("NEW-CUSTOMER").alias("attr_value"),
         F.lit(_MERGE_EFF).alias("effective_date"),
     )

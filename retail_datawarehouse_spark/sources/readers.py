@@ -160,6 +160,66 @@ def events_ts_unit(path: str) -> str:
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+_FIXTURE_PROBED: set[tuple[str, str]] = set()
+
+
+def _first_parquet_file(path: str) -> str:
+    if not os.path.isdir(path):
+        return path
+    parts = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    return os.path.join(path, parts[0])
+
+
+def _probe_fixture(path: str, name: str) -> None:
+    """Once-per-session fixture canary AT the scan boundary (r4 verdict
+    #8): the driver regenerates /root/testdata between rounds, and the
+    pytest-side canaries (test_writers.py schema/ASCII tests) only fire
+    when pytest runs — the CORRECTNESS gate itself would see a mystery
+    hash mismatch. Failing here instead names the drift.
+
+    Cost model: footer-only metadata read for every table (same driver-
+    side class of work as file listing), plus — for ``documents`` only —
+    the FIRST row group's ``text`` column decoded driver-side (bounded:
+    one row group regardless of table size). Several oracle pairs are
+    cross-engine-exact ONLY on printable-ASCII text (JVM lower() vs
+    utf8proc on exotic casings, the multimodal ascii()-aggregate
+    featurizer, the LM/tile trigram substr arithmetic), so non-ASCII
+    content is as much a fixture break as a renamed column.
+    """
+    import pyarrow.parquet as pq
+
+    probe = _first_parquet_file(path)
+    got = list(pq.read_schema(probe).names)
+    declared = [f.name for f in TABLE_SCHEMAS[name].fields]
+    if got != declared:
+        raise RuntimeError(
+            f"fixture drift: {path} columns {got} != declared DDL "
+            f"{declared} (TABLE_SCHEMAS[{name!r}]) — the driver "
+            "regenerated the fixture with a different schema; update "
+            "sources/readers.py before trusting any query result"
+        )
+    if name == "documents":
+        texts = pq.ParquetFile(probe).read_row_group(0, columns=["text"])
+        bad = [
+            s
+            for s in texts.column("text").to_pylist()
+            if s is not None
+            and not (s.isascii() and all(" " <= c <= "~" for c in s))
+        ]
+        if bad:
+            raise RuntimeError(
+                f"fixture drift: {path} contains {len(bad)} non-printable-"
+                "ASCII text values in row group 0 (first: "
+                f"{bad[0][:80]!r}); lower()/ascii()/substr-based oracles "
+                "(textual.py LM + tile dedup, multimodal featurizer) are "
+                "cross-engine-exact only on printable ASCII — revisit "
+                "them before trusting hashes"
+            )
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan with declared schema (S3 staging ingest analog).
@@ -184,6 +244,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver's externally built session must inherit it from here.
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     path = f"{sf_dir}/{name}.parquet"
+    if (path, name) not in _FIXTURE_PROBED:
+        _probe_fixture(path, name)
+        _FIXTURE_PROBED.add((path, name))
     if name == "events" and events_ts_unit(path) == "ns":
         # TIMESTAMP(NANOS), which Spark's reader rejects unless read as
         # a raw long; then ns → µs truncation, matching DuckDB's

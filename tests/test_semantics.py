@@ -162,6 +162,44 @@ def test_scd2_merge_semantics(spark, sf_dir):
     scd.unpersist()
 
 
+def test_scd2_merge_offset_guard_fires_on_colliding_custkey(spark, monkeypatch):
+    """ADVICE r4: the brand-new-key batch assumes every real custkey is
+    below _MERGE_KEY_OFFSET (TPC-H tops out at 150k*sf, so sf>=~134
+    breaks it and the offset keys silently alias real dim histories).
+    The key expression now carries a per-row raise_error guard; plant a
+    %97-divisible custkey AT the offset and the change-batch build must
+    fail loudly with the diagnostic, not emit a colliding key."""
+    import pytest
+
+    from retail_datawarehouse_spark.dims import scd2 as scd2_mod
+
+    bad_key = ((scd2_mod._MERGE_KEY_OFFSET // 97) + 1) * 97  # %97==0, >= offset
+    fake_cust = spark.createDataFrame(
+        [(97,), (bad_key,)], "c_custkey long"
+    )
+    monkeypatch.setattr(scd2_mod, "load_table", lambda *_a, **_k: fake_cust)
+    cur = spark.createDataFrame(
+        [], "natural_key long, version_id long, attr_value string"
+    )
+    changes = scd2_mod._scd2_customer_merge_changes(spark, "unused", cur)
+    # collect(), not count(): count() prunes every projection, guard
+    # included. In production the guard column IS consumed (natural_key
+    # drives the merge joins), which collect() models.
+    with pytest.raises(Exception, match="_MERGE_KEY_OFFSET"):
+        changes.collect()
+    # And the in-range twin passes clean, keys offset as documented.
+    ok_cust = spark.createDataFrame([(97,), (194,)], "c_custkey long")
+    monkeypatch.setattr(scd2_mod, "load_table", lambda *_a, **_k: ok_cust)
+    ok = scd2_mod._scd2_customer_merge_changes(spark, "unused", cur)
+    keys = sorted(
+        r.natural_key for r in ok.filter("attr_value = 'NEW-CUSTOMER'").collect()
+    )
+    assert keys == [
+        scd2_mod._MERGE_KEY_OFFSET + 97,
+        scd2_mod._MERGE_KEY_OFFSET + 194,
+    ]
+
+
 def test_collision_removal_drops_whole_transaction(spark, sf_dir):
     """F4: no surviving transaction_id has >1 distinct supplier/date."""
     out = _run("q_etl_collision_removal", spark, sf_dir)

@@ -427,3 +427,66 @@ def test_fixture_document_text_is_ascii(sf_dir, sf_correctness_dir):
             "revisit lower()/ascii()/substr-based oracles (textual.py lm "
             "+ tile dedup, multimodal featurizer) before trusting hashes"
         )
+
+
+def test_load_table_probes_fixture_drift_at_scan_boundary(spark, tmpdir):
+    """r4 verdict #8: the pytest canaries above only fire when pytest
+    runs; the driver's CORRECTNESS gate calls load_table directly, so
+    the probe now lives THERE (once per session per (path, table)).
+    Plant both drift classes in a fake sf_dir and assert each fails
+    with its named diagnosis, then that a faithful fixture loads clean
+    and the probe caches (second load does not re-read the footer)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from retail_datawarehouse_spark.sources import readers
+
+    # Drift class 1: renamed column on a tiny faithful-shape region.
+    bad_schema_dir = os.path.join(tmpdir, "bad_schema")
+    os.makedirs(bad_schema_dir)
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([0], pa.int32()),
+                  "r_label": ["AFRICA"]}),
+        f"{bad_schema_dir}/region.parquet",
+    )
+    with pytest.raises(RuntimeError, match="fixture drift.*r_label"):
+        load_table(spark, bad_schema_dir, "region")
+
+    # Drift class 2: non-ASCII documents.text.
+    bad_text_dir = os.path.join(tmpdir, "bad_text")
+    os.makedirs(bad_text_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": ["café au lait"],
+                "lang": ["fr"],
+                "source": ["web"],
+                "n_chars": pa.array([12], pa.int64()),
+            }
+        ),
+        f"{bad_text_dir}/documents.parquet",
+    )
+    with pytest.raises(RuntimeError, match="non-printable-ASCII"):
+        load_table(spark, bad_text_dir, "documents")
+
+    # Faithful fixture: loads clean, and the (path, name) key is cached
+    # so the per-session cost is one footer read, not one per query.
+    ok_dir = os.path.join(tmpdir, "ok")
+    os.makedirs(ok_dir)
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([0], pa.int32()),
+                  "r_name": ["AFRICA"]}),
+        f"{ok_dir}/region.parquet",
+    )
+    assert load_table(spark, ok_dir, "region").count() == 1
+    assert (f"{ok_dir}/region.parquet", "region") in readers._FIXTURE_PROBED
+    # Cached: a second load must not re-probe (bomb the probe fn).
+    real = readers._probe_fixture
+    try:
+        readers._probe_fixture = lambda *_: (_ for _ in ()).throw(
+            AssertionError("probe re-ran for a cached (path, table)")
+        )
+        load_table(spark, ok_dir, "region")
+    finally:
+        readers._probe_fixture = real
