@@ -750,6 +750,43 @@ def _vectorized_topk(q: DataFrame, c: DataFrame) -> DataFrame:
     return _per_query_topk(scored)
 
 
+def _adc_topk(q: DataFrame, c: DataFrame) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k: the float query is
+    scored against the INT8-QUANTIZED corpus — codes + one scale per
+    vector, the memory-bound layout real 100 TB vector search serves
+    from (4 bytes/dim of float32 → 1 byte/dim; the query side stays
+    full-precision, hence 'asymmetric'). The approximate cosine is the
+    cosine against the reconstruction scale·codes, computed with a
+    pinned op order — (scale · dot(q, codes)) / (sqrt(q_n2) · (scale ·
+    sqrt(‖codes‖²))) — so the oracle reproduces every IEEE step
+    bit-for-bit. Quantization (scale = max|x|/127, floor(x/scale+0.5))
+    is byte-identical to ``q_embedding_quantize``; the code columns
+    derive map-side from the shared persisted corpus frame BELOW the
+    pair join, so the pair loop still evaluates exactly one fold."""
+    coded = c.select(
+        "candidate_id",
+        "c_emb",
+        (
+            F.array_max(F.transform("c_emb", lambda x: F.abs(x.cast("double"))))
+            / 127
+        ).alias("scale"),
+    ).select(
+        "candidate_id",
+        "scale",
+        F.expr(
+            "transform(c_emb, x -> CASE WHEN scale = 0D THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5D) AS BIGINT) END)"
+        ).alias("codes"),
+    )
+    coded = coded.withColumn("code_n2", F.expr(_SPARK_NORM2.format(a="codes")))
+    scored = coded.crossJoin(F.broadcast(q)).withColumn(
+        "cosine",
+        (F.col("scale") * F.expr(_SPARK_DOT.format(a="q_emb", b="codes")))
+        / (F.sqrt(F.col("q_n2")) * (F.col("scale") * F.sqrt(F.col("code_n2")))),
+    )
+    return _per_query_topk(scored)
+
+
 def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3, vectorized variant of
     ``q_ann_cosine_topk``: identical plan shape (broadcast queries ×
@@ -918,13 +955,56 @@ _ANN_IVF_SQL = f"""
 
 _COSQ_SQL = f"CAST(FLOOR(cosine * {COS_Q} + 0.5) AS BIGINT)"
 
+# The ADC branch mirrored: same quantization formulas as
+# _EMBEDDING_QUANTIZE_SQL, same pinned op order as _adc_topk.
+_ANN_ADC_SQL = f"""
+    WITH qa AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    ca AS (
+        SELECT vec_id AS candidate_id, embedding AS c_emb,
+               list_aggregate(
+                   list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                   'max') / 127 AS scale
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    coded AS (
+        SELECT candidate_id, scale,
+               list_transform(c_emb, x ->
+                   CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                                  AS BIGINT) END) AS codes
+        FROM ca
+    ),
+    coded2 AS (
+        SELECT candidate_id, scale, codes,
+               {_DUCK_NORM2.format(a="codes")} AS code_n2
+        FROM coded
+    ),
+    adc_scored AS (
+        SELECT q.query_id, c.candidate_id,
+               (c.scale * ({_DUCK_DOT.format(a="q.q_emb", b="c.codes")}))
+               / (sqrt({_DUCK_NORM2.format(a="q.q_emb")})
+                  * (c.scale * sqrt(c.code_n2))) AS cosine
+        FROM coded2 c CROSS JOIN qa q
+    )
+    SELECT query_id, candidate_id, cosine,
+           CAST(row_number() OVER
+               (PARTITION BY query_id ORDER BY cosine DESC, candidate_id)
+               AS BIGINT) AS rank
+    FROM adc_scored
+    QUALIFY rank <= {TOP_K}
+"""
+
 
 @register(
     "q_ann_topk_suite",
     oracle=f"""
     WITH exact AS ({_ANN_EXACT_SQL}),
     lsh AS ({_ANN_LSH_SQL}),
-    ivf AS ({_ANN_IVF_SQL})
+    ivf AS ({_ANN_IVF_SQL}),
+    adc AS ({_ANN_ADC_SQL})
     SELECT 'exact' AS method, query_id, candidate_id,
            {_COSQ_SQL} AS cosine_q, rank
     FROM exact
@@ -935,24 +1015,29 @@ _COSQ_SQL = f"CAST(FLOOR(cosine * {COS_Q} + 0.5) AS BIGINT)"
     SELECT 'lsh', query_id, candidate_id, {_COSQ_SQL}, rank FROM lsh
     UNION ALL
     SELECT 'ivf', query_id, candidate_id, {_COSQ_SQL}, rank FROM ivf
+    UNION ALL
+    SELECT 'adc', query_id, candidate_id, {_COSQ_SQL}, rank FROM adc
     """,
 )
 def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k, all four strategies under one hash gate: 'exact'
+    """ANN top-k, all five strategies under one hash gate: 'exact'
     (fold-cosine brute force — the recall baseline), 'vectorized' (the
     SAME plan with the Arrow pandas-UDF kernel — cumsum-fold
     accumulation makes it BIT-identical to the exact branch, so its
     oracle is simply the exact CTE), 'lsh' (sign-bit bucketed, ~256× fewer
-    scorings), and 'ivf' (seeded one-iteration Lloyd, nprobe=4 of 16 —
-    fully SQL-mirrored thanks to fixed-point centroid means). Ranks are
+    scorings), 'ivf' (seeded one-iteration Lloyd, nprobe=4 of 16 —
+    fully SQL-mirrored thanks to fixed-point centroid means), and 'adc'
+    (float query × int8-quantized corpus with per-vector scale — the
+    memory-bound serving layout; see ``_adc_topk``). Ranks are
     computed over each branch's raw cosine (ties broken by
     candidate_id); the quantized cosine is the shared value surface.
 
-    The four branches share ONE persisted corpus frame (candidate id +
+    The five branches share ONE persisted corpus frame (candidate id +
     embedding + precomputed norm²): without it each branch re-reads the
-    parquet scan and re-folds the norms — 4 scans and 3 folds per
-    scored pair collapse to 1 cached scan and 1 fold (the dot). The
-    10-row query side is rebuilt per branch (broadcast, negligible)."""
+    parquet scan and re-folds the norms — scans and re-folds per
+    branch collapse to 1 cached scan (the ADC code columns derive
+    map-side from the same cache). The 10-row query side is rebuilt
+    per branch (broadcast, negligible)."""
 
     def q6(df: DataFrame, method: str) -> DataFrame:
         return df.select(
@@ -973,4 +1058,5 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q6(_vectorized_topk(queries, corpus), "vectorized"))
         .unionByName(q6(_lsh_topk(queries, corpus), "lsh"))
         .unionByName(q6(_ivf_topk_over(queries, corpus, IVF_NPROBE), "ivf"))
+        .unionByName(q6(_adc_topk(queries, corpus), "adc"))
     )

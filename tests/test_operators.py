@@ -88,15 +88,15 @@ def test_multimodal_features_match_jvm_recompute(spark, sf_dir):
     rpad'd text the payload builder embedded, and decoded dimensions
     equal the doc_id arithmetic — proving the PGM round-trip (encode
     JVM-side, decode Python-side) transports every byte intact."""
-    from retail_datawarehouse_spark.operators.multimodal import _PGM_H, _PGM_W
+    from retail_datawarehouse_spark.operators.multimodal import _IMG_W, _PGM_H
     from retail_datawarehouse_spark.sources.readers import load_table
 
     feats = _run("q_multimodal_features", spark, sf_dir)
     jvm = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.expr(_PGM_W).cast("long").alias("jvm_w"),
+        F.expr(_IMG_W).cast("long").alias("jvm_w"),
         F.expr(_PGM_H).cast("long").alias("jvm_h"),
-        F.md5(F.expr(f"rpad(text, {_PGM_W} * {_PGM_H}, 'x')")).alias("jvm_md5"),
+        F.md5(F.expr(f"rpad(text, {_IMG_W} * {_PGM_H}, 'x')")).alias("jvm_md5"),
     )
     joined = feats.join(jvm, "doc_id")
     assert joined.count() == jvm.count()
@@ -144,6 +144,97 @@ def test_decode_image_parses_pgm(spark):
         decode_image(b"P5 # comment never ends")
     with pytest.raises(ValueError, match="malformed header"):
         decode_image(b"P5\nxy 3\n255\n")
+
+
+def _bmp_bytes(w, h, gray_rows, top_down=False, bpp=24, compression=0):
+    """Hand-rolled uncompressed BMP encoder for the decoder tests —
+    independent of the Spark-side synthesizer, so the two implementations
+    check each other. gray_rows is top-down [row][x] gray values."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    pix = bytearray()
+    rows = gray_rows if top_down else list(reversed(gray_rows))
+    for row in rows:
+        for g in row:
+            pix += bytes((g, g, g))
+        pix += b"\x00" * (stride - w * 3)
+    hdr_h = -h if top_down else h
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, hdr_h, 1, bpp, compression,
+                      len(pix), 0, 0, 0, 0)
+        + bytes(pix)
+    )
+
+
+def test_decode_image_parses_bmp():
+    """The BMP branch of the dispatch (r4 verdict #3): decodes an
+    independently hand-rolled uncompressed 24-bit BMP — bottom-up AND
+    top-down row orders, stride-padded widths — back to the top-down
+    grayscale raster, and hard-errors (never hangs, never wraps) on the
+    malformed family: truncated header, truncated raster, unsupported
+    bpp/compression, foreign DIB header."""
+    import pytest
+
+    from retail_datawarehouse_spark.operators.multimodal import decode_image
+
+    rows = [[10, 20, 30, 40, 50], [60, 70, 80, 90, 100], [1, 2, 3, 4, 5]]
+    flat = bytes(g for row in rows for g in row)
+    # w=5 forces a nonzero stride pad (15 -> 16), exercising the skip.
+    w, h, px = decode_image(_bmp_bytes(5, 3, rows))
+    assert (w, h, px) == (5, 3, flat)
+    w, h, px = decode_image(_bmp_bytes(5, 3, rows, top_down=True))
+    assert (w, h, px) == (5, 3, flat)
+    good = _bmp_bytes(5, 3, rows)
+    with pytest.raises(ValueError, match="truncated header"):
+        decode_image(good[:40])
+    with pytest.raises(ValueError, match="truncated raster"):
+        decode_image(good[:-1])
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_image(_bmp_bytes(5, 3, rows, bpp=8))
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_image(_bmp_bytes(5, 3, rows, compression=1))  # BI_RLE8
+    v5 = bytearray(good)
+    v5[14] = 16  # BITMAPCOREHEADER-sized DIB: layout we don't parse
+    with pytest.raises(ValueError, match="DIB header"):
+        decode_image(bytes(v5))
+
+
+def test_mixed_codec_payloads_decode_to_identical_raster_stats(spark):
+    """The design invariant behind the mixed fixture: a doc's BMP and
+    PGM payloads decode to the SAME raster (the rpad'd text), so the
+    featurizer output is codec-independent — only width/height formulas
+    differ. Check both synthesizers on the same docs."""
+    from retail_datawarehouse_spark.operators.multimodal import (
+        decode_image,
+        with_bmp_payload,
+        with_pgm_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text for doc {i} padded out to raster length....")
+         for i in range(1, 9, 2)],
+        "doc_id long, text string",
+    )
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    pgm = {r.doc_id: bytes(r.payload) for r in with_pgm_payload(docs).collect()}
+    bmp = {r.doc_id: bytes(r.payload) for r in with_bmp_payload(docs).collect()}
+
+    def padded(doc_id, w, h):
+        t = texts[doc_id][: w * h]
+        return (t + "x" * (w * h - len(t))).encode()
+
+    for doc_id in pgm:
+        pw, ph, praster = decode_image(pgm[doc_id])
+        bw, bh, braster = decode_image(bmp[doc_id])
+        assert ph == bh  # shared height formula
+        assert praster == padded(doc_id, pw, ph)
+        assert braster == padded(doc_id, bw, bh)
+        # Same text feeds both: rasters agree on their common prefix.
+        n = min(len(praster), len(braster), len(texts[doc_id]))
+        assert praster[:n] == braster[:n]
 
 
 def test_langid_outputs_valid_labels(spark, sf_dir):
@@ -460,6 +551,31 @@ def test_ivf_recall_floor_on_fixture(spark, sf_dir):
         assert mean >= floor, (nprobe, mean, floor)
         assert mean > nprobe / 16 + 0.05, ("no better than random routing", nprobe, mean)
     assert means == sorted(means), ("recall must be monotone in nprobe", means)
+
+
+def test_adc_recall_floor_vs_exact(spark, sf_dir):
+    """The ADC branch quantizes the corpus to int8 (r4 verdict #6);
+    this pins how much the quantization can cost. int8 symmetric
+    quantization perturbs each cosine by O(1/127) relative — far
+    smaller than typical top-k gaps — so recall@3 vs the exact branch
+    must be near-perfect: EVERY query >= 2/3, mean >= 0.9.
+    Deterministic (fixed fixture + exact-floor quantization): measured
+    1.0 at sf0.01 and 0.967 at sf0.1 (one query swaps rank 3)."""
+    import collections
+
+    rows = builder("q_ann_topk_suite")(spark, sf_dir).collect()
+    tops = collections.defaultdict(set)
+    for r in rows:
+        if r.method in ("exact", "adc"):
+            tops[(r.method, r.query_id)].add(r.candidate_id)
+    qs = sorted({q for (m, q) in tops if m == "exact"})
+    assert qs, "exact branch empty"
+    recalls = [
+        len(tops[("adc", q)] & tops[("exact", q)]) / len(tops[("exact", q)])
+        for q in qs
+    ]
+    assert min(recalls) >= 2 / 3 - 1e-9, recalls
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
 def test_lsh_dup_recall_floor(spark):

@@ -554,7 +554,12 @@ SHUFFLE_BUDGET = {
     "q53_sales_by_shipping_tier": 3,
     "q54_rising_spend_customers": 2,
     "q55_snapshot_lifetime_read": 4,
-    "q_ann_topk_suite": 9,
+    # r5: 9 → 10. The suite gained the ADC branch (float query ×
+    # int8-quantized corpus); the +1 is its per-query window top-k —
+    # the same single exchange every other branch pays. Code columns
+    # derive map-side from the shared persisted corpus (no extra scan
+    # or shuffle below the pair join).
+    "q_ann_topk_suite": 10,
     "q_corpus_shard": 1,
     "q_customer_derived_attrs": 1,
     "q_decontaminate_suite": 4,
