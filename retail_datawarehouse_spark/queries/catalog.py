@@ -283,7 +283,11 @@ def q55_snapshot_lifetime_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("month_start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    from retail_datawarehouse_spark.plans.guardrails import (
+        assert_semi_additive_safe,
+    )
+
+    out = (
         snap.withColumn("lifetime", F.sum("month_total_spent").over(w))
         .filter(F.col("month_start") == F.lit("1998-06-01").cast("date"))
         .select(
@@ -293,3 +297,7 @@ def q55_snapshot_lifetime_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("customer_key")
     )
+    # The W2 guardrail runs live on the shipping read (driver-side plan
+    # walk, no job): a future edit that sums the lifetime measure across
+    # months fails HERE, not in a dashboard.
+    return assert_semi_additive_safe(out)

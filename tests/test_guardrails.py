@@ -1,0 +1,115 @@
+"""The W2 semi-additive guardrail (SURVEY §4.2's named candidate,
+r4 verdict #7): SUM/AVG of ``customer_lifetime_spent`` across months is
+a plausible-looking wrong number; the validator rejects it at plan
+level, while every legitimate read shape passes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.plans.guardrails import (
+    SemiAdditiveViolation,
+    assert_semi_additive_safe,
+)
+from tests.builders import builder
+
+
+@pytest.fixture()
+def snap(spark):
+    """A miniature lifetime snapshot: 2 customers × 3 months."""
+    rows = [
+        (1, "1998-01-01", 10.0, 10.0),
+        (1, "1998-02-01", 5.0, 15.0),
+        (1, "1998-03-01", 0.0, 15.0),
+        (2, "1998-01-01", 7.0, 7.0),
+        (2, "1998-02-01", 0.0, 7.0),
+        (2, "1998-03-01", 2.0, 9.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "customer_key long, month_start string, month_total_spent double,"
+        " customer_lifetime_spent double",
+    )
+
+
+def test_rejects_cross_month_sum(snap):
+    bad = snap.groupBy("customer_key").agg(
+        F.sum("customer_lifetime_spent").alias("s")
+    )
+    with pytest.raises(SemiAdditiveViolation, match="SEMI-ADDITIVE"):
+        assert_semi_additive_safe(bad)
+
+
+def test_rejects_global_avg(snap):
+    bad = snap.agg(F.avg("customer_lifetime_spent").alias("a"))
+    with pytest.raises(SemiAdditiveViolation, match="avg"):
+        assert_semi_additive_safe(bad)
+
+
+def test_accepts_single_month_filter_then_sum(snap):
+    """q55's read shape: pin ONE month, then aggregating the lifetime
+    column is a legitimate point-in-time total."""
+    ok = (
+        snap.filter(F.col("month_start") == "1998-02-01")
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    out = assert_semi_additive_safe(ok)
+    assert out.first().s == 22.0  # 15 + 7 at Feb
+
+
+def test_accepts_per_month_grouping(snap):
+    ok = snap.groupBy("month_start").agg(
+        F.sum("customer_lifetime_spent").alias("s")
+    )
+    assert_semi_additive_safe(ok)
+
+
+def test_accepts_min_max_latest_across_months(snap):
+    """MIN/MAX are the semi-additive-legal aggregates across the grain."""
+    ok = snap.groupBy("customer_key").agg(
+        F.max("customer_lifetime_spent").alias("peak"),
+        F.min("customer_lifetime_spent").alias("low"),
+    )
+    out = {r.customer_key: r.peak for r in assert_semi_additive_safe(ok).collect()}
+    assert out == {1: 15.0, 2: 9.0}
+
+
+def test_accepts_sum_of_additive_measure(snap):
+    """The ADDITIVE measure sums freely across months — the guardrail
+    is measure-scoped, not a blanket aggregation ban."""
+    ok = snap.groupBy("customer_key").agg(
+        F.sum("month_total_spent").alias("total")
+    )
+    out = {r.customer_key: r.total for r in assert_semi_additive_safe(ok).collect()}
+    assert out == {1: 15.0, 2: 9.0}
+
+
+def test_rejects_range_filter_sum(snap):
+    """A RANGE of months is still multiple months — only an equality
+    pin makes the slice single-grain."""
+    bad = (
+        snap.filter(F.col("month_start") >= "1998-02-01")
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
+
+
+def test_q55_read_passes_the_guardrail(spark, sf_dir):
+    """The catalog's own semi-additive read (filter to one month, no
+    cross-month aggregate) passes — the validator accepts the shipped
+    W2 discipline, it doesn't fight it."""
+    assert_semi_additive_safe(builder("q55_snapshot_lifetime_read")(spark, sf_dir))
+
+
+def test_q55_misuse_is_rejected(spark, sf_dir):
+    """And the precise mistake SURVEY warns about — re-aggregating the
+    q55 output's lifetime column per customer after widening back to
+    all months — is rejected when built from the snapshot frame."""
+    snap = builder("q_fact_monthly_snapshot")(spark, sf_dir)
+    bad = snap.groupBy("customer_key").agg(
+        F.sum("customer_lifetime_spent").alias("s")
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
