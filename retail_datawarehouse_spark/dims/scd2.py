@@ -183,6 +183,127 @@ def scd2_merge_batch(dim: DataFrame, changes: DataFrame) -> DataFrame:
     return hist.select(*carried.columns).unionByName(carried).unionByName(inserted)
 
 
+def scd2_apply_change_stream(dim: DataFrame, changes: DataFrame) -> DataFrame:
+    """SCD2 merge of a MULTI-WAVE change feed in one set-based plan —
+    the micro-batch kernel of the streaming CDC → SCD2 composition
+    (r4 verdict #4).
+
+    ``changes`` carries (natural_key, version_id, attr_value,
+    effective_date, wave): ``wave`` (>= 0) orders change deliveries per
+    key — a streaming micro-batch may contain SEVERAL nightly-shaped
+    waves at once (restart backlogs do), and applying only the last one
+    per key would lose intermediate versions. Within a wave there is at
+    most one row per key (the same contract ``scd2_merge_batch`` has
+    for its whole batch).
+
+    Equivalent BY CONSTRUCTION to folding ``scd2_merge_batch`` over the
+    waves in ascending order (pinned by a hypothesis property test),
+    but with no driver-side loop and no per-wave pass over the dim:
+
+    1. anchor each batch key's CURRENT dim version at wave -1;
+    2. drop consecutive-duplicate attrs per key in wave order
+       (null-safe ``lag`` compare — sound because a dropped row's attr
+       equals its predecessor's, so comparing to the immediate
+       predecessor equals comparing to the last survivor);
+    3. each surviving change becomes a version: ``end_date`` is the
+       NEXT survivor's effective_date (``lead``; open for the last),
+       ``version_seq`` continues from MAX(version_seq) over ALL of the
+       key's versions (expired-entity reactivation, never a colliding
+       seq);
+    4. the old current row closes at the FIRST survivor's
+       effective_date; untouched keys and history rows carry through
+       byte-identically.
+
+    Scale shape — the dim (the 100 TB side) NEVER shuffles: the anchor
+    pass is a broadcast LEFT-SEMI of change keys against the current
+    slice, the window/versioning machinery runs on batch-key rows only
+    (batch-sized, not dim-sized), and the close-out pass is a broadcast
+    left join against the tiny first-survivor frame — the same contract
+    ``scd2_merge_batch`` proves in
+    ``test_scd2_merge_close_pass_broadcasts_the_change_batch``."""
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+    ch_keys = changes.select("natural_key").distinct()
+
+    # Wave -1 anchor: current versions of keys the batch touches.
+    anchor = cur.join(F.broadcast(ch_keys), "natural_key", "left_semi").select(
+        "natural_key",
+        "version_id",
+        "attr_value",
+        "effective_date",
+        F.lit(-1).cast("long").alias("wave"),
+        F.lit(True).alias("_anchor"),
+    )
+    cand = changes.select(
+        "natural_key",
+        "version_id",
+        "attr_value",
+        "effective_date",
+        F.col("wave").cast("long").alias("wave"),
+        F.lit(False).alias("_anchor"),
+    )
+    w = Window.partitionBy("natural_key").orderBy("wave")
+    u = (
+        anchor.unionByName(cand)
+        .withColumn("_prev_attr", F.lag("attr_value").over(w))
+        .withColumn("_has_prev", F.lag(F.lit(True)).over(w))
+    )
+    survivors = u.filter(
+        ~F.col("_anchor")
+        & (
+            F.col("_has_prev").isNull()
+            | ~F.col("attr_value").eqNullSafe(F.col("_prev_attr"))
+        )
+    )
+    sv = (
+        survivors.withColumn("_rn", F.row_number().over(w).cast("long"))
+        .withColumn("_next_eff", F.lead("effective_date").over(w))
+    )
+    # NOTE _rn: row_number over the SURVIVOR frame restarts at 1 per
+    # key (anchors were filtered out before the second window pass).
+    # Seq base: MAX over ALL versions, but computed only for batch keys
+    # — the semi-join runs BELOW the groupBy so the aggregate shuffles
+    # batch-key rows, never the whole dim.
+    key_state = (
+        dim.join(F.broadcast(ch_keys), "natural_key", "left_semi")
+        .groupBy("natural_key")
+        .agg(F.max("version_seq").alias("_max_seq"))
+    )
+    inserted = (
+        sv.join(F.broadcast(key_state), "natural_key", "left")
+        .select(
+            "natural_key",
+            "version_id",
+            "attr_value",
+            "effective_date",
+            F.col("_next_eff").alias("end_date"),
+            F.col("_next_eff").isNull().alias("is_current"),
+            (F.coalesce(F.col("_max_seq"), F.lit(0)) + F.col("_rn"))
+            .cast("long")
+            .alias("version_seq"),
+        )
+    )
+    first_ch = sv.filter(F.col("_rn") == 1).select(
+        "natural_key", F.col("effective_date").alias("_close_date")
+    )
+    j = cur.alias("t").join(
+        F.broadcast(first_ch).alias("c"), "natural_key", "left"
+    )
+    closes = F.col("c._close_date").isNotNull()
+    carried = j.select(
+        "natural_key",
+        F.col("t.version_id").alias("version_id"),
+        F.col("t.attr_value").alias("attr_value"),
+        F.col("t.effective_date").alias("effective_date"),
+        F.when(closes, F.col("c._close_date"))
+        .otherwise(F.col("t.end_date"))
+        .alias("end_date"),
+        (~closes).alias("is_current"),
+        F.col("t.version_seq").alias("version_seq"),
+    )
+    return hist.select(*carried.columns).unionByName(carried).unionByName(inserted)
+
+
 # The deterministic change batch for the catalog entry, derived purely
 # from the fixtures so the DuckDB oracle can mirror it: updates for
 # every 5th customer key (synthetic priority), idempotent re-sends for

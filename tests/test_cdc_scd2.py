@@ -1,0 +1,255 @@
+"""Streaming CDC → SCD2 composition (r4 verdict #4): a checkpointed
+change-feed drain applies SCD2 merges per micro-batch into a stored
+versioned dim, with restart-recovery proving exactly-once version
+history. The micro-batch kernel (``scd2_apply_change_stream``) is
+pinned equivalent to folding the already-property-tested
+``scd2_merge_batch`` over the waves."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+DIM_SCHEMA = (
+    "natural_key long, version_id long, attr_value string, "
+    "effective_date string, end_date string, is_current boolean, "
+    "version_seq long"
+)
+CH_SCHEMA = (
+    "natural_key long, version_id long, attr_value string, "
+    "effective_date string"
+)
+
+
+def _mk_dim(spark, dim_spec):
+    rows = []
+    for k, (attrs, all_closed) in dim_spec.items():
+        for i, a in enumerate(attrs):
+            eff = f"2020-0{i + 1}-01"
+            if i + 1 < len(attrs):
+                end = f"2020-0{i + 2}-01"
+            elif all_closed:
+                end = f"2020-0{len(attrs) + 1}-01"
+            else:
+                end = None
+            rows.append((k, k * 100 + i, a, eff, end, end is None, i + 1))
+    return (
+        spark.createDataFrame(rows, DIM_SCHEMA)
+        if rows
+        else spark.createDataFrame([], DIM_SCHEMA)
+    )
+
+
+def _wave_frames(spark, waves):
+    """waves: list of {key: attr}; wave i effective at 2021-1i-01 (waves
+    stay chronological, as a real nightly feed is)."""
+    out = []
+    for i, wv in enumerate(waves):
+        rows = [
+            (k, -(k * 10 + i) - 1, a, f"2021-{i + 10}-01")
+            for k, a in wv.items()
+        ]
+        out.append(
+            spark.createDataFrame(rows, CH_SCHEMA)
+            if rows
+            else spark.createDataFrame([], CH_SCHEMA)
+        )
+    return out
+
+
+def _tagged_union(spark, wave_frames):
+    tagged = [
+        f.select(F.lit(i).cast("long").alias("wave"), "*")
+        for i, f in enumerate(wave_frames)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    return u
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=7),
+        st.tuples(
+            st.lists(
+                st.sampled_from(["A", "B", "C", None]), min_size=1, max_size=3
+            ),
+            st.booleans(),  # expired entity: every version closed
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    st.lists(  # 1-3 waves, each key -> attr (max 1 row per key per wave)
+        st.dictionaries(
+            st.integers(min_value=0, max_value=9),
+            st.sampled_from(["A", "B", "C", None]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_apply_change_stream_equals_sequential_merges(spark, dim_spec, waves):
+    """The set-based multi-wave merge ≡ folding scd2_merge_batch over
+    the waves in order — over generated histories including NULL attrs,
+    no-op re-sends, reverts (A→B→A), expired entities, and brand-new
+    keys appearing mid-feed."""
+    from retail_datawarehouse_spark.dims.scd2 import (
+        scd2_apply_change_stream,
+        scd2_merge_batch,
+    )
+
+    dim = _mk_dim(spark, dim_spec)
+    frames = _wave_frames(spark, waves)
+
+    ref = dim
+    for f in frames:
+        ref = scd2_merge_batch(ref, f)
+    expected = {tuple(r) for r in ref.collect()}
+
+    got_df = scd2_apply_change_stream(dim, _tagged_union(spark, frames))
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == expected
+
+
+@pytest.fixture()
+def cdc_root():
+    d = tempfile.mkdtemp(prefix="cdc_scd2_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+_DIM_SPEC = {
+    1: (["A"], False),            # single current version
+    2: (["A", "B"], False),       # two-version history
+    3: (["A", "B"], True),        # expired entity
+    4: ([None], False),           # NULL current attr
+}
+_WAVES = [
+    {1: "B", 2: "B", 5: "X"},     # update, no-op re-send, brand-new key
+    {1: "B", 3: "C", 4: "Z"},     # no-op of wave-0's update, reactivate, null→Z
+    {1: "A", 5: "Y"},             # revert, second version of the new key
+]
+
+
+def _land(spark, root, landing, i, frame):
+    tmp = f"{root}/w{i}"
+    frame.select(
+        F.lit(i).cast("long").alias("wave"), "*"
+    ).coalesce(1).write.parquet(tmp)
+    src = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.copy(src, f"{landing}/wave-{i}.parquet")
+
+
+def _dim_rows(spark, dim_dir):
+    spark.catalog.refreshByPath(dim_dir)
+    return {tuple(r) for r in spark.read.parquet(dim_dir).collect()}
+
+
+def test_cdc_drain_equals_sequential_batch_merges(spark, cdc_root):
+    """End-to-end through the real stream: land three wave files, drain
+    availableNow, and the stored dim must equal the batch fold of
+    scd2_merge_batch over the same waves BYTE-identically."""
+    from retail_datawarehouse_spark.dims.scd2 import scd2_merge_batch
+    from retail_datawarehouse_spark.streaming.cdc import (
+        run_cdc_scd2_available_now,
+    )
+
+    landing = f"{cdc_root}/landing"
+    dim_dir = f"{cdc_root}/dim"
+    os.makedirs(landing)
+    dim = _mk_dim(spark, _DIM_SPEC)
+    dim.write.parquet(dim_dir)
+    frames = _wave_frames(spark, _WAVES)
+    for i, f in enumerate(frames):
+        _land(spark, cdc_root, landing, i, f)
+
+    run_cdc_scd2_available_now(spark, dim_dir, landing)
+
+    ref = dim
+    for f in frames:
+        ref = scd2_merge_batch(ref, f)
+    assert _dim_rows(spark, dim_dir) == {tuple(r) for r in ref.collect()}
+
+
+def test_cdc_restart_mid_feed_exactly_once(spark, cdc_root):
+    """The restart contract: drain waves 0-1 with a checkpoint, then
+    land wave 2 and drain AGAIN with the same checkpoint. The second
+    run must process ONLY wave 2 (offsets recovered, nothing replayed —
+    replay would double-apply non-idempotent version inserts), the
+    final history must equal the full batch fold, version_seq must be
+    collision-free per key, point-in-time reads dated before the feed
+    must be identical across the checkpoint boundary, and an empty
+    re-drain must be a no-op."""
+    from retail_datawarehouse_spark.dims.scd2 import scd2_merge_batch
+    from retail_datawarehouse_spark.streaming.cdc import (
+        run_cdc_scd2_available_now,
+    )
+
+    landing = f"{cdc_root}/landing"
+    dim_dir = f"{cdc_root}/dim"
+    ckpt = f"{cdc_root}/ckpt"
+    os.makedirs(landing)
+    dim = _mk_dim(spark, _DIM_SPEC)
+    dim.write.parquet(dim_dir)
+    frames = _wave_frames(spark, _WAVES)
+
+    def pit(rows, as_of):
+        """Point-in-time image at as_of from a row-set."""
+        return {
+            (r[0], r[1], r[2])
+            for r in rows
+            if r[3] <= as_of and (r[4] is None or r[4] > as_of)
+        }
+
+    _land(spark, cdc_root, landing, 0, frames[0])
+    _land(spark, cdc_root, landing, 1, frames[1])
+    run_cdc_scd2_available_now(spark, dim_dir, landing, checkpoint_dir=ckpt)
+    mid_rows = _dim_rows(spark, dim_dir)
+
+    ref01 = scd2_merge_batch(scd2_merge_batch(dim, frames[0]), frames[1])
+    assert mid_rows == {tuple(r) for r in ref01.collect()}
+
+    _land(spark, cdc_root, landing, 2, frames[2])
+    run_cdc_scd2_available_now(spark, dim_dir, landing, checkpoint_dir=ckpt)
+    final_rows = _dim_rows(spark, dim_dir)
+
+    ref = scd2_merge_batch(ref01, frames[2])
+    assert final_rows == {tuple(r) for r in ref.collect()}
+
+    # exactly-once: no duplicate (key, version_seq) anywhere
+    seqs = [(r[0], r[6]) for r in final_rows]
+    assert len(seqs) == len(set(seqs))
+    # the past never rewrites across the boundary
+    assert pit(final_rows, "2020-12-31") == pit(mid_rows, "2020-12-31")
+    assert pit(final_rows, "2021-10-15") == pit(mid_rows, "2021-10-15")
+
+    # idempotence: nothing new landed -> drain is a no-op
+    run_cdc_scd2_available_now(spark, dim_dir, landing, checkpoint_dir=ckpt)
+    assert _dim_rows(spark, dim_dir) == final_rows
+
+
+def test_apply_change_stream_dim_never_shuffles(spark):
+    """The 100 TB contract: in scd2_apply_change_stream's plan, every
+    join against the dim-sided frames (anchor semi, seq-base semi,
+    close-out left) is a BroadcastHashJoin — the dim never sort-merges
+    or re-partitions for the merge. The window machinery may shuffle
+    only the batch-key union."""
+    from retail_datawarehouse_spark.dims.scd2 import scd2_apply_change_stream
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    dim = _mk_dim(spark, _DIM_SPEC)
+    changes = _tagged_union(spark, _wave_frames(spark, _WAVES))
+    plan = formatted_plan(scd2_apply_change_stream(dim, changes))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
