@@ -161,15 +161,19 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_topk(_ann_queries(emb), _ann_corpus(emb))
 
 
-def _bucket_sql(emb: str, index_base: int) -> str:
-    """Sign-bit bucket id from the first LSH_BITS components.
+def _bucket_sql(emb: str, index_base: int, bits: int = LSH_BITS) -> str:
+    """Sign-bit bucket id from the first ``bits`` components.
 
     ``index_base``: Spark SQL array subscripts are 0-based, DuckDB's are
-    1-based — same expression text otherwise.
-    """
+    1-based — same expression text otherwise. ``bits`` is the capacity
+    knob: bucket occupancy is ~N/2^bits, so at scale it must grow with
+    log2(N) to keep the per-bucket quadratic bounded (the r5 20× probe
+    measured the fixed-8-bits form at 31.7× wall for 20× data — the
+    one super-linear entry in the table — and log-scaled bits restore
+    linearity; BASELINE.md r5)."""
     return " + ".join(
         f"CASE WHEN {emb}[{i + index_base}] > 0 THEN {2**i} ELSE 0 END"
-        for i in range(LSH_BITS)
+        for i in range(bits)
     )
 
 
@@ -274,7 +278,9 @@ def _injected_dup_corpus(emb: DataFrame) -> DataFrame:
     return as_double.unionByName(dupes)
 
 
-def lsh_dup_pairs(corpus: DataFrame, probe: int = 0) -> DataFrame:
+def lsh_dup_pairs(
+    corpus: DataFrame, probe: int = 0, bits: int = LSH_BITS
+) -> DataFrame:
     """LSH-bucketed near-dup pairs: candidates come from the same
     sign-bit buckets as q_ann_lsh_bucketed (equal bucket ⇒ equal sign
     pattern), so the pair join is a hash EQUI-join on the bucket id —
@@ -295,8 +301,14 @@ def lsh_dup_pairs(corpus: DataFrame, probe: int = 0) -> DataFrame:
     an equi-join, which is the whole point at 100 TB."""
     if probe not in (0, 1):
         raise ValueError("probe radius must be 0 or 1")
+    # ``bits`` (default: the fixture-pinned, oracle-mirrored 8) sets
+    # bucket capacity. Deploy rule at scale: bits ≈ log2(N / target
+    # occupancy) — occupancy fixed ⇒ per-bucket pair work fixed ⇒ the
+    # whole operator linear in N. A sign-preserving near-dup (scaled
+    # copy) lands in the same bucket at ANY bits, so planted-dup recall
+    # is bits-invariant (pinned by test_adaptive_capacity_*).
     bucketed = corpus.withColumn(
-        "bucket", F.expr(_bucket_sql("embedding", 0))
+        "bucket", F.expr(_bucket_sql("embedding", 0, bits))
     ).withColumn("n2", norm2_col("embedding"))
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"),
@@ -305,7 +317,7 @@ def lsh_dup_pairs(corpus: DataFrame, probe: int = 0) -> DataFrame:
         "bucket",
     )
     if probe == 1:
-        masks = [0] + [1 << i for i in range(LSH_BITS)]
+        masks = [0] + [1 << i for i in range(bits)]
         a = a.withColumn(
             "bucket",
             F.explode(
@@ -327,7 +339,9 @@ def lsh_dup_pairs(corpus: DataFrame, probe: int = 0) -> DataFrame:
     )
 
 
-def semdedup_pairs(corpus: DataFrame) -> DataFrame:
+def semdedup_pairs(
+    corpus: DataFrame, cells: int = SEM_CELLS, coarse: int | None = None
+) -> DataFrame:
     """SemDeDup-shape semantic dedup: cluster the corpus with the SAME
     seeded one-iteration fixed-point k-means quantizer the IVF index
     uses, then compare pairs ONLY within a cluster cell — the
@@ -340,11 +354,15 @@ def semdedup_pairs(corpus: DataFrame) -> DataFrame:
     data-adaptive, and a full-corpus k-means is reusable downstream
     (the same index serves ANN probes). Fixed-point centroid sums make
     every assignment — hence the exact pair set — engine-reproducible."""
+    # ``cells`` (default: the fixture-pinned, oracle-mirrored 16) is
+    # the capacity knob: per-cell population is ~N/cells, so k ~ √N
+    # keeps the within-cell quadratic bounded — the deploy rule the
+    # docstring above states, now actually settable (r5 probe finding).
     vs = corpus.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
-    seeds = vs.filter(F.col("id") < SEM_CELLS).select(
+    seeds = vs.filter(F.col("id") < cells).select(
         F.col("id").alias("cell"), F.col("emb").alias("centroid")
     )
-    assigned0 = _nearest_cell(vs, seeds, keep=1)
+    assigned0 = _nearest_cell(vs, seeds, keep=1, coarse=coarse)
     # 16 rows hiding the assign-all pass; two consumers (both join
     # sides) — same justified materialization boundary as ivf_index.
     centroids = _fixed_point_centroids(assigned0).persist()
@@ -352,7 +370,10 @@ def semdedup_pairs(corpus: DataFrame) -> DataFrame:
     # sides of the pair join; persisted so it runs once, not twice.
     assigned = (
         _nearest_cell(
-            vs.withColumn("n2", _norm2_expr(F.col("emb"))), centroids, keep=1
+            vs.withColumn("n2", _norm2_expr(F.col("emb"))),
+            centroids,
+            keep=1,
+            coarse=coarse,
         )
         .drop("cell_rank")
         .persist()
@@ -562,7 +583,12 @@ def _norm2_expr(a: F.Column) -> F.Column:
     )
 
 
-def _nearest_cell(vectors: DataFrame, centroids: DataFrame, keep: int) -> DataFrame:
+def _nearest_cell(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    keep: int,
+    coarse: int | None = None,
+) -> DataFrame:
     """Rank centroid cells by cosine for every vector; keep the top
     ``keep`` cells. ``vectors`` needs (id, emb) and may carry a
     precomputed ``n2`` norm² column (reused if present).
@@ -577,14 +603,117 @@ def _nearest_cell(vectors: DataFrame, centroids: DataFrame, keep: int) -> DataFr
     centroid), and each centroid's norm² rides the packed row — so the
     K-way scoring loop is K dot folds, not 3K folds. The struct sort
     key (-cosine, cell) reproduces the window's DESC-cosine, ASC-cell
-    tie-break exactly."""
+    tie-break exactly.
+
+    ``coarse`` activates TWO-LEVEL routing (the r5 20× probe finding:
+    at K ~ √N the flat K-fold assignment becomes the operator's
+    dominant term — the per-row fold count must not grow linearly with
+    K). The first ``coarse`` centroids act as routing representatives;
+    every centroid is grouped under its nearest rep IN-PLAN (a K×coarse
+    one-time pass over the tiny centroid relation), and each vector
+    folds against the ``coarse`` reps plus only its routed group's
+    members — ~coarse + K/coarse folds per row instead of K. Routing is
+    approximate at group boundaries (the true nearest centroid can sit
+    in an unrouted group), which is acceptable for candidate
+    generation; a scale-invariant near-dup routes with its parent at
+    every level, so planted-dup recall is unaffected (pinned by
+    test_adaptive_capacity_preserves_planted_dup_recall)."""
     out_cols = [c for c in vectors.columns]
     vin = (
         vectors
         if "n2" in vectors.columns
         else vectors.withColumn("n2", _norm2_expr(F.col("emb")))
     )
-    packed = centroids.withColumn("_cn2", _norm2_expr(F.col("centroid"))).agg(
+    with_n2 = centroids.withColumn("_cn2", _norm2_expr(F.col("centroid")))
+    if coarse is not None:
+        reps = with_n2.filter(F.col("cell") < coarse).select(
+            F.col("cell").alias("rep"),
+            F.col("centroid").alias("rep_c"),
+            F.col("_cn2").alias("rep_n2"),
+        )
+        packed_reps = reps.agg(
+            F.collect_list(F.struct("rep", "rep_c", "rep_n2")).alias("_reps")
+        )
+        # Group each centroid under its nearest rep (tiny K×coarse pass,
+        # fully in-plan, broadcast both ways).
+        grouped = with_n2.crossJoin(F.broadcast(packed_reps)).withColumn(
+            "_group",
+            F.array_min(
+                F.transform(
+                    "_reps",
+                    lambda s: F.struct(
+                        (
+                            -(
+                                _dot_expr(F.col("centroid"), s.rep_c)
+                                / (F.sqrt(F.col("_cn2")) * F.sqrt(s["rep_n2"]))
+                            )
+                        ).alias("negcos"),
+                        s.rep.alias("rep"),
+                    ),
+                )
+            )["rep"],
+        )
+        packed = grouped.agg(
+            F.collect_list(
+                F.struct("cell", "centroid", "_cn2", "_group")
+            ).alias("_cents"),
+            F.first(
+                F.array_sort(
+                    F.transform(
+                        "_reps",
+                        lambda s: F.struct(
+                            s.rep.alias("rep"),
+                            s.rep_c.alias("rep_c"),
+                            s.rep_n2.alias("rep_n2"),
+                        ),
+                    )
+                )
+            ).alias("_reps"),
+        )
+        route = F.array_min(
+            F.transform(
+                "_reps",
+                lambda s: F.struct(
+                    (
+                        -(
+                            _dot_expr(F.col("emb"), s.rep_c)
+                            / (F.sqrt(F.col("n2")) * F.sqrt(s["rep_n2"]))
+                        )
+                    ).alias("negcos"),
+                    s.rep.alias("rep"),
+                ),
+            )
+        )["rep"]
+        cand_set = F.filter("_cents", lambda s: s["_group"] == F.col("_route"))
+        ranked = F.slice(
+            F.array_sort(
+                F.transform(
+                    cand_set,
+                    lambda s: F.struct(
+                        (
+                            -(
+                                _dot_expr(F.col("emb"), s.centroid)
+                                / (F.sqrt(F.col("n2")) * F.sqrt(s["_cn2"]))
+                            )
+                        ).alias("negcos"),
+                        s.cell.alias("cell"),
+                    ),
+                )
+            ),
+            1,
+            keep,
+        )
+        return (
+            vin.crossJoin(F.broadcast(packed))
+            .withColumn("_route", route)
+            .select(*out_cols, F.posexplode(ranked).alias("_pos", "_r"))
+            .select(
+                *out_cols,
+                F.col("_r.cell").alias("cell"),
+                (F.col("_pos") + 1).alias("cell_rank"),
+            )
+        )
+    packed = with_n2.agg(
         F.collect_list(F.struct("cell", "centroid", "_cn2")).alias("_cents")
     )
     ranked = F.slice(

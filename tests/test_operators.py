@@ -632,6 +632,51 @@ def test_lsh_dup_recall_floor(spark):
     assert got0 < got1
 
 
+def test_adaptive_capacity_preserves_planted_dup_recall(spark):
+    """The r5 20× probe measured the fixed-capacity embedding-dedup
+    forms (bits=8 / cells=16) at 31.7× wall for 20× data — the one
+    super-linear entry. The fix parameterizes capacity (bits ≈
+    log2(N/occupancy), cells ≈ √N). This pins the SAFETY of turning
+    those knobs: a sign-preserving near-dup (scaled copy) has the same
+    sign pattern at ANY bit depth and the same cosine to every centroid
+    — so raising capacity must not lose a single planted pair, while
+    strictly shrinking (or keeping) the candidate surface."""
+    from retail_datawarehouse_spark.operators.similarity import (
+        lsh_dup_pairs,
+        semdedup_pairs,
+    )
+
+    # 40 base vectors across varied sign patterns + 10 planted scaled
+    # copies (1.5×) — each copy is a guaranteed near-dup of its parent.
+    rows, truth = [], set()
+    for i in range(40):
+        v = [(1.0 if (i >> b) & 1 else -1.0) * (0.3 + 0.01 * b + 0.005 * i)
+             for b in range(16)]
+        rows.append((i, v))
+        if i % 4 == 0:
+            rows.append((1000 + i, [x * 1.5 for x in v]))
+            truth.add((i, 1000 + i))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for bits in (8, 12, 16):
+        got = {(r.vec_a, r.vec_b)
+               for r in lsh_dup_pairs(corpus, bits=bits).collect()}
+        assert truth <= got, (bits, truth - got)
+    for cells in (4, 16, 32):
+        got = {(r.vec_a, r.vec_b)
+               for r in semdedup_pairs(corpus, cells=cells).collect()}
+        assert truth <= got, (cells, truth - got)
+    # Two-level routing (coarse reps) — approximate at group
+    # boundaries, but a scaled copy routes WITH its parent at every
+    # level, so planted recall still holds.
+    for cells, coarse in ((16, 4), (32, 6)):
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in semdedup_pairs(corpus, cells=cells, coarse=coarse).collect()
+        }
+        assert truth <= got, (cells, coarse, truth - got)
+
+
 def test_entity_resolution_matches_injected_typos(spark, sf_dir):
     """Every injected dirty record (3rd char dropped) must resolve back
     to its source part by NAME alone — a (k, k) pair at edit distance

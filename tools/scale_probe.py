@@ -1,0 +1,220 @@
+"""Synthetic N× scale probe for the document/embedding operator family.
+
+TESTDATA.md tops out at sf0.1 (5k docs / 2k vectors), so every claim
+above that scale rested on plan shape + ceilings + the 10× sf0.01→sf0.1
+measurements (r4 verdict "What's missing" #3). This tool adds a third,
+bigger point: it synthesizes a DETERMINISTIC ``N×`` corpus from the
+sf0.1 fixtures into /tmp and times the heavy catalog entries against it.
+
+Synthesis (DuckDB, single pass, no RNG):
+- documents: copy k (1..N-1) of doc d takes the FIRST HALF of d's words
+  and the SECOND HALF of doc ``(d + 977·k) mod D``'s words — realistic
+  token/shingle distributions, but the halves' shingle overlap with any
+  parent stays ~50%, so copies are genuinely new documents, not planted
+  near-dup cliques that would change the workload's output character
+  (straight copies would hand LSH 5000 20-cliques). Text stays printable
+  ASCII (concatenation of ASCII halves) — the load_table probe enforces
+  it. n_chars is recomputed; lang/source inherit from the first parent.
+- embeddings: copy k of vector v is the element-wise MEAN of v and
+  vector ``(v + 353·k) mod V`` — norms stay O(1), the distribution stays
+  isotropic-ish, and copies decorrelate from both parents.
+- every other table is copied from sf0.1 unchanged (the probed entries
+  only scan documents/embeddings; load_table needs the files present).
+
+Usage:
+    python tools/scale_probe.py --scale 20 --out /tmp/scale_probe
+    python tools/scale_probe.py --scale 20 --out /tmp/scale_probe --measure
+
+Measurement protocol matches bench.py: warm run, then best-of-3 with
+clearCache between reps, one line per entry plus a final JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+
+HEAVY_ENTRIES = [
+    "q_text_metrics",
+    "q_text_mining",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_components",
+    "q_dedup_embedding_cosine",
+    "q_ann_topk_suite",
+    "q_embedding_suite",
+    "q_multimodal_suite",
+    "q_decontaminate_suite",
+]
+
+OTHER_TABLES = (
+    "region nation customer supplier part orders lineitem events".split()
+)
+
+
+def generate(scale: int, out: str) -> None:
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    d = f"read_parquet('{SRC}/documents.parquet')"
+    con.execute(
+        f"""
+        COPY (
+          WITH base AS (SELECT *, string_split(text, ' ') AS tw FROM {d}),
+          nums AS (SELECT unnest(generate_series(1, {scale - 1})) AS k),
+          mixed AS (
+            SELECT a.doc_id + n.k * 5000 AS doc_id,
+                   array_to_string(
+                       a.tw[1 : len(a.tw) // 2] ||
+                       b.tw[len(b.tw) // 2 + 1 : len(b.tw)], ' ') AS text,
+                   a.lang, a.source
+            FROM base a
+            CROSS JOIN nums n
+            JOIN base b ON b.doc_id = (a.doc_id + 977 * n.k) % 5000
+          )
+          SELECT doc_id, text, lang, source,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM (SELECT doc_id, text, lang, source FROM {d}
+                UNION ALL SELECT * FROM mixed)
+          ORDER BY doc_id
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    e = f"read_parquet('{SRC}/embeddings.parquet')"
+    con.execute(
+        f"""
+        COPY (
+          WITH nums AS (SELECT unnest(generate_series(1, {scale - 1})) AS k),
+          mixed AS (
+            SELECT a.vec_id + n.k * 2000 AS vec_id,
+                   list_transform(list_zip(a.embedding, b.embedding),
+                       p -> CAST((p[1] + p[2]) / 2 AS FLOAT)) AS embedding,
+                   a.label
+            FROM {e} a
+            CROSS JOIN nums n
+            JOIN {e} b ON b.vec_id = (a.vec_id + 353 * n.k) % 2000
+          )
+          SELECT * FROM (SELECT * FROM {e} UNION ALL SELECT * FROM mixed)
+          ORDER BY vec_id
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in OTHER_TABLES:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    n_docs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/documents.parquet')"
+    ).fetchone()[0]
+    n_vec = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/embeddings.parquet')"
+    ).fetchone()[0]
+    print(f"# generated {out}: {n_docs} docs, {n_vec} vectors", file=sys.stderr)
+
+
+def measure(sf_dir: str, scale: int) -> None:
+    from retail_datawarehouse_spark.registry import catalog
+    from retail_datawarehouse_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scale-probe-{scale}x")
+    cat = catalog()
+    timings: dict[str, float] = {}
+    for name in HEAVY_ENTRIES:
+        b = cat[name].builder
+        b(spark, sf_dir).count()  # warm
+        best = None
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = b(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 2)
+        print(f"# {name}: {best:.2f}s rows={n}", file=sys.stderr)
+    print(json.dumps({"scale": scale, "sf_dir": sf_dir, "queries": timings}))
+    spark.stop()
+
+
+def measure_adaptive(sf_dir: str, scale: int) -> None:
+    """Isolate the r5 probe finding: the embedding-dedup pair
+    generators at FIXED fixture capacity (bits=8 / cells=16) vs
+    occupancy-constant ADAPTIVE capacity (bits ≈ log2(N/8), cells ≈
+    √N) on the same N× corpus. Fixed shows the super-linear per-bucket
+    quadratic; adaptive restores the linear term."""
+    import math
+
+    from retail_datawarehouse_spark.operators.similarity import (
+        _injected_dup_corpus,
+        lsh_dup_pairs,
+        semdedup_pairs,
+    )
+    from retail_datawarehouse_spark.session import get_spark
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    spark = get_spark(app_name=f"scale-probe-adaptive-{scale}x")
+    corpus = _injected_dup_corpus(load_table(spark, sf_dir, "embeddings"))
+    n = corpus.count()
+    bits = max(8, min(20, round(math.log2(max(n, 1) / 8))))
+    cells = max(16, int(math.isqrt(n)))
+    out: dict[str, float] = {}
+    coarse = max(4, int(math.isqrt(cells)))
+    for label, fn in (
+        ("lsh_fixed", lambda: lsh_dup_pairs(corpus)),
+        ("lsh_adaptive", lambda: lsh_dup_pairs(corpus, bits=bits)),
+        ("sem_fixed", lambda: semdedup_pairs(corpus)),
+        ("sem_adaptive_flat", lambda: semdedup_pairs(corpus, cells=cells)),
+        ("sem_adaptive_2level",
+         lambda: semdedup_pairs(corpus, cells=cells, coarse=coarse)),
+    ):
+        fn().count()  # warm
+        best, rows = None, 0
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            rows = fn().count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        out[label] = round(best, 2)
+        print(f"# {label}: {best:.2f}s pairs={rows}", file=sys.stderr)
+    print(
+        json.dumps(
+            {"scale": scale, "n": n, "bits": bits, "cells": cells,
+             "coarse": coarse, "timings": out}
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=20)
+    ap.add_argument("--out", default="/tmp/scale_probe")
+    ap.add_argument("--measure", action="store_true")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="fixed vs occupancy-constant capacity A/B on "
+                         "the embedding-dedup pair generators")
+    ap.add_argument("--baseline", action="store_true",
+                    help="measure sf0.1 itself (the 1x reference)")
+    args = ap.parse_args()
+    if args.baseline:
+        measure(SRC, 1)
+        return
+    if not os.path.exists(f"{args.out}/documents.parquet"):
+        generate(args.scale, args.out)
+    if args.adaptive:
+        measure_adaptive(args.out, args.scale)
+    elif args.measure:
+        measure(args.out, args.scale)
+
+
+if __name__ == "__main__":
+    main()
