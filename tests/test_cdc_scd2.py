@@ -239,6 +239,57 @@ def test_cdc_restart_mid_feed_exactly_once(spark, cdc_root):
     assert _dim_rows(spark, dim_dir) == final_rows
 
 
+def test_replayed_batch_applies_each_wave_exactly_once(spark, cdc_root):
+    """foreachBatch is AT-LEAST-once: a batch replayed after the dim
+    rewrite committed (crash before checkpoint commit) must not
+    double-apply. The revert chain in _WAVES (key 1: A→B→…→A) is the
+    probe — re-merging it onto the already-merged dim is NOT a no-op
+    (B≠current-A spawns fresh versions), so only the wave high-water
+    mark makes replay safe. Full replay: drain everything twice with NO
+    checkpoint (the second drain reprocesses every file) — dim must be
+    byte-identical. Partial replay: a batch straddling the committed
+    boundary (waves 1+2 after 0+1 applied) must apply wave 2 only."""
+    from retail_datawarehouse_spark.dims.scd2 import scd2_merge_batch
+    from retail_datawarehouse_spark.streaming.cdc import (
+        run_cdc_scd2_available_now,
+    )
+
+    landing = f"{cdc_root}/landing"
+    dim_dir = f"{cdc_root}/dim"
+    os.makedirs(landing)
+    dim = _mk_dim(spark, _DIM_SPEC)
+    dim.write.parquet(dim_dir)
+    frames = _wave_frames(spark, _WAVES)
+    for i, f in enumerate(frames):
+        _land(spark, cdc_root, landing, i, f)
+
+    run_cdc_scd2_available_now(spark, dim_dir, landing)  # no checkpoint
+    first = _dim_rows(spark, dim_dir)
+    ref = dim
+    for f in frames:
+        ref = scd2_merge_batch(ref, f)
+    assert first == {tuple(r) for r in ref.collect()}
+
+    # FULL replay: second un-checkpointed drain reprocesses all files.
+    run_cdc_scd2_available_now(spark, dim_dir, landing)
+    assert _dim_rows(spark, dim_dir) == first
+
+    # PARTIAL replay straddling the boundary: fresh target, apply
+    # waves {0,1}, then a batch carrying {1,2} — wave 1 must not
+    # re-apply.
+    dim_dir2 = f"{cdc_root}/dim2"
+    dim.write.parquet(dim_dir2)
+    landing2 = f"{cdc_root}/landing2"
+    os.makedirs(landing2)
+    _land(spark, cdc_root + "/p2a", landing2, 0, frames[0])
+    _land(spark, cdc_root + "/p2b", landing2, 1, frames[1])
+    run_cdc_scd2_available_now(spark, dim_dir2, landing2)
+    _land(spark, cdc_root + "/p2c", landing2, 1, frames[1])  # replayed
+    _land(spark, cdc_root + "/p2d", landing2, 2, frames[2])  # fresh
+    run_cdc_scd2_available_now(spark, dim_dir2, landing2)
+    assert _dim_rows(spark, dim_dir2) == first
+
+
 def test_apply_change_stream_dim_never_shuffles(spark):
     """The 100 TB contract: in scd2_apply_change_stream's plan, every
     join against the dim-sided frames (anchor semi, seq-base semi,
