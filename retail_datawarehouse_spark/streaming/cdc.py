@@ -1,5 +1,5 @@
 """Streaming CDC → SCD2: the nightly-warehouse shape, composed
-(r4 verdict #4).
+(r4 verdict #4), with an ATOMIC generation commit (r5 verdict #1).
 
 The two halves existed separately — the batch SCD2 merge
 (``dims/scd2.py``) and checkpointed ``foreachBatch`` drains
@@ -13,33 +13,57 @@ micro-batch still produces the exact version history a wave-at-a-time
 drain would (proven: drain ≡ folding ``scd2_merge_batch`` over waves,
 byte-identically, across checkpoint restarts).
 
-Exactly-once story: source offsets + the commit log live in the
-checkpoint; the merge itself is deterministic and the target rewrite is
-staged through a tmp directory (the same Delta-less pattern as
-``foreach_batch_upsert`` — with Delta/Iceberg on the classpath the
-rewrite becomes a real transactional MERGE INTO and the tmp hop
-disappears). ``foreachBatch`` is AT-LEAST-once for the side effect: a
-crash after the dim rewrite but before the checkpoint commit replays
-the micro-batch, and re-applying a batch with a revert chain (A→B→A)
-onto the ALREADY-merged dim would duplicate version history (the
-changes are no-ops only for simple updates). The guard is the wave
-number itself — the feed's monotone high-water mark, persisted as a
-1-row sidecar next to the dim and re-read per batch: already-applied
-waves are filtered out BEFORE the merge, so a full or partial replay
-(batch straddling the committed boundary) applies each wave exactly
-once. The sidecar is written after the dim swap; the residual
-window — crash BETWEEN those two writes — is the atomicity gap a real
-table format (Delta/Iceberg transactional commit) closes, and is
-documented rather than hidden.
+Exactly-once story. Source offsets + the commit log live in the
+checkpoint; the merge itself is deterministic. ``foreachBatch`` is
+AT-LEAST-once for the side effect: a crash after the dim commit but
+before the checkpoint commit replays the micro-batch, and re-applying
+a batch with a revert chain (A→B→A) onto the ALREADY-merged dim would
+duplicate version history (the changes are no-ops only for simple
+updates). The replay guard is the APPLIED-WAVE SET, persisted with the
+dim and consulted per batch: already-applied waves filter out BEFORE
+the merge, so a full or partial replay (batch straddling the committed
+boundary) applies each wave exactly once. The set (not just its max)
+also closes the silent-loss hole a bare high-water mark has: Spark's
+file source orders micro-batches by file modification time, not the
+wave tag, so a wave landing LATE (wave <= max but never applied) would
+be filtered out forever by a max-only guard. Appending it out of order
+cannot produce correct SCD2 history either (versions after it already
+closed), so the drain FAILS LOUDLY on it — a per-row ``raise_error``
+embedded in the kept wave expression (not a separate audit pass, which
+column pruning could drop), naming the offending wave.
+
+Atomic commit (the r5 residual, now closed). The dim image and the
+applied-wave set are written together into a fresh GENERATION
+directory ``<dim_dir>__gen/gen-<N>/{dim,waves}``, then committed by a
+single atomic ``os.rename`` of a pointer file (``CURRENT``) — POSIX
+rename atomicity, the same one-pointer-swap protocol table formats use
+for their commit log. A crash anywhere before the rename leaves the
+pointer on generation N-1, whose dim AND wave set are the matching
+consistent pair, so the checkpoint's replay re-applies the lost wave
+exactly once; a crash after the rename leaves N committed, and the
+replayed batch filters out as already-applied. There is no ordering of
+writes that can observe a dim without its wave set (the two-overwrite
+window the r5 verdict documented is gone). Readers resolve the pointer
+via ``read_dim``; a dim_dir that has never been drained (plain parquet
+initial load) reads as-is — generation 0. The previous generation is
+retained for in-flight readers; older ones are pruned.
 
 At 100 TB the dim is a stored table bucketed by natural_key; the merge
 kernel never shuffles it (see ``scd2_apply_change_stream``), so each
 micro-batch costs one dim scan + batch-sized window work — the same
 cost class as the nightly batch job it replaces, at micro-batch
-latency.
+latency. The generation commit adds one pointer rename; on object
+stores without atomic rename the same protocol runs against a
+conditional-PUT (if-match) pointer object. The applied-wave set grows
+by one row per wave (365 rows/year at nightly cadence); prune waves
+older than the feed's reordering horizon during compaction.
 """
 
 from __future__ import annotations
+
+import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,6 +73,74 @@ CDC_SCHEMA = (
     "wave LONG, natural_key LONG, version_id LONG, "
     "attr_value STRING, effective_date STRING"
 )
+_WAVES_SCHEMA = "applied_wave LONG"
+_GEN_RE = re.compile(r"^gen-(\d+)$")
+
+
+def _gen_root(dim_dir: str) -> str:
+    return dim_dir + "__gen"
+
+
+def committed_generation(dim_dir: str) -> int:
+    """The committed generation number (0 = never drained: the plain
+    parquet initial load at ``dim_dir`` is the image)."""
+    ptr = os.path.join(_gen_root(dim_dir), "CURRENT")
+    try:
+        with open(ptr, "r", encoding="ascii") as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def resolve_dim_path(dim_dir: str) -> str:
+    """The committed dim image's parquet path."""
+    gen = committed_generation(dim_dir)
+    if gen == 0:
+        return dim_dir
+    return os.path.join(_gen_root(dim_dir), f"gen-{gen}", "dim")
+
+
+def read_dim(spark: SparkSession, dim_dir: str) -> DataFrame:
+    """Read the committed dim image (pointer-resolved)."""
+    path = resolve_dim_path(dim_dir)
+    spark.catalog.refreshByPath(path)
+    return spark.read.parquet(path)
+
+
+def _read_applied_waves(spark: SparkSession, dim_dir: str) -> DataFrame | None:
+    """The committed applied-wave set (one row per applied wave), or
+    None at generation 0 (nothing applied yet)."""
+    gen = committed_generation(dim_dir)
+    if gen == 0:
+        return None
+    path = os.path.join(_gen_root(dim_dir), f"gen-{gen}", "waves")
+    spark.catalog.refreshByPath(path)
+    return spark.read.parquet(path)
+
+
+def _commit_generation(dim_dir: str, gen: int) -> None:
+    """THE commit: flip the pointer to ``gen`` with one atomic rename.
+    Module-level so crash-injection tests can monkeypatch it — a fault
+    here models a crash after the generation's data is fully written
+    but before it becomes visible."""
+    root = _gen_root(dim_dir)
+    tmp = os.path.join(root, f"CURRENT.tmp-{gen}")
+    with open(tmp, "w", encoding="ascii") as f:
+        f.write(str(gen))
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(root, "CURRENT"))
+
+
+def _prune_generations(dim_dir: str, committed: int) -> None:
+    """Drop generations older than committed-1 (previous kept for
+    in-flight readers) plus any uncommitted leftovers above committed
+    (a crashed batch's orphan — safe: never referenced by the pointer)."""
+    root = _gen_root(dim_dir)
+    for entry in os.listdir(root):
+        m = _GEN_RE.match(entry)
+        if m and (int(m.group(1)) < committed - 1 or int(m.group(1)) > committed):
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
 
 def stream_changes(spark: SparkSession, landing_dir: str) -> DataFrame:
@@ -66,71 +158,85 @@ def run_cdc_scd2_available_now(
     dim_dir: str,
     landing_dir: str,
     checkpoint_dir: str | None = None,
+    timeout: float | None = None,
 ) -> None:
     """Drain every landed-and-uncommitted change wave into the stored
-    SCD2 dim at ``dim_dir``. With ``checkpoint_dir``, a later call
-    resumes from recorded offsets — the restart contract; without, it
-    reprocesses everything (one-shot semantics)."""
+    SCD2 dim at ``dim_dir`` (read the result via ``read_dim``). With
+    ``checkpoint_dir``, a later call resumes from recorded offsets —
+    the restart contract; without, it reprocesses everything (one-shot
+    semantics; the applied-wave set makes that a no-op).
+
+    ``timeout`` (seconds): None blocks until the availableNow drain
+    terminates on its own; with a timeout, expiry STOPS the query and
+    raises ``TimeoutError`` — a silent return would let the caller read
+    a mid-drain dim or start a second concurrent drain against the same
+    checkpoint (r5 verdict #6)."""
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         import pyspark.sql.functions as F
 
         sess = batch_df.sparkSession
-        hwm_dir = dim_dir + "__hwm"
-        try:
-            sess.catalog.refreshByPath(hwm_dir)
-            hwm = sess.read.parquet(hwm_dir)
-        except AnalysisException:
-            hwm = None  # first batch ever: nothing applied yet
-        # Replay guard: drop waves at or below the persisted high-water
-        # mark. 1-row broadcast — no collect, no dim scan.
-        fresh = (
-            batch_df
-            if hwm is None
-            else batch_df.join(
-                F.broadcast(hwm.select(F.col("applied_wave").alias("_hw"))),
-                how="cross",
+        applied = _read_applied_waves(sess, dim_dir)
+        if applied is None:
+            fresh = batch_df
+        else:
+            hw = applied.agg(
+                F.coalesce(F.max("applied_wave"), F.lit(-1))
+                .cast("long")
+                .alias("_hw")
             )
-            .filter(F.col("wave") > F.col("_hw"))
-            .drop("_hw")
-        )
-        sess.catalog.refreshByPath(dim_dir)
-        dim = sess.read.parquet(dim_dir)
-        merged = scd2_apply_change_stream(dim, fresh)
-        # Stage-then-swap: never rewrite the dim in place from a plan
-        # that is still READING it (overwrite-while-reading corrupts).
-        merged.write.mode("overwrite").parquet(dim_dir + "_tmp")
-        sess.catalog.refreshByPath(dim_dir + "_tmp")
-        sess.read.parquet(dim_dir + "_tmp").write.mode("overwrite").parquet(
-            dim_dir
-        )
-        sess.catalog.refreshByPath(dim_dir)
-        # Advance the mark (after the dim swap — see module docstring
-        # for the residual window). max() over an empty fresh batch is
-        # NULL → coalesce keeps the old mark.
-        new_hwm = fresh.agg(
-            F.coalesce(F.max("wave"), F.lit(-1)).cast("long").alias(
-                "applied_wave"
-            )
-        )
-        if hwm is not None:
-            # greatest, never coalesce: an empty fresh batch yields the
-            # -1 sentinel, which must not regress a real mark.
-            new_hwm = new_hwm.crossJoin(
-                F.broadcast(hwm.select(F.col("applied_wave").alias("_old")))
-            ).select(
-                F.greatest(F.col("applied_wave"), F.col("_old")).alias(
-                    "applied_wave"
+            seen = applied.select(
+                F.col("applied_wave").alias("wave"),
+                F.lit(True).alias("_seen"),
+            ).distinct()
+            # Replay guard + ordering tripwire, both per row: an applied
+            # wave drops (replay — at-least-once foreachBatch); a wave
+            # BELOW the high-water mark that was never applied means the
+            # file source discovered waves out of order — appending it
+            # now would interleave into already-closed history, so fail
+            # at the exact row instead of silently dropping it. The
+            # raise_error rides inside the kept wave expression so no
+            # pruning/pushdown can elide the check.
+            fresh = (
+                batch_df.join(F.broadcast(seen), "wave", "left")
+                .filter(F.col("_seen").isNull())
+                .crossJoin(F.broadcast(hw))
+                .withColumn(
+                    "wave",
+                    F.when(F.col("wave") > F.col("_hw"), F.col("wave")).otherwise(
+                        F.raise_error(
+                            F.format_string(
+                                "cdc drain: wave %s landed AFTER later waves "
+                                "were already applied (high-water mark %s) "
+                                "and was never applied itself — the feed "
+                                "violated monotone landing; SCD2 history "
+                                "cannot be appended out of order. Rebuild "
+                                "the dim from a batch fold including this "
+                                "wave.",
+                                F.col("wave"),
+                                F.col("_hw"),
+                            )
+                        )
+                    ),
                 )
+                .drop("_seen", "_hw")
             )
-        new_hwm.write.mode("overwrite").parquet(hwm_dir + "_tmp")
-        sess.catalog.refreshByPath(hwm_dir + "_tmp")
-        sess.read.parquet(hwm_dir + "_tmp").write.mode("overwrite").parquet(
-            hwm_dir
-        )
-        sess.catalog.refreshByPath(hwm_dir)
+        dim = read_dim(sess, dim_dir)
+        merged = scd2_apply_change_stream(dim, fresh)
+        # Write the next generation: dim image + applied-wave set into
+        # a fresh directory (never overwriting what the plan reads),
+        # then commit both with ONE atomic pointer rename.
+        gen = committed_generation(dim_dir)
+        gen_dir = os.path.join(_gen_root(dim_dir), f"gen-{gen + 1}")
+        merged.write.mode("overwrite").parquet(os.path.join(gen_dir, "dim"))
+        new_waves = fresh.select(
+            F.col("wave").cast("long").alias("applied_wave")
+        ).distinct()
+        if applied is not None:
+            new_waves = applied.unionByName(new_waves).distinct()
+        new_waves.write.mode("overwrite").parquet(os.path.join(gen_dir, "waves"))
+        _commit_generation(dim_dir, gen + 1)
+        _prune_generations(dim_dir, gen + 1)
 
     writer = (
         stream_changes(spark, landing_dir)
@@ -141,4 +247,15 @@ def run_cdc_scd2_available_now(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
-    q.awaitTermination(120)
+    # awaitTermination rethrows a failed batch's exception (so a merge
+    # or commit failure is LOUD); the no-timeout form blocks until the
+    # availableNow drain finishes on its own.
+    if timeout is None:
+        q.awaitTermination()
+    elif not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"cdc drain did not terminate within {timeout}s — the dim at "
+            f"{dim_dir} may still be mid-drain; not returning control to "
+            "avoid a concurrent second drain against the same checkpoint"
+        )

@@ -152,8 +152,10 @@ def _land(spark, root, landing, i, frame):
 
 
 def _dim_rows(spark, dim_dir):
-    spark.catalog.refreshByPath(dim_dir)
-    return {tuple(r) for r in spark.read.parquet(dim_dir).collect()}
+    """Committed dim image (pointer-resolved generation)."""
+    from retail_datawarehouse_spark.streaming.cdc import read_dim
+
+    return {tuple(r) for r in read_dim(spark, dim_dir).collect()}
 
 
 def test_cdc_drain_equals_sequential_batch_merges(spark, cdc_root):
@@ -304,3 +306,182 @@ def test_apply_change_stream_dim_never_shuffles(spark):
     plan = formatted_plan(scd2_apply_change_stream(dim, changes))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_commit_is_atomic_under_crash_injection(spark, cdc_root):
+    """r5 verdict #1 closure proof: a crash BETWEEN the generation's
+    data write and the pointer commit must lose nothing and duplicate
+    nothing. Fault injection: _commit_generation raises after gen-N+1's
+    dim and wave set are fully on disk — the committed pointer still
+    names gen-N, whose dim + applied-wave set are a consistent PAIR, so
+    the checkpointed replay re-applies the lost wave exactly once and
+    the final history is byte-identical to the batch fold."""
+    from retail_datawarehouse_spark.dims.scd2 import scd2_merge_batch
+    from retail_datawarehouse_spark.streaming import cdc
+    from pyspark.errors import StreamingQueryException
+
+    landing = f"{cdc_root}/landing"
+    dim_dir = f"{cdc_root}/dim"
+    ckpt = f"{cdc_root}/ckpt"
+    os.makedirs(landing)
+    dim = _mk_dim(spark, _DIM_SPEC)
+    dim.write.parquet(dim_dir)
+    frames = _wave_frames(spark, _WAVES)
+
+    _land(spark, cdc_root, landing, 0, frames[0])
+    _land(spark, cdc_root, landing, 1, frames[1])
+    cdc.run_cdc_scd2_available_now(spark, dim_dir, landing, checkpoint_dir=ckpt)
+    gen_before = cdc.committed_generation(dim_dir)
+    ref01 = scd2_merge_batch(scd2_merge_batch(dim, frames[0]), frames[1])
+    assert _dim_rows(spark, dim_dir) == {tuple(r) for r in ref01.collect()}
+
+    # Inject the crash: data written, pointer never flipped.
+    real_commit = cdc._commit_generation
+
+    def exploding_commit(d, g):
+        raise RuntimeError("injected crash between data write and commit")
+
+    cdc._commit_generation = exploding_commit
+    try:
+        _land(spark, cdc_root, landing, 2, frames[2])
+        with pytest.raises(StreamingQueryException):
+            cdc.run_cdc_scd2_available_now(
+                spark, dim_dir, landing, checkpoint_dir=ckpt
+            )
+    finally:
+        cdc._commit_generation = real_commit
+
+    # Nothing moved: pointer, dim image, and wave set are the old pair.
+    assert cdc.committed_generation(dim_dir) == gen_before
+    assert _dim_rows(spark, dim_dir) == {tuple(r) for r in ref01.collect()}
+
+    # Recovery: the checkpoint replays the uncommitted batch; the
+    # result must be byte-identical to the full batch fold.
+    cdc.run_cdc_scd2_available_now(spark, dim_dir, landing, checkpoint_dir=ckpt)
+    ref = scd2_merge_batch(ref01, frames[2])
+    assert _dim_rows(spark, dim_dir) == {tuple(r) for r in ref.collect()}
+    # idempotence after recovery
+    cdc.run_cdc_scd2_available_now(spark, dim_dir, landing, checkpoint_dir=ckpt)
+    assert _dim_rows(spark, dim_dir) == {tuple(r) for r in ref.collect()}
+
+
+def test_cdc_out_of_order_wave_fails_loudly(spark, cdc_root):
+    """A wave landing AFTER later waves were applied (wave <= high-water
+    mark, never applied) cannot be appended as correct SCD2 history —
+    the max-only guard of r5 would silently drop it forever. The
+    applied-wave SET detects it and the drain fails at the exact row,
+    leaving the committed dim untouched."""
+    from retail_datawarehouse_spark.streaming import cdc
+    from retail_datawarehouse_spark.dims.scd2 import scd2_merge_batch
+    from pyspark.errors import StreamingQueryException
+
+    landing = f"{cdc_root}/landing"
+    dim_dir = f"{cdc_root}/dim"
+    os.makedirs(landing)
+    dim = _mk_dim(spark, _DIM_SPEC)
+    dim.write.parquet(dim_dir)
+    frames = _wave_frames(spark, _WAVES)
+
+    # Waves 0 and 2 land and apply; wave 1 is late.
+    _land(spark, cdc_root, landing, 0, frames[0])
+    _land(spark, cdc_root, landing, 2, frames[2])
+    cdc.run_cdc_scd2_available_now(spark, dim_dir, landing)
+    ref02 = scd2_merge_batch(scd2_merge_batch(dim, frames[0]), frames[2])
+    before = _dim_rows(spark, dim_dir)
+    assert before == {tuple(r) for r in ref02.collect()}
+
+    _land(spark, cdc_root, landing, 1, frames[1])  # the violation
+    with pytest.raises(StreamingQueryException, match="monotone landing"):
+        cdc.run_cdc_scd2_available_now(spark, dim_dir, landing)
+    # The failed drain committed nothing.
+    assert _dim_rows(spark, dim_dir) == before
+
+
+def test_cdc_drain_timeout_raises(spark, cdc_root):
+    """r5 verdict #6: a drain that cannot finish inside the timeout must
+    RAISE (and stop the query), never return silently with the dim
+    mid-drain. A real three-wave drain against a microscopic timeout is
+    the never-finishes-in-time path; the applied-wave set then makes the
+    untimed recovery drain land on exactly the batch fold."""
+    from retail_datawarehouse_spark.dims.scd2 import scd2_merge_batch
+    from retail_datawarehouse_spark.streaming import cdc
+
+    landing = f"{cdc_root}/landing"
+    dim_dir = f"{cdc_root}/dim"
+    os.makedirs(landing)
+    dim = _mk_dim(spark, _DIM_SPEC)
+    dim.write.parquet(dim_dir)
+    frames = _wave_frames(spark, _WAVES)
+    for i, f in enumerate(frames):
+        _land(spark, cdc_root, landing, i, f)
+
+    with pytest.raises(TimeoutError, match="did not terminate"):
+        cdc.run_cdc_scd2_available_now(spark, dim_dir, landing, timeout=0.01)
+
+    cdc.run_cdc_scd2_available_now(spark, dim_dir, landing)
+    ref = dim
+    for f in frames:
+        ref = scd2_merge_batch(ref, f)
+    assert _dim_rows(spark, dim_dir) == {tuple(r) for r in ref.collect()}
+
+
+_PRODUCT_DIM_SPEC = {
+    11: (["P"], False),
+    12: (["P", "Q"], False),
+    13: ([None], False),
+}
+_PRODUCT_WAVES = [
+    {11: "Q", 14: "NEW"},
+    {12: "R", 13: "P"},
+    {11: "P", 14: "NEWER"},
+]
+
+
+def test_cdc_conformed_dims_point_in_time_consistency(spark, cdc_root):
+    """r5 verdict #7: the SAME drain machinery runs a second entity
+    (product-shaped feed) against its own dim root, and a point-in-time
+    read at a common as-of date across BOTH committed dims agrees with
+    the batch folds — the conformed-dimension promise (reference
+    README.md:43): every dim answers 'as of date D' from one shared
+    calendar, so cross-dim joins at D are consistent."""
+    from retail_datawarehouse_spark.dims.scd2 import scd2_merge_batch
+    from retail_datawarehouse_spark.streaming import cdc
+
+    def drive(tag, dim_spec, waves):
+        landing = f"{cdc_root}/{tag}_landing"
+        dim_dir = f"{cdc_root}/{tag}_dim"
+        os.makedirs(landing)
+        dim = _mk_dim(spark, dim_spec)
+        dim.write.parquet(dim_dir)
+        frames = _wave_frames(spark, waves)
+        for i, f in enumerate(frames):
+            _land(spark, f"{cdc_root}/{tag}_w", landing, i, f)
+        cdc.run_cdc_scd2_available_now(
+            spark, dim_dir, landing, checkpoint_dir=f"{cdc_root}/{tag}_ckpt"
+        )
+        ref = dim
+        for f in frames:
+            ref = scd2_merge_batch(ref, f)
+        return dim_dir, {tuple(r) for r in ref.collect()}
+
+    cust_dir, cust_ref = drive("cust", _DIM_SPEC, _WAVES)
+    prod_dir, prod_ref = drive("prod", _PRODUCT_DIM_SPEC, _PRODUCT_WAVES)
+    cust_rows = _dim_rows(spark, cust_dir)
+    prod_rows = _dim_rows(spark, prod_dir)
+    assert cust_rows == cust_ref
+    assert prod_rows == prod_ref
+
+    def pit(rows, as_of):
+        img = {}
+        for r in rows:
+            if r[3] <= as_of and (r[4] is None or r[4] > as_of):
+                assert r[0] not in img, f"two current versions for {r[0]}"
+                img[r[0]] = r[2]
+        return img
+
+    # Common as-of dates: mid-history, mid-feed, and post-feed. Both
+    # dims must answer each from exactly one version per key, agreeing
+    # with the batch-fold image — the conformed PIT contract.
+    for as_of in ("2020-12-31", "2021-10-15", "2021-11-15", "2022-01-01"):
+        assert pit(cust_rows, as_of) == pit(cust_ref, as_of)
+        assert pit(prod_rows, as_of) == pit(prod_ref, as_of)
