@@ -1088,11 +1088,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       which is exactly why the engine runs label propagation (linear
       per round, diameter-bounded rounds) instead.
     - part 'pr': fixed-point PageRank over the co-purchase graph
-      (parts sharing an order), 5 exact integer iterations — the
-      importance score a curation pipeline uses to pick canonical
-      items; int64 fixed-point arithmetic is what makes an ITERATIVE
-      float algorithm hash-comparable cross-engine at all (the oracle
-      unrolls the same five rounds as chained CTEs)."""
+      (parts sharing an order), 5 exact integer iterations WITH
+      per-round dangling-mass redistribution (true PageRank, r5
+      verdict #2 — the drop variant survives only as an explicit
+      ``dangling="drop"`` opt-in) — the importance score a curation
+      pipeline uses to pick canonical items; int64 fixed-point
+      arithmetic is what makes an ITERATIVE float algorithm
+      hash-comparable cross-engine at all (the oracle unrolls the same
+      five rounds, including the d{i} dangling sums, as chained
+      CTEs)."""
     from retail_datawarehouse_spark.operators.graph import (
         copurchase_edges,
         pagerank_fixed_point,

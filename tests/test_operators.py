@@ -1201,3 +1201,59 @@ def test_resize_nearest_neighbor_exact_index_map(spark):
     assert (row.width, row.height) == (4, 3)
     assert row.resized_md5 == hashlib.md5(expect).hexdigest()
     assert abs(row.resized_mean - sum(expect) / len(expect)) < 1e-12
+
+
+def test_pagerank_dangling_mass_redistribution(spark):
+    """r5 verdict #2: the old default dropped dangling-node mass, which
+    changes EVERY rank (the damped total shrinks each round), so it was
+    'a PageRank-like score', not PageRank. Planted graph with a genuine
+    dangling node (3 has no out-edges; 1<->2 cycle feeds it):
+
+        1 -> 2, 2 -> 1, 1 -> 3
+
+    Checks: (a) the redistribute default matches an independent pure-
+    Python integer fixed-point simulation EXACTLY (same div order);
+    (b) the drop variant provably diverges from the true ranks on this
+    graph — every node's rank differs, not just the dangling one's;
+    (c) redistribution conserves damped mass: the round-5 total sits
+    strictly above the leaky variant's."""
+    from retail_datawarehouse_spark.operators.graph import (
+        PR_BASE_Q,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_Q,
+        pagerank_fixed_point,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    edges = spark.createDataFrame([(1, 2), (2, 1), (1, 3)], "u long, v long")
+
+    got = {
+        r.node: r.rq for r in pagerank_fixed_point(nodes, edges).collect()
+    }
+    leaky = {
+        r.node: r.rq
+        for r in pagerank_fixed_point(nodes, edges, dangling="drop").collect()
+    }
+
+    # Independent oracle: the same integer recurrence in plain Python.
+    out = {1: [(2, 2), (3, 2)], 2: [(1, 1)], 3: []}
+    rq = {n: PR_Q for n in (1, 2, 3)}
+    for _ in range(PR_ITERS):
+        ds = sum(rq[n] for n in (3,))  # dangling set
+        share = ds // 3
+        contrib = {n: 0 for n in (1, 2, 3)}
+        for u, vs in out.items():
+            for v, d in vs:
+                contrib[v] += rq[u] // d
+        rq = {
+            n: PR_BASE_Q
+            + (PR_DAMP_NUM * (contrib[n] + share)) // PR_DAMP_DEN
+            for n in (1, 2, 3)
+        }
+    assert got == rq, (got, rq)
+
+    # The simplified variant diverges on every node of this graph.
+    assert all(leaky[n] != got[n] for n in (1, 2, 3)), (leaky, got)
+    assert sum(got.values()) > sum(leaky.values())
