@@ -273,7 +273,7 @@ def q_snapshot_incremental_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # always double(a_dec - b_dec) at the last ulp.
     lifetime_d = F.col("lifetime_dec").cast("double")
     w = Window.partitionBy("customer_key").orderBy("month_start")
-    return snap.withColumn(
+    out = snap.withColumn(
         "lifetime_delta", lifetime_d - F.lag(lifetime_d).over(w)
     ).select(
         "customer_key",
@@ -283,3 +283,11 @@ def q_snapshot_incremental_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         lifetime_d.alias("customer_lifetime_spent"),
         "lifetime_delta",
     )
+    # Both entries exposing lifetime values ship guarded (r5 verdict
+    # #8): the W2 validator plan-walks this read too, so a future edit
+    # that SUMs the lifetime column across months fails at build time.
+    from retail_datawarehouse_spark.plans.guardrails import (
+        assert_semi_additive_safe,
+    )
+
+    return assert_semi_additive_safe(out)

@@ -9,56 +9,188 @@ single month for exactly this reason). Nothing in the type system
 distinguishes it from an additive measure, so the mistake compiles,
 runs, and returns a plausible-looking wrong number — the worst failure
 class. This validator closes the gap at the API layer (no custom
-Catalyst rule needed, per SURVEY §4.2): walk the ANALYZED plan, find
-every Aggregate that SUM/AVGs the measure, and require either
+Catalyst rule needed, per SURVEY §4.2): walk the ANALYZED plan as
+EXPRESSION TREES (r5 verdict #3 — the first cut regexed
+``toString()`` output, which a ``withColumnRenamed`` or a ``!=``
+filter defeated), find every Aggregate whose SUM/AVG argument tree
+references the measure, and require either
 
 - the time grain in that Aggregate's grouping (a per-month aggregate —
   the measure is additive WITHIN a month), or
 - an equality pin on the grain somewhere below the Aggregate (a
-  single-month slice — q55's read shape).
+  single-month slice — q55's read shape): an ``EqualTo``/
+  ``EqualNullSafe`` whose one side carries the grain attribute and
+  whose other side contains NO attribute (a literal/foldable value),
+  not nested under ``Not`` — so ``!=`` (printed as Not(EqualTo)),
+  IN-lists, ranges, and column-to-column equality all correctly fail
+  to qualify (ADVICE r5: the regex form matched the first two).
+
+Attribute identity is tracked by ``exprId`` LINEAGE, not by name:
+every ``AttributeReference`` literally named a measure/grain seeds the
+tainted set, and any ``Alias`` whose subtree references a tainted id
+taints its own id — so the measure is followed through
+``withColumnRenamed``/``select(...alias...)`` chains, wrapped forms
+(``sum(measure * 2)``, ``sum(coalesce(measure, 0))``, casts), and
+derived columns (the alias of a per-month SUM of the measure is
+itself semi-additive across months, and re-aggregating it is caught).
+
+Mechanics: the whole analyzed plan crosses the py4j boundary ONCE as
+``toJSON()`` (Catalyst's pre-order + num-children flat encoding,
+expression subtrees included with exprIds), and the walk is pure
+Python — a per-expression py4j traversal would cost thousands of JVM
+round-trips on the live q55/snapshot read path.
+
+Residual scope, documented: only ``Aggregate`` nodes are checked — a
+window SUM of the measure ordered across the grain is not flagged
+(none ships; the builder that CREATES the measure is a window sum of
+the ADDITIVE input, which stays legal because taint seeds from the
+measure's references, not its birth alias).
 
 Anything else raises ``SemiAdditiveViolation`` before a single task
-runs. Plan-level, so it sees through column aliases introduced by
-``select``/``withColumn`` renames only when the underlying attribute
-name survives — callers renaming the measure take responsibility for
-re-tagging (documented limitation; an engine-level fix would carry the
-tag in column metadata, which Spark drops across many operators).
+runs. Driver-side plan walk only — no job is triggered.
 """
 
 from __future__ import annotations
 
-import re
+import json
 
 from pyspark.sql import DataFrame
 
 SEMI_ADDITIVE_MEASURES: tuple[str, ...] = ("customer_lifetime_spent",)
 GRAIN_COLUMNS: tuple[str, ...] = ("month_start", "month_key")
 
-# sum(...)/avg(...) (and their ANSI aliases) over the measure; min/max/
-# first/last are legitimate semi-additive reads and stay allowed.
-_FORBIDDEN_AGG = ("sum", "avg", "mean", "try_sum", "try_avg")
+# Sum covers sum/try_sum (TRY is an eval mode, not a class); Average
+# covers avg/mean/try_avg. min/max/first/last are legitimate
+# semi-additive reads and stay allowed.
+_FORBIDDEN_AGG_CLASSES = ("Sum", "Average")
 
 
 class SemiAdditiveViolation(ValueError):
     """A plan aggregates a semi-additive measure across the time grain."""
 
 
-def _children(node):
-    for i in range(node.children().length()):
-        yield node.children().apply(i)
+def _simple(node: dict) -> str:
+    return node["class"].rsplit(".", 1)[-1]
 
 
-def _subtree_pins_grain(node, grains: tuple[str, ...]) -> bool:
-    """True if any Filter at-or-below ``node`` carries an equality pin
-    on a grain column (``month_start = <lit>`` — the single-month
-    slice). IN-lists and ranges deliberately do NOT count: they admit
-    multiple months into the aggregate."""
-    if node.getClass().getSimpleName() == "Filter":
-        cond = node.condition().toString()
-        for g in grains:
-            if re.search(rf"\b{g}#\d+\s*=", cond):
+def _decode_flat(flat: list[dict]) -> dict:
+    """Catalyst's flat pre-order + num-children encoding -> a tree of
+    dicts, children under '_kids'."""
+    pos = 0
+
+    def rec() -> dict:
+        nonlocal pos
+        node = flat[pos]
+        pos += 1
+        node["_kids"] = [rec() for _ in range(node.get("num-children", 0))]
+        return node
+
+    root = rec()
+    if pos != len(flat):  # trailing garbage would mean a decode bug
+        raise ValueError("plan JSON decode mismatch")
+    return root
+
+
+def _expr_fields(node: dict):
+    """Decoded expression trees hanging off a plan/expression node:
+    a field is a single tree (flat list of class-dicts) or a list of
+    trees (list of flat lists)."""
+    for key, val in node.items():
+        if key in ("class", "num-children", "_kids") or not isinstance(
+            val, list
+        ) or not val:
+            continue
+        if all(isinstance(e, dict) and "class" in e for e in val):
+            yield _decode_flat(val)
+        elif all(
+            isinstance(t, list)
+            and t
+            and all(isinstance(e, dict) and "class" in e for e in t)
+            for t in val
+        ):
+            for t in val:
+                yield _decode_flat(t)
+
+
+def _walk(tree: dict):
+    stack = [tree]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(n["_kids"])
+
+
+def _refs_any(tree: dict, ids: set[int]) -> bool:
+    return any(
+        _simple(e) == "AttributeReference" and e["exprId"]["id"] in ids
+        for e in _walk(tree)
+    )
+
+
+def _has_attrs(tree: dict) -> bool:
+    return any(_simple(e) == "AttributeReference" for e in _walk(tree))
+
+
+def _plan_tree(df: DataFrame) -> dict:
+    return _decode_flat(
+        json.loads(df._jdf.queryExecution().analyzed().toJSON())
+    )
+
+
+def _collect_tainted(plan: dict, names: tuple[str, ...]) -> set[int]:
+    """exprIds carrying a named column, followed through aliases.
+
+    Seeds: every AttributeReference whose name matches. Propagation:
+    any Alias whose child tree references a tainted id adds its own
+    id. Plan nodes visit children-first and expression trees
+    post-order, so taint flows bottom-up in one pass."""
+    tainted: set[int] = set()
+    lowered = tuple(n.lower() for n in names)
+
+    def visit_expr(e: dict) -> None:
+        for c in e["_kids"]:
+            visit_expr(c)
+        k = _simple(e)
+        if k == "AttributeReference" and e["name"].lower() in lowered:
+            tainted.add(e["exprId"]["id"])
+        elif (
+            k == "Alias"
+            and e["_kids"]
+            and _refs_any(e["_kids"][0], tainted)
+        ):
+            tainted.add(e["exprId"]["id"])
+
+    def visit(node: dict) -> None:
+        for c in node["_kids"]:
+            visit(c)
+        for tree in _expr_fields(node):
+            visit_expr(tree)
+
+    visit(plan)
+    return tainted
+
+
+def _pin_in_condition(e: dict, grain_ids: set[int], under_not: bool) -> bool:
+    k = _simple(e)
+    if k == "Not":
+        return any(_pin_in_condition(c, grain_ids, True) for c in e["_kids"])
+    if not under_not and k in ("EqualTo", "EqualNullSafe") and len(e["_kids"]) == 2:
+        left, right = e["_kids"]
+        for a, b in ((left, right), (right, left)):
+            if _refs_any(a, grain_ids) and not _has_attrs(b):
                 return True
-    return any(_subtree_pins_grain(c, grains) for c in _children(node))
+        return False
+    return any(_pin_in_condition(c, grain_ids, under_not) for c in e["_kids"])
+
+
+def _subtree_pins_grain(node: dict, grain_ids: set[int]) -> bool:
+    """True if any Filter at-or-below carries a single-grain equality
+    pin (see module docstring for what deliberately does NOT count)."""
+    if _simple(node) == "Filter":
+        for tree in _expr_fields(node):
+            if _pin_in_condition(tree, grain_ids, False):
+                return True
+    return any(_subtree_pins_grain(c, grain_ids) for c in node["_kids"])
 
 
 def assert_semi_additive_safe(
@@ -68,39 +200,51 @@ def assert_semi_additive_safe(
 ) -> DataFrame:
     """Validate and return ``df`` (chainable). Raises
     ``SemiAdditiveViolation`` if any Aggregate in the analyzed plan
-    SUM/AVGs a semi-additive measure without a per-grain grouping or a
+    SUM/AVGs a semi-additive measure (by exprId lineage — renames and
+    expression wrapping included) without a per-grain grouping or a
     single-grain filter below it. Driver-side plan walk only — no job
     is triggered."""
-    plan = df._jdf.queryExecution().analyzed()
-    agg_re = re.compile(
-        r"\b(" + "|".join(_FORBIDDEN_AGG) + r")\((?:DISTINCT )?("
-        + "|".join(re.escape(m) for m in measures)
-        + r")#\d+",
-        re.IGNORECASE,
-    )
+    plan = _plan_tree(df)
+    measure_ids = _collect_tainted(plan, measures)
+    grain_ids = _collect_tainted(plan, grains)
 
-    def walk(node):
-        if node.getClass().getSimpleName() == "Aggregate":
-            aggs = node.aggregateExpressions().mkString(" | ")
-            m = agg_re.search(aggs)
-            if m:
-                grouping = node.groupingExpressions().mkString(" | ")
-                grain_grouped = any(
-                    re.search(rf"\b{g}#\d+", grouping) for g in grains
-                )
-                if not grain_grouped and not _subtree_pins_grain(node, grains):
-                    raise SemiAdditiveViolation(
-                        f"{m.group(1)}({m.group(2)}) aggregates a "
-                        "SEMI-ADDITIVE measure across the time grain: the "
-                        f"grouping [{grouping or '<global>'}] carries none of "
-                        f"{list(grains)} and no single-month filter pins the "
-                        "grain below the aggregate. Lifetime values "
-                        "double-count prior months under SUM/AVG — read ONE "
-                        "month (W2), group by the grain, or use "
-                        "MIN/MAX/latest instead."
-                    )
-        for c in _children(node):
-            walk(c)
+    def check_aggregate(node: dict) -> None:
+        hit = None
+        for tree in _expr_fields(node):
+            for e in _walk(tree):
+                if _simple(e) != "AggregateExpression" or not e["_kids"]:
+                    continue
+                fn = e["_kids"][0]  # the aggregateFunction subtree
+                if _simple(fn) in _FORBIDDEN_AGG_CLASSES and _refs_any(
+                    fn, measure_ids
+                ):
+                    hit = {"Sum": "sum", "Average": "avg"}[_simple(fn)]
+        if hit is None:
+            return
+        grouping = [
+            _decode_flat(t)
+            for t in node.get("groupingExpressions", [])
+            if isinstance(t, list) and t
+        ]
+        if any(_refs_any(g, grain_ids) for g in grouping):
+            return
+        if _subtree_pins_grain(node, grain_ids):
+            return
+        raise SemiAdditiveViolation(
+            f"{hit}() aggregates a SEMI-ADDITIVE measure (lineage of "
+            f"{list(measures)}) across the time grain: the grouping "
+            f"carries none of {list(grains)} and no single-month equality "
+            "pin sits below the aggregate (!=, IN, ranges, and "
+            "column-to-column equality do not pin). Lifetime values "
+            "double-count prior months under SUM/AVG — read ONE month "
+            "(W2), group by the grain, or use MIN/MAX/latest instead."
+        )
 
-    walk(plan)
+    def walk_plan(node: dict) -> None:
+        if _simple(node) == "Aggregate":
+            check_aggregate(node)
+        for c in node["_kids"]:
+            walk_plan(c)
+
+    walk_plan(plan)
     return df

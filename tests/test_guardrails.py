@@ -113,3 +113,115 @@ def test_q55_misuse_is_rejected(spark, sf_dir):
     )
     with pytest.raises(SemiAdditiveViolation):
         assert_semi_additive_safe(bad)
+
+
+def test_rejects_renamed_measure(snap):
+    """r5 verdict #3: withColumnRenamed used to defeat the toString()
+    regex silently. exprId lineage follows the rename."""
+    bad = (
+        snap.withColumnRenamed("customer_lifetime_spent", "ltv")
+        .groupBy("customer_key")
+        .agg(F.sum("ltv").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation, match="SEMI-ADDITIVE"):
+        assert_semi_additive_safe(bad)
+
+
+def test_rejects_rename_chain_and_derived_alias(snap):
+    """Two-hop rename chain, and a derived column (measure + 1 aliased)
+    — both stay tainted through Alias propagation."""
+    bad = (
+        snap.withColumnRenamed("customer_lifetime_spent", "a")
+        .withColumnRenamed("a", "b")
+        .withColumn("c", F.col("b") + 1)
+        .groupBy("customer_key")
+        .agg(F.avg("c").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
+
+
+def test_rejects_wrapped_aggregate_arguments(snap):
+    """ADVICE r5: sum(measure * 2), sum(coalesce(measure, 0)) and
+    sum(CAST(measure)) escaped the attr-right-after-paren regex; the
+    expression walk finds the measure anywhere in the argument tree."""
+    for expr in (
+        F.sum(F.col("customer_lifetime_spent") * 2),
+        F.sum(F.coalesce(F.col("customer_lifetime_spent"), F.lit(0.0))),
+        F.sum(F.col("customer_lifetime_spent").cast("decimal(18,4)")),
+    ):
+        bad = snap.groupBy("customer_key").agg(expr.alias("s"))
+        with pytest.raises(SemiAdditiveViolation):
+            assert_semi_additive_safe(bad)
+
+
+def test_rejects_not_equal_filter_sum(snap):
+    """ADVICE r5 (medium): month_start != lit EXCLUDES one month and
+    admits the rest — the regex matched Spark's Not(EqualTo) print as
+    a pin and failed open on exactly this misuse."""
+    bad = (
+        snap.filter(F.col("month_start") != "1998-02-01")
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
+
+
+def test_rejects_column_equality_filter_sum(snap):
+    """ADVICE r5 (medium): month_start = other_column is a join-style
+    predicate, not a single-month pin — multiple months survive it."""
+    bad = (
+        snap.withColumn("m2", F.col("month_start"))
+        .filter(F.col("month_start") == F.col("m2"))
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
+
+
+def test_rejects_in_list_filter_sum(snap):
+    """An IN-list of months admits several months — not a pin."""
+    bad = (
+        snap.filter(F.col("month_start").isin("1998-01-01", "1998-02-01"))
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
+
+
+def test_accepts_pin_on_renamed_grain(snap):
+    """Grain lineage follows renames too: pinning the RENAMED month
+    column is still a single-month slice."""
+    ok = (
+        snap.withColumnRenamed("month_start", "period")
+        .filter(F.col("period") == "1998-02-01")
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    out = assert_semi_additive_safe(ok)
+    assert out.first().s == 22.0
+
+
+def test_rejects_reaggregated_safe_monthly_sum(snap):
+    """The alias of a per-month SUM of the measure is itself
+    semi-additive across months; summing it again across the grain is
+    the classic double-count and stays caught through the alias."""
+    monthly = snap.groupBy("month_start").agg(
+        F.sum("customer_lifetime_spent").alias("monthly_ltv")
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(
+            monthly.agg(F.sum("monthly_ltv").alias("s"))
+        )
+
+
+def test_mom_read_ships_guarded_and_misuse_rejected(spark, sf_dir):
+    """r5 verdict #8: q_snapshot_incremental_mom — the other entry
+    exposing lifetime values — now runs the live guardrail (its builder
+    would raise here if the read shape regressed), and summing its
+    lifetime column across months is rejected."""
+    out = builder("q_snapshot_incremental_mom")(spark, sf_dir)
+    bad = out.groupBy("customer_key").agg(
+        F.sum("customer_lifetime_spent").alias("s")
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
