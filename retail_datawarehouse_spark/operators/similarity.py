@@ -278,8 +278,30 @@ def _injected_dup_corpus(emb: DataFrame) -> DataFrame:
     return as_double.unionByName(dupes)
 
 
+# Auto-capacity (r5 verdict #5): the 20× probe's capacity trap was the
+# CALLER having to know to raise bits/cells with N. bits="auto" derives
+# bits = clamp(ceil(log2(N / occupancy)), 4, 30) from a 1-row in-plan
+# count (broadcast — the snapshot-bounds pattern, no collect): a full
+# 30-bit sign signature is computed structurally (try_element_at, so
+# vectors shorter than 30 dims contribute 0-bits instead of erroring
+# under ANSI) and masked DOWN to the derived width at runtime — a
+# sign-preserving near-dup shares ALL sign bits, so any mask keeps it
+# co-bucketed and planted recall is mask-invariant.
+LSH_AUTO_MAX_BITS = 30
+LSH_TARGET_OCCUPANCY = 8
+
+
+def _bucket_sql_wide(emb: str, bits: int) -> str:
+    """Sign-bit signature over up to ``bits`` components, NULL-safe for
+    shorter vectors (missing component → 0-bit)."""
+    return " + ".join(
+        f"CASE WHEN try_element_at({emb}, {i + 1}) > 0 THEN {2**i} ELSE 0 END"
+        for i in range(bits)
+    )
+
+
 def lsh_dup_pairs(
-    corpus: DataFrame, probe: int = 0, bits: int = LSH_BITS
+    corpus: DataFrame, probe: int = 0, bits: int | str = LSH_BITS
 ) -> DataFrame:
     """LSH-bucketed near-dup pairs: candidates come from the same
     sign-bit buckets as q_ann_lsh_bucketed (equal bucket ⇒ equal sign
@@ -307,9 +329,43 @@ def lsh_dup_pairs(
     # whole operator linear in N. A sign-preserving near-dup (scaled
     # copy) lands in the same bucket at ANY bits, so planted-dup recall
     # is bits-invariant (pinned by test_adaptive_capacity_*).
-    bucketed = corpus.withColumn(
-        "bucket", F.expr(_bucket_sql("embedding", 0, bits))
-    ).withColumn("n2", norm2_col("embedding"))
+    # bits="auto" derives the width IN-PLAN from the corpus count —
+    # the scale-safe default for production callers (r5 verdict #5).
+    if bits == "auto":
+        if probe != 0:
+            raise ValueError(
+                "bits='auto' supports probe=0 only (multi-probe masks "
+                "are structural in the bit width)"
+            )
+        params = corpus.agg(
+            F.count(F.lit(1)).cast("long").alias("_n")
+        ).select(
+            F.least(
+                F.lit(LSH_AUTO_MAX_BITS),
+                F.greatest(
+                    F.lit(4),
+                    F.ceil(
+                        F.log2(F.col("_n") / F.lit(LSH_TARGET_OCCUPANCY))
+                    ).cast("int"),
+                ),
+            ).alias("_bits")
+        )
+        bucketed = (
+            corpus.crossJoin(F.broadcast(params))
+            .withColumn(
+                "bucket",
+                F.expr(
+                    f"({_bucket_sql_wide('embedding', LSH_AUTO_MAX_BITS)})"
+                    " % CAST(pow(2, _bits) AS BIGINT)"
+                ),
+            )
+            .drop("_bits")
+            .withColumn("n2", norm2_col("embedding"))
+        )
+    else:
+        bucketed = corpus.withColumn(
+            "bucket", F.expr(_bucket_sql("embedding", 0, bits))
+        ).withColumn("n2", norm2_col("embedding"))
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("e_a"),
@@ -340,7 +396,9 @@ def lsh_dup_pairs(
 
 
 def semdedup_pairs(
-    corpus: DataFrame, cells: int = SEM_CELLS, coarse: int | None = None
+    corpus: DataFrame,
+    cells: int | str = SEM_CELLS,
+    coarse: int | None = None,
 ) -> DataFrame:
     """SemDeDup-shape semantic dedup: cluster the corpus with the SAME
     seeded one-iteration fixed-point k-means quantizer the IVF index
@@ -358,22 +416,55 @@ def semdedup_pairs(
     # the capacity knob: per-cell population is ~N/cells, so k ~ √N
     # keeps the within-cell quadratic bounded — the deploy rule the
     # docstring above states, now actually settable (r5 probe finding).
+    # cells="auto" derives k = ceil(√N) (and the two-level routing
+    # width coarse = ceil(√k)) IN-PLAN from a 1-row broadcast count —
+    # the scale-safe default for production callers (r5 verdict #5):
+    # seed selection and the rep filter consume the derived values as
+    # COLUMNS, so no driver action runs.
     vs = corpus.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
-    seeds = vs.filter(F.col("id") < cells).select(
-        F.col("id").alias("cell"), F.col("emb").alias("centroid")
-    )
-    assigned0 = _nearest_cell(vs, seeds, keep=1, coarse=coarse)
-    # 16 rows hiding the assign-all pass; two consumers (both join
+    if cells == "auto":
+        params = corpus.agg(
+            F.count(F.lit(1)).cast("long").alias("_n")
+        ).select(
+            F.greatest(F.lit(4), F.ceil(F.sqrt("_n")).cast("long")).alias(
+                "_cells"
+            ),
+        ).select(
+            "_cells",
+            F.greatest(
+                F.lit(2), F.ceil(F.sqrt("_cells")).cast("long")
+            ).alias("_coarse"),
+        )
+        seeds = (
+            vs.crossJoin(F.broadcast(params))
+            .filter(F.col("id") < F.col("_cells"))
+            .select(
+                F.col("id").alias("cell"),
+                F.col("emb").alias("centroid"),
+                "_coarse",
+            )
+        )
+        coarse_arg = F.col("_coarse")
+    else:
+        seeds = vs.filter(F.col("id") < cells).select(
+            F.col("id").alias("cell"), F.col("emb").alias("centroid")
+        )
+        coarse_arg = coarse
+    assigned0 = _nearest_cell(vs, seeds, keep=1, coarse=coarse_arg)
+    # k rows hiding the assign-all pass; two consumers (both join
     # sides) — same justified materialization boundary as ivf_index.
-    centroids = _fixed_point_centroids(assigned0).persist()
-    # The final assignment pass (16 dot folds per vector) feeds BOTH
+    centroids = _fixed_point_centroids(assigned0)
+    if cells == "auto":
+        centroids = centroids.crossJoin(F.broadcast(params))
+    centroids = centroids.persist()
+    # The final assignment pass (k dot folds per vector) feeds BOTH
     # sides of the pair join; persisted so it runs once, not twice.
     assigned = (
         _nearest_cell(
             vs.withColumn("n2", _norm2_expr(F.col("emb"))),
             centroids,
             keep=1,
-            coarse=coarse,
+            coarse=coarse_arg,
         )
         .drop("cell_rank")
         .persist()
@@ -587,7 +678,7 @@ def _nearest_cell(
     vectors: DataFrame,
     centroids: DataFrame,
     keep: int,
-    coarse: int | None = None,
+    coarse=None,  # int, None, or a Column on ``centroids`` (auto mode)
 ) -> DataFrame:
     """Rank centroid cells by cosine for every vector; keep the top
     ``keep`` cells. ``vectors`` needs (id, emb) and may carry a

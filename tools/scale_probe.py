@@ -174,6 +174,11 @@ def measure_adaptive(sf_dir: str, scale: int) -> None:
         ("sem_adaptive_flat", lambda: semdedup_pairs(corpus, cells=cells)),
         ("sem_adaptive_2level",
          lambda: semdedup_pairs(corpus, cells=cells, coarse=coarse)),
+        # r6: the in-plan auto modes — must track their hand-derived
+        # twins above (same capacity formulae, derived from a 1-row
+        # in-plan count instead of a driver-side count()).
+        ("lsh_auto", lambda: lsh_dup_pairs(corpus, bits="auto")),
+        ("sem_auto", lambda: semdedup_pairs(corpus, cells="auto")),
     ):
         fn().count()  # warm
         best, rows = None, 0
