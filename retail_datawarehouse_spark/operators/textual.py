@@ -386,6 +386,27 @@ def tokenized_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+# Session-scope memo for the shared tokenized projection (ADVICE r5:
+# cache accrual). Keyed by (applicationId, sf_dir) so a restarted
+# session never reuses a dead frame; entries are tiny plan objects, the
+# DATA lives in the Spark cache and is re-registered on demand.
+_TOKENIZED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _tokenized_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _TOKENIZED_CACHE.get(key)
+    if df is None:
+        df = tokenized_docs(load_table(spark, sf_dir, "documents")).persist()
+        _TOKENIZED_CACHE[key] = df
+    elif not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+        # An external spark.catalog.clearCache() (bench.py does this
+        # between reps) unregistered the frame — re-register rather
+        # than silently running all five panels uncached.
+        df.persist()
+    return df
+
+
 def salient_terms_frame(docs: DataFrame) -> DataFrame:
     """Per-document salient terms: top-k tokens ranked by term
     frequency, with document frequency as the rarity tie-break (tf
@@ -832,8 +853,12 @@ def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derived its tokens/lowercase image independently — the entry's
     # 10x-scaling ratio (3.18x, the worst in the table) was dominated
     # by that repeated tokenize term. Same justified-persist pattern as
-    # q_multimodal_suite's shared decode frame.
-    docs = tokenized_docs(load_table(spark, sf_dir, "documents")).persist()
+    # q_multimodal_suite's shared decode frame. Memoized per
+    # (session, sf_dir) — ADVICE r5: a fresh persist() per invocation
+    # accrued one orphaned cache entry per call in a long-lived
+    # session; the memo reuses ONE frame, re-registering it if an
+    # external clearCache dropped it.
+    docs = _tokenized_cached(spark, sf_dir)
     fp = fingerprint_frame(docs).select(
         F.lit("fp").alias("part"),
         "doc_id",

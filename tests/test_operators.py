@@ -1328,3 +1328,26 @@ def test_auto_capacity_derives_in_plan_and_preserves_recall(spark):
     assert len(semdedup_pairs(corpus, cells="auto").collect()) <= len(
         semdedup_pairs(corpus).collect()
     )
+
+
+def test_text_mining_tokenized_memo_no_cache_accrual(spark, sf_dir):
+    """ADVICE r5: q_text_mining persisted a fresh tokenized projection
+    per invocation and never unpersisted — one leaked cache entry per
+    call in a long-lived session. The memo must (a) reuse ONE frame
+    across invocations (same object, one cache registration), and
+    (b) survive an external clearCache by re-registering instead of
+    silently running uncached."""
+    from retail_datawarehouse_spark.operators import textual
+
+    textual._TOKENIZED_CACHE.clear()
+    _run("q_text_mining", spark, sf_dir).count()
+    assert len(textual._TOKENIZED_CACHE) == 1
+    (df1,) = textual._TOKENIZED_CACHE.values()
+    _run("q_text_mining", spark, sf_dir).count()
+    assert len(textual._TOKENIZED_CACHE) == 1
+    assert next(iter(textual._TOKENIZED_CACHE.values())) is df1
+
+    spark.catalog.clearCache()
+    assert not (df1.storageLevel.useMemory or df1.storageLevel.useDisk)
+    _run("q_text_mining", spark, sf_dir).count()
+    assert df1.storageLevel.useMemory or df1.storageLevel.useDisk
