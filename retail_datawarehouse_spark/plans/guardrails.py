@@ -40,11 +40,14 @@ expression subtrees included with exprIds), and the walk is pure
 Python — a per-expression py4j traversal would cost thousands of JVM
 round-trips on the live q55/snapshot read path.
 
-Residual scope, documented: only ``Aggregate`` nodes are checked — a
-window SUM of the measure ordered across the grain is not flagged
-(none ships; the builder that CREATES the measure is a window sum of
-the ADDITIVE input, which stays legal because taint seeds from the
-measure's references, not its birth alias).
+``Window`` nodes are checked too (r6, closing the r5 documented
+residual): a window SUM/AVG of the measure is the same double-count
+when its frame ranges across months — legal only when the grain sits
+in the window's PARTITION spec (per-month frames) or a single-month
+pin sits below. The builder that CREATES the measure is a window sum
+of the ADDITIVE input, which stays legal because taint seeds from the
+measure's references, not its birth alias; LAG/LEAD/MIN/MAX over the
+measure (the W3 delta read) stay legal everywhere.
 
 Anything else raises ``SemiAdditiveViolation`` before a single task
 runs. Driver-side plan walk only — no job is triggered.
@@ -240,9 +243,61 @@ def assert_semi_additive_safe(
             "(W2), group by the grain, or use MIN/MAX/latest instead."
         )
 
+    def check_window(node: dict) -> None:
+        """A WindowExpression's children are (windowFunction,
+        windowSpec); a forbidden window agg is safe only when a grain
+        attribute sits in the spec's PARTITION columns (the frame can
+        never cross months) or a single-month pin sits below."""
+        hit = None
+        safe = False
+        for tree in _expr_fields(node):
+            for e in _walk(tree):
+                if _simple(e) != "WindowExpression" or len(e["_kids"]) != 2:
+                    continue
+                fnw, spec = e["_kids"]
+                aggs = [
+                    x["_kids"][0]
+                    for x in _walk(fnw)
+                    if _simple(x) == "AggregateExpression" and x["_kids"]
+                ]
+                bad = [
+                    a
+                    for a in aggs
+                    if _simple(a) in _FORBIDDEN_AGG_CLASSES
+                    and _refs_any(a, measure_ids)
+                ]
+                if not bad:
+                    continue
+                hit = {"Sum": "sum", "Average": "avg"}[_simple(bad[0])]
+                # WindowSpecDefinition flattens partitionSpec ++
+                # orderSpec ++ frame as positional children; partition
+                # entries are the ones that are neither SortOrder nor
+                # a frame node.
+                part = [
+                    k
+                    for k in spec["_kids"]
+                    if _simple(k) != "SortOrder"
+                    and "WindowFrame" not in _simple(k)
+                ]
+                safe = any(_refs_any(p, grain_ids) for p in part)
+        if hit is None or safe or _subtree_pins_grain(node, grain_ids):
+            return
+        raise SemiAdditiveViolation(
+            f"window {hit}() runs a SEMI-ADDITIVE measure (lineage of "
+            f"{list(measures)}) over a frame that can cross the time "
+            f"grain: none of {list(grains)} is in the window PARTITION "
+            "spec and no single-month equality pin sits below. A running/"
+            "frame SUM of a lifetime value double-counts prior months — "
+            "partition the window by the grain, pin one month, or use "
+            "LAG/LEAD/MIN/MAX instead."
+        )
+
     def walk_plan(node: dict) -> None:
-        if _simple(node) == "Aggregate":
+        k = _simple(node)
+        if k == "Aggregate":
             check_aggregate(node)
+        elif k == "Window":
+            check_window(node)
         for c in node["_kids"]:
             walk_plan(c)
 

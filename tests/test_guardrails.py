@@ -225,3 +225,69 @@ def test_mom_read_ships_guarded_and_misuse_rejected(spark, sf_dir):
     )
     with pytest.raises(SemiAdditiveViolation):
         assert_semi_additive_safe(bad)
+
+
+def test_rejects_window_running_sum_across_months(snap):
+    """r6: closes the r5 documented residual — a RUNNING window SUM of
+    the lifetime measure ordered across months is the same double-count
+    as the aggregate form and is now caught."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("customer_key")
+        .orderBy("month_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bad = snap.withColumn(
+        "run", F.sum("customer_lifetime_spent").over(w)
+    )
+    with pytest.raises(SemiAdditiveViolation, match="window sum"):
+        assert_semi_additive_safe(bad)
+
+
+def test_accepts_window_sum_partitioned_by_grain(snap):
+    """A window PARTITIONED by the month can never cross months — the
+    within-month frame is legal (additive inside the grain)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("month_start")
+    ok = snap.withColumn(
+        "month_share", F.sum("customer_lifetime_spent").over(w)
+    )
+    assert_semi_additive_safe(ok).count()
+
+
+def test_accepts_lag_lead_minmax_windows_over_measure(snap):
+    """LAG/LEAD (the W3 MoM delta read) and MIN/MAX window reads of the
+    measure stay legal across months — only SUM/AVG double-count."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("customer_key").orderBy("month_start")
+    ok = snap.select(
+        "customer_key",
+        "month_start",
+        F.lag("customer_lifetime_spent").over(w).alias("prev"),
+        F.max("customer_lifetime_spent")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("peak"),
+    )
+    assert_semi_additive_safe(ok).count()
+
+
+def test_accepts_window_sum_under_single_month_pin(snap):
+    """With one month pinned below the Window, the frame holds a single
+    month by construction — legal."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("customer_key")
+    ok = snap.filter(F.col("month_start") == "1998-02-01").withColumn(
+        "s", F.sum("customer_lifetime_spent").over(w)
+    )
+    assert_semi_additive_safe(ok).count()
+
+
+def test_snapshot_builder_window_stays_legal(spark, sf_dir):
+    """The builder that CREATES the measure (cumulative window over the
+    ADDITIVE month totals) must keep passing — taint seeds from the
+    measure's references, not its birth alias."""
+    assert_semi_additive_safe(builder("q_fact_monthly_snapshot")(spark, sf_dir))

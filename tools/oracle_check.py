@@ -53,14 +53,56 @@ def norm(df):
     return df
 
 
+def bulk_compare(spark, con, name, fn, sql, sf) -> bool:
+    """Large-result compare, no pandas: the Spark result lands as
+    parquet, DuckDB evaluates the oracle, and equality is two
+    EXCEPT ALL counts over VARCHAR-cast columns (both sides formatted
+    by DuckDB, so doubles compare bit-for-bit — the engine's
+    determinism contract makes that exact, not flaky)."""
+    import tempfile
+
+    t0 = time.time()
+    out = tempfile.mkdtemp(prefix=f"oc_{name}_")
+    sdf = fn(spark, sf)
+    cols = sorted(sdf.columns)
+    sdf.write.mode("overwrite").parquet(out)
+    sel = ", ".join(f'CAST("{c}" AS VARCHAR) AS "{c}"' for c in cols)
+    spark_side = f"SELECT {sel} FROM read_parquet('{out}/*.parquet')"
+    oracle_side = f"SELECT {sel} FROM ({sql})"
+    ocols = sorted(
+        r[0] for r in con.sql(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+    )
+    n_s = con.sql(f"SELECT count(*) FROM ({spark_side})").fetchone()[0]
+    n_o = con.sql(f"SELECT count(*) FROM ({oracle_side})").fetchone()[0]
+    d1 = con.sql(
+        f"SELECT count(*) FROM (({spark_side}) EXCEPT ALL ({oracle_side}))"
+    ).fetchone()[0]
+    d2 = con.sql(
+        f"SELECT count(*) FROM (({oracle_side}) EXCEPT ALL ({spark_side}))"
+    ).fetchone()[0]
+    ok = ocols == cols and n_s == n_o and d1 == 0 and d2 == 0
+    print(
+        f"{name}: {'OK' if ok else 'MISMATCH'} rows={n_s}/{n_o} "
+        f"diff={d1}+{d2} {time.time()-t0:.1f}s"
+    )
+    if ocols != cols:
+        print(f"  spark cols: {cols}\n  oracle cols: {ocols}")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    return ok
+
+
 def main() -> int:
     import duckdb
 
     import __spark_entry__ as e
     from retail_datawarehouse_spark.session import get_spark
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--bulk"]
+    bulk = "--bulk" in sys.argv
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -71,6 +113,12 @@ def main() -> int:
     bad = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if bulk:
+            if name in osql and not bulk_compare(
+                spark, con, name, fn, osql[name], sf
+            ):
+                bad.append(name)
             continue
         t0 = time.time()
         sdf = norm(fn(spark, sf).toPandas())

@@ -61,6 +61,93 @@ OTHER_TABLES = (
     "region nation customer supplier part orders lineitem events".split()
 )
 
+# r6 (r5 verdict #4): the 20× probe covered documents/embeddings only;
+# the warehouse core (etl clean, snapshot build+append, SCD2
+# build/merge/PIT, fact build, event sessionization, streaming drains)
+# had no measured point beyond sf0.1. These entries run against a
+# deterministic key-offset replication of customer/orders/lineitem/
+# events (copy k shifts every key by k×its-table's-key-stride, with
+# o_custkey/l_orderkey/user_id remapped consistently so referential
+# integrity holds and every derived total re-derives); dims and
+# documents stay 1×, as dims would at a real 20× fact scale-up. The
+# same parquet dir feeds tools/oracle_check.py, so 20× correctness is
+# cross-checkable against DuckDB, not just timed.
+WAREHOUSE_ENTRIES = [
+    "q_etl_clean_staging",
+    "q_etl_stages_suite",
+    "q_fact_sales",
+    "q_fact_monthly_snapshot",
+    "q_snapshot_incremental_mom",
+    "q55_snapshot_lifetime_read",
+    "q_scd2_build",
+    "q_scd2_point_in_time",
+    "q_merge_upsert_customers",
+    "q_sessionize_batch",
+    "q_event_funnel_asof",
+    "q_stream_windows",
+    "q_stream_joins_stateful",
+]
+
+# Key strides: one above each table's max key at sf0.1 (customer 15000,
+# orders 150000, events event_id 100000 / user_id 1500), so copies are
+# collision-free and the scd2 merge fixture's 20M brand-new-key offset
+# stays far above every replicated custkey (315k at 20×).
+_C_STRIDE, _O_STRIDE, _E_STRIDE, _U_STRIDE = 15_000, 150_000, 100_000, 1_500
+
+
+def generate_warehouse(scale: int, out: str) -> None:
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    reps = f"(SELECT unnest(generate_series(1, {scale - 1})) AS k)"
+    specs = {
+        "customer": (
+            f"SELECT c_custkey + n.k * {_C_STRIDE} AS c_custkey, c_name, "
+            "c_nationkey, c_acctbal, c_mktsegment FROM base a CROSS JOIN "
+            "nums n"
+        ),
+        "orders": (
+            f"SELECT o_orderkey + n.k * {_O_STRIDE} AS o_orderkey, "
+            f"o_custkey + n.k * {_C_STRIDE} AS o_custkey, o_orderstatus, "
+            "o_totalprice, o_orderdate, o_orderpriority FROM base a CROSS "
+            "JOIN nums n"
+        ),
+        "lineitem": (
+            f"SELECT l_orderkey + n.k * {_O_STRIDE} AS l_orderkey, "
+            "l_partkey, l_suppkey, l_linenumber, l_quantity, "
+            "l_extendedprice, l_discount, l_tax, l_returnflag, "
+            "l_linestatus, l_shipdate FROM base a CROSS JOIN nums n"
+        ),
+        "events": (
+            f"SELECT event_id + n.k * {_E_STRIDE} AS event_id, ts, "
+            f"user_id + n.k * {_U_STRIDE} AS user_id, event_type, value, "
+            "props FROM base a CROSS JOIN nums n"
+        ),
+    }
+    for t, mixed_sql in specs.items():
+        src = f"read_parquet('{SRC}/{t}.parquet')"
+        con.execute(
+            f"""
+            COPY (
+              WITH base AS (SELECT * FROM {src}), nums AS {reps}
+              SELECT * FROM (SELECT * FROM {src}
+                             UNION ALL {mixed_sql})
+              ORDER BY 1
+            ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
+            """
+        )
+    for t in OTHER_TABLES + ["documents", "embeddings"]:
+        if t not in specs:
+            shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    n_ord = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/orders.parquet')"
+    ).fetchone()[0]
+    n_li = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/lineitem.parquet')"
+    ).fetchone()[0]
+    print(f"# generated {out}: {n_ord} orders, {n_li} lineitems", file=sys.stderr)
+
 
 def generate(scale: int, out: str) -> None:
     import duckdb
@@ -121,14 +208,14 @@ def generate(scale: int, out: str) -> None:
     print(f"# generated {out}: {n_docs} docs, {n_vec} vectors", file=sys.stderr)
 
 
-def measure(sf_dir: str, scale: int) -> None:
+def measure(sf_dir: str, scale: int, entries=None) -> None:
     from retail_datawarehouse_spark.registry import catalog
     from retail_datawarehouse_spark.session import get_spark
 
     spark = get_spark(app_name=f"scale-probe-{scale}x")
     cat = catalog()
     timings: dict[str, float] = {}
-    for name in HEAVY_ENTRIES:
+    for name in entries or HEAVY_ENTRIES:
         b = cat[name].builder
         b(spark, sf_dir).count()  # warm
         best = None
@@ -207,11 +294,21 @@ def main() -> None:
     ap.add_argument("--adaptive", action="store_true",
                     help="fixed vs occupancy-constant capacity A/B on "
                          "the embedding-dedup pair generators")
+    ap.add_argument("--warehouse", action="store_true",
+                    help="synthesize/measure the warehouse-core entries "
+                         "(key-offset replicated customer/orders/"
+                         "lineitem/events) instead of the doc family")
     ap.add_argument("--baseline", action="store_true",
                     help="measure sf0.1 itself (the 1x reference)")
     args = ap.parse_args()
     if args.baseline:
-        measure(SRC, 1)
+        measure(SRC, 1, WAREHOUSE_ENTRIES if args.warehouse else None)
+        return
+    if args.warehouse:
+        if not os.path.exists(f"{args.out}/orders.parquet"):
+            generate_warehouse(args.scale, args.out)
+        if args.measure:
+            measure(args.out, args.scale, WAREHOUSE_ENTRIES)
         return
     if not os.path.exists(f"{args.out}/documents.parquet"):
         generate(args.scale, args.out)
