@@ -64,7 +64,9 @@ def pagerank_fixed_point(
     frame ALSO persists: the dangling sum makes round i+1 reference
     round i TWICE (link pass + dangling pass), and unpersisted lineage
     would re-execute the whole chain per reference — 2^iters leaf
-    blowup. One (node, rq) int-pair frame per round is the standard
+    blowup. The dangling sum itself costs no join: the dangling flag
+    rides the rank frame, so it is a filter + map-side partial
+    aggregate over the cache. One (node, rq) int-pair frame per round is the standard
     iterative-graph trade (GraphX does the same); at 100 TB that is
     16 bytes/vertex/round, spill-safe."""
     if dangling not in ("redistribute", "drop"):
@@ -74,56 +76,91 @@ def pagerank_fixed_point(
             edges.groupBy("u").agg(F.count(F.lit(1)).alias("d")), "u"
         ).persist()
     )
-    nodes = nodes.persist()
-    if dangling == "redistribute":
-        # The dangling set and N are loop constants: nodes with no
-        # out-edge, and the vertex count — both computed once, in-plan.
-        dang = nodes.join(
-            edges.select(F.col("u").alias("node")).distinct(),
-            "node",
-            "left_anti",
-        ).persist()
-        nstats = nodes.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    ranks = nodes.select("node", F.lit(PR_Q).cast("long").alias("rq"))
-    for _ in range(iters):
-        if dangling == "redistribute":
-            ranks = ranks.persist()
-            # Dangling mass -> one 1-row broadcast: ds div N is the
-            # per-node share, integer-exact and partition-independent.
-            dshare = (
-                ranks.join(dang, "node", "left_semi")
-                .agg(
-                    F.coalesce(F.sum("rq"), F.lit(0))
-                    .cast("long")
-                    .alias("_ds")
-                )
-                .crossJoin(F.broadcast(nstats))
-                .select(F.expr("_ds div _n").cast("long").alias("_dsh"))
+    if dangling == "drop":
+        nodes = nodes.persist()
+        ranks = nodes.select("node", F.lit(PR_Q).cast("long").alias("rq"))
+        for _ in range(iters):
+            contribs = (
+                ced.join(ranks.select(F.col("node").alias("u"), "rq"), "u")
+                .select("v", F.expr("rq div d").alias("c"))
+                .groupBy("v")
+                .agg(F.sum("c").alias("s"))
             )
+            ranks = (
+                nodes.join(
+                    contribs.select(F.col("v").alias("node"), "s"),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    (
+                        F.lit(PR_BASE_Q)
+                        + F.expr(
+                            f"({PR_DAMP_NUM} * coalesce(s, CAST(0 AS "
+                            f"BIGINT))) div {PR_DAMP_DEN}"
+                        )
+                    )
+                    .cast("long")
+                    .alias("rq"),
+                )
+            )
+        return ranks
+    # Redistribute: the dangling FLAG rides the rank frame (derived
+    # once — a left join against the out-edge sources), so each round's
+    # dangling sum is a map-side partial aggregate over the CACHED rank
+    # frame with NO join in the loop. N is a loop-constant 1-row frame.
+    nodes = (
+        nodes.join(
+            edges.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("_has_out", F.lit(True)),
+            "node",
+            "left",
+        )
+        .select("node", F.col("_has_out").isNull().alias("_dang"))
+        .persist()
+    )
+    nstats = nodes.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranks = nodes.select(
+        "node", "_dang", F.lit(PR_Q).cast("long").alias("rq")
+    )
+    for _ in range(iters):
+        ranks = ranks.persist()
+        # Dangling mass -> one 1-row broadcast: ds div N is the
+        # per-node share, integer-exact and partition-independent.
+        dshare = (
+            ranks.filter("_dang")
+            .agg(F.coalesce(F.sum("rq"), F.lit(0)).cast("long").alias("_ds"))
+            .crossJoin(F.broadcast(nstats))
+            .select(F.expr("_ds div _n").cast("long").alias("_dsh"))
+        )
         contribs = (
             ced.join(ranks.select(F.col("node").alias("u"), "rq"), "u")
             .select("v", F.expr("rq div d").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("s"))
         )
-        nxt = nodes.join(
-            contribs.select(F.col("v").alias("node"), "s"), "node", "left"
-        )
-        if dangling == "redistribute":
-            nxt = nxt.crossJoin(F.broadcast(dshare))
-            gain = F.expr(
-                f"({PR_DAMP_NUM} * (coalesce(s, CAST(0 AS BIGINT)) + _dsh))"
-                f" div {PR_DAMP_DEN}"
+        ranks = (
+            nodes.join(
+                contribs.select(F.col("v").alias("node"), "s"), "node", "left"
             )
-        else:
-            gain = F.expr(
-                f"({PR_DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
-                f" div {PR_DAMP_DEN}"
+            .crossJoin(F.broadcast(dshare))
+            .select(
+                "node",
+                "_dang",
+                (
+                    F.lit(PR_BASE_Q)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * (coalesce(s, CAST(0 AS BIGINT))"
+                        f" + _dsh)) div {PR_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("rq"),
             )
-        ranks = nxt.select(
-            "node", (F.lit(PR_BASE_Q) + gain).cast("long").alias("rq")
         )
-    return ranks
+    return ranks.select("node", "rq")
 
 
 def pagerank_sql_ctes() -> str:

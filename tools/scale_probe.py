@@ -208,7 +208,26 @@ def generate(scale: int, out: str) -> None:
     print(f"# generated {out}: {n_docs} docs, {n_vec} vectors", file=sys.stderr)
 
 
-def measure(sf_dir: str, scale: int, entries=None) -> None:
+def _force_full(df) -> int:
+    """Materialize EVERY cell of the result: sum of xxhash64 over all
+    columns. A bare count() lets Catalyst PRUNE the expensive value
+    columns (a window-heavy 24M-row snapshot counted in 0.4s because
+    the cumulative sums were never computed) — the checksum keeps the
+    whole value surface in the measured plan while returning one row.
+    Used for the warehouse probe; the r5 doc-family table keeps its
+    original count() protocol for comparability."""
+    from pyspark.sql import functions as F
+
+    df = df.select(
+        F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h"),
+    )
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_h").alias("chk")
+    ).collect()[0]
+    return row.n
+
+
+def measure(sf_dir: str, scale: int, entries=None, force_full=False) -> None:
     from retail_datawarehouse_spark.registry import catalog
     from retail_datawarehouse_spark.session import get_spark
 
@@ -217,12 +236,13 @@ def measure(sf_dir: str, scale: int, entries=None) -> None:
     timings: dict[str, float] = {}
     for name in entries or HEAVY_ENTRIES:
         b = cat[name].builder
-        b(spark, sf_dir).count()  # warm
+        act = _force_full if force_full else (lambda d: d.count())
+        act(b(spark, sf_dir))  # warm
         best = None
         for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            n = b(spark, sf_dir).count()
+            n = act(b(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 2)
@@ -302,13 +322,14 @@ def main() -> None:
                     help="measure sf0.1 itself (the 1x reference)")
     args = ap.parse_args()
     if args.baseline:
-        measure(SRC, 1, WAREHOUSE_ENTRIES if args.warehouse else None)
+        measure(SRC, 1, WAREHOUSE_ENTRIES if args.warehouse else None,
+                force_full=args.warehouse)
         return
     if args.warehouse:
         if not os.path.exists(f"{args.out}/orders.parquet"):
             generate_warehouse(args.scale, args.out)
         if args.measure:
-            measure(args.out, args.scale, WAREHOUSE_ENTRIES)
+            measure(args.out, args.scale, WAREHOUSE_ENTRIES, force_full=True)
         return
     if not os.path.exists(f"{args.out}/documents.parquet"):
         generate(args.scale, args.out)
