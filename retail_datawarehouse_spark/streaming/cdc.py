@@ -55,8 +55,9 @@ cost class as the nightly batch job it replaces, at micro-batch
 latency. The generation commit adds one pointer rename; on object
 stores without atomic rename the same protocol runs against a
 conditional-PUT (if-match) pointer object. The applied-wave set grows
-by one row per wave (365 rows/year at nightly cadence); prune waves
-older than the feed's reordering horizon during compaction.
+by one row per wave (365 rows/year at nightly cadence);
+``compact_applied_waves`` prunes below the feed's reordering horizon
+under the same atomic generation commit.
 """
 
 from __future__ import annotations
@@ -141,6 +142,43 @@ def _prune_generations(dim_dir: str, committed: int) -> None:
         m = _GEN_RE.match(entry)
         if m and (int(m.group(1)) < committed - 1 or int(m.group(1)) > committed):
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+
+
+def compact_applied_waves(
+    spark: SparkSession, dim_dir: str, keep_last: int
+) -> None:
+    """Compaction for the applied-wave set: drop waves more than
+    ``keep_last`` below the maximum (the feed's reordering horizon —
+    beyond it, a replay or late landing of that wave is operationally
+    impossible and the row only costs sidecar space). Runs OUTSIDE the
+    drain as maintenance, using the same generation protocol: new waves
+    image + the committed dim image land in gen N+1, one pointer
+    rename commits both, so a crash mid-compaction leaves gen N intact.
+
+    Safety note encoded in the semantics: compaction REMOVES the
+    drain's ability to recognize a replay of a compacted wave — run it
+    only with the drain quiesced and keep_last comfortably above the
+    checkpoint's possible replay depth (one micro-batch)."""
+    applied = _read_applied_waves(spark, dim_dir)
+    if applied is None:
+        return
+    import pyspark.sql.functions as F
+
+    gen = committed_generation(dim_dir)
+    gen_dir = os.path.join(_gen_root(dim_dir), f"gen-{gen + 1}")
+    hw = applied.agg(
+        F.coalesce(F.max("applied_wave"), F.lit(-1)).cast("long").alias("_hw")
+    )
+    kept = (
+        applied.crossJoin(F.broadcast(hw))
+        .filter(F.col("applied_wave") > F.col("_hw") - F.lit(keep_last))
+        .select("applied_wave")
+    )
+    dim = read_dim(spark, dim_dir)
+    dim.write.mode("overwrite").parquet(os.path.join(gen_dir, "dim"))
+    kept.write.mode("overwrite").parquet(os.path.join(gen_dir, "waves"))
+    _commit_generation(dim_dir, gen + 1)
+    _prune_generations(dim_dir, gen + 1)
 
 
 def stream_changes(spark: SparkSession, landing_dir: str) -> DataFrame:

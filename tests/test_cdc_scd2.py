@@ -485,3 +485,59 @@ def test_cdc_conformed_dims_point_in_time_consistency(spark, cdc_root):
     for as_of in ("2020-12-31", "2021-10-15", "2021-11-15", "2022-01-01"):
         assert pit(cust_rows, as_of) == pit(cust_ref, as_of)
         assert pit(prod_rows, as_of) == pit(prod_ref, as_of)
+
+
+def test_applied_wave_compaction_atomic_and_semantics(spark, cdc_root):
+    """Compaction drops waves below the reordering horizon under the
+    SAME generation commit (dim byte-identical, pointer advanced one
+    generation); the drain still applies fresh waves afterwards, and a
+    replay of a COMPACTED wave raises (fail-loud — recognition was
+    traded away explicitly) rather than re-applying."""
+    from pyspark.errors import StreamingQueryException
+
+    from retail_datawarehouse_spark.streaming import cdc
+
+    landing = f"{cdc_root}/landing"
+    dim_dir = f"{cdc_root}/dim"
+    ckpt = f"{cdc_root}/ckpt"
+    os.makedirs(landing)
+    dim = _mk_dim(spark, _DIM_SPEC)
+    dim.write.parquet(dim_dir)
+    frames = _wave_frames(spark, _WAVES)
+    for i in (0, 1):
+        _land(spark, cdc_root, landing, i, frames[i])
+    cdc.run_cdc_scd2_available_now(spark, dim_dir, landing, checkpoint_dir=ckpt)
+    before = _dim_rows(spark, dim_dir)
+    gen_before = cdc.committed_generation(dim_dir)
+
+    cdc.compact_applied_waves(spark, dim_dir, keep_last=1)
+    assert cdc.committed_generation(dim_dir) == gen_before + 1
+    assert _dim_rows(spark, dim_dir) == before
+    waves = {
+        r.applied_wave
+        for r in cdc._read_applied_waves(spark, dim_dir).collect()
+    }
+    assert waves == {1}  # wave 0 compacted away, max retained
+
+    # Fresh wave still applies normally after compaction (checkpointed
+    # drain: only the new file is read — compaction's contract assumes
+    # exactly this, a quiesced checkpointed drain whose replay depth is
+    # within keep_last).
+    _land(spark, cdc_root, landing, 2, frames[2])
+    cdc.run_cdc_scd2_available_now(spark, dim_dir, landing, checkpoint_dir=ckpt)
+    from retail_datawarehouse_spark.dims.scd2 import scd2_merge_batch
+
+    ref = dim
+    for f in frames:
+        ref = scd2_merge_batch(ref, f)
+    after = _dim_rows(spark, dim_dir)
+    assert after == {tuple(r) for r in ref.collect()}
+
+    # Replay of the compacted wave 0: no longer recognizable as
+    # applied -> the out-of-order tripwire fires; dim untouched.
+    landing2 = f"{cdc_root}/landing2"
+    os.makedirs(landing2)
+    _land(spark, cdc_root + "/rp", landing2, 0, frames[0])
+    with pytest.raises(StreamingQueryException, match="monotone landing"):
+        cdc.run_cdc_scd2_available_now(spark, dim_dir, landing2)
+    assert _dim_rows(spark, dim_dir) == after

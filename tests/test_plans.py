@@ -463,9 +463,14 @@ def test_entity_resolution_blocked_join_no_corpus_shuffle(spark, sf_dir):
 # outer part carries the watermark emission cutoff as a 1-row bounds
 # broadcast (max event time − delay), same N×1 shape. q_sketch_suite's
 # hh part broadcasts the 1-row corpus token total for the θ·N cuts.
+# q_dedup_components (r6): PageRank's dangling-mass redistribution
+# crossJoins TWO 1-row broadcast frames per round (the node count N and
+# the round's dangling sum ds) — the same N×1 bounds shape; the link
+# contribution join stays a hash equi-join on the vertex key.
 NESTED_LOOP_ALLOWLIST = {
     "q55_snapshot_lifetime_read",
     "q_ann_topk_suite",
+    "q_dedup_components",
     "q_dedup_embedding_cosine",
     "q_fact_monthly_snapshot",
     "q_sketch_suite",
@@ -567,7 +572,14 @@ SHUFFLE_BUDGET = {
     # plan no longer unrolls the label-propagation rounds (151 → 19);
     # what remains is the last-round star join + PageRank's five
     # unrolled fixed-point iterations.
-    "q_dedup_components": 19,
+    # r6: 19 → 36 STATIC. True-PageRank dangling redistribution adds a
+    # per-round 1-row aggregate (dangling sum) plus the printed
+    # node-count aggregate at each of its five references — the
+    # formatted plan unrolls those per round even though the rank
+    # frames are persisted, so the EXECUTED exchange count per round is
+    # one link join + one 1-row agg over the cached frame. Wall is
+    # budget-gated (WALL_BUDGET_S) and the r6 measurement sits in band.
+    "q_dedup_components": 36,
     # r4: 5 → 6. The semdedup final-assignment pass is now persisted
     # (it feeds BOTH sides of the cell pair join; without the cache the
     # 16-dot-fold assign pass ran twice). The InMemoryRelation boundary
