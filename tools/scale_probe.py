@@ -251,7 +251,7 @@ def measure(sf_dir: str, scale: int, entries=None, force_full=False) -> None:
     spark.stop()
 
 
-def measure_adaptive(sf_dir: str, scale: int) -> None:
+def measure_adaptive(sf_dir: str, scale: int, no_fixed: bool = False) -> None:
     """Isolate the r5 probe finding: the embedding-dedup pair
     generators at FIXED fixture capacity (bits=8 / cells=16) vs
     occupancy-constant ADAPTIVE capacity (bits ≈ log2(N/8), cells ≈
@@ -274,7 +274,7 @@ def measure_adaptive(sf_dir: str, scale: int) -> None:
     cells = max(16, int(math.isqrt(n)))
     out: dict[str, float] = {}
     coarse = max(4, int(math.isqrt(cells)))
-    for label, fn in (
+    configs = (
         ("lsh_fixed", lambda: lsh_dup_pairs(corpus)),
         ("lsh_adaptive", lambda: lsh_dup_pairs(corpus, bits=bits)),
         ("sem_fixed", lambda: semdedup_pairs(corpus)),
@@ -286,7 +286,17 @@ def measure_adaptive(sf_dir: str, scale: int) -> None:
         # in-plan count instead of a driver-side count()).
         ("lsh_auto", lambda: lsh_dup_pairs(corpus, bits="auto")),
         ("sem_auto", lambda: semdedup_pairs(corpus, cells="auto")),
-    ):
+    )
+    if no_fixed:
+        # At 50×+ the fixed configs are the KNOWN quadratic and the
+        # flat-√N assignment the KNOWN bottleneck (both measured at
+        # 20×, BASELINE.md r5) — skipping them bounds the run, not the
+        # evidence.
+        configs = tuple(
+            c for c in configs
+            if "fixed" not in c[0] and "flat" not in c[0]
+        )
+    for label, fn in configs:
         fn().count()  # warm
         best, rows = None, 0
         for _ in range(3):
@@ -314,6 +324,9 @@ def main() -> None:
     ap.add_argument("--adaptive", action="store_true",
                     help="fixed vs occupancy-constant capacity A/B on "
                          "the embedding-dedup pair generators")
+    ap.add_argument("--no-fixed", action="store_true",
+                    help="adaptive mode: skip the fixed-capacity "
+                         "configs (quadratic at large N)")
     ap.add_argument("--warehouse", action="store_true",
                     help="synthesize/measure the warehouse-core entries "
                          "(key-offset replicated customer/orders/"
@@ -334,7 +347,7 @@ def main() -> None:
     if not os.path.exists(f"{args.out}/documents.parquet"):
         generate(args.scale, args.out)
     if args.adaptive:
-        measure_adaptive(args.out, args.scale)
+        measure_adaptive(args.out, args.scale, no_fixed=args.no_fixed)
     elif args.measure:
         measure(args.out, args.scale)
 
