@@ -541,3 +541,79 @@ def test_applied_wave_compaction_atomic_and_semantics(spark, cdc_root):
     with pytest.raises(StreamingQueryException, match="monotone landing"):
         cdc.run_cdc_scd2_available_now(spark, dim_dir, landing2)
     assert _dim_rows(spark, dim_dir) == after
+
+
+def test_compaction_crash_leaves_previous_generation(spark, cdc_root):
+    """Compaction shares the drain's crash contract: a fault between
+    the gen-N+1 data write and the pointer rename leaves gen N
+    committed and fully consistent (dim + wave set), and a retried
+    compaction converges."""
+    from retail_datawarehouse_spark.streaming import cdc
+
+    landing = f"{cdc_root}/landing"
+    dim_dir = f"{cdc_root}/dim"
+    os.makedirs(landing)
+    _mk_dim(spark, _DIM_SPEC).write.parquet(dim_dir)
+    frames = _wave_frames(spark, _WAVES)
+    for i, f in enumerate(frames):
+        _land(spark, cdc_root, landing, i, f)
+    cdc.run_cdc_scd2_available_now(spark, dim_dir, landing)
+    before = _dim_rows(spark, dim_dir)
+    gen_before = cdc.committed_generation(dim_dir)
+    waves_before = {
+        r.applied_wave
+        for r in cdc._read_applied_waves(spark, dim_dir).collect()
+    }
+
+    real = cdc._commit_generation
+
+    def boom(d, g):
+        raise RuntimeError("injected compaction crash")
+
+    cdc._commit_generation = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected compaction"):
+            cdc.compact_applied_waves(spark, dim_dir, keep_last=1)
+    finally:
+        cdc._commit_generation = real
+    assert cdc.committed_generation(dim_dir) == gen_before
+    assert _dim_rows(spark, dim_dir) == before
+    assert {
+        r.applied_wave
+        for r in cdc._read_applied_waves(spark, dim_dir).collect()
+    } == waves_before
+
+    # Retry converges (the crashed orphan gen dir is overwritten).
+    cdc.compact_applied_waves(spark, dim_dir, keep_last=1)
+    assert cdc.committed_generation(dim_dir) == gen_before + 1
+    assert _dim_rows(spark, dim_dir) == before
+
+
+def test_reader_retention_across_one_commit(spark, cdc_root):
+    """The one-generation retention window: a reader that resolved the
+    dim path BEFORE a drain commits can still read that snapshot
+    afterwards (previous generation retained; older ones pruned) — the
+    in-flight-reader guarantee the protocol documents."""
+    from retail_datawarehouse_spark.streaming import cdc
+
+    landing = f"{cdc_root}/landing"
+    dim_dir = f"{cdc_root}/dim"
+    os.makedirs(landing)
+    dim = _mk_dim(spark, _DIM_SPEC)
+    dim.write.parquet(dim_dir)
+    frames = _wave_frames(spark, _WAVES)
+    _land(spark, cdc_root, landing, 0, frames[0])
+    cdc.run_cdc_scd2_available_now(spark, dim_dir, landing)
+
+    pinned = cdc.resolve_dim_path(dim_dir)  # reader resolves gen 1
+    pinned_rows = {tuple(r) for r in spark.read.parquet(pinned).collect()}
+
+    _land(spark, cdc_root, landing, 1, frames[1])
+    cdc.run_cdc_scd2_available_now(spark, dim_dir, landing)  # commits gen 2
+
+    # New readers see gen 2; the pinned gen-1 snapshot is still intact.
+    assert cdc.resolve_dim_path(dim_dir) != pinned
+    spark.catalog.refreshByPath(pinned)
+    assert {
+        tuple(r) for r in spark.read.parquet(pinned).collect()
+    } == pinned_rows
