@@ -152,6 +152,13 @@ def generate_warehouse(scale: int, out: str) -> None:
 def generate(scale: int, out: str) -> None:
     import duckdb
 
+    if scale > 50:
+        # _injected_dup_corpus re-ids duplicates at vec_id + 100000;
+        # original ids reach scale*2000 - 1, so scale 51+ would alias
+        # injected ids onto real vectors and corrupt the workload.
+        raise ValueError("doc-corpus synthesis caps at scale 50 "
+                         "(vec_id + 100000 dup-injection headroom)")
+
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     d = f"read_parquet('{SRC}/documents.parquet')"
