@@ -134,6 +134,79 @@ def q_sink_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_jsonl_ingest",
+    oracle="""
+    SELECT source AS src,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents WHERE doc_id % 97 <> 0
+    GROUP BY source
+    UNION ALL
+    SELECT '__quarantined__',
+           COUNT(*),
+           NULL,
+           NULL,
+           0
+    FROM documents WHERE doc_id % 97 = 0
+    """,
+)
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL landing-zone ingest with corrupt-record quarantine — the
+    format LLM training corpora actually arrive in (web scrapes, API
+    dumps, Common-Crawl derivatives are line-delimited JSON, not
+    parquet).
+
+    Round trip under the hash gate: documents → ``to_json`` lines with
+    a DETERMINISTIC corruption injection (every ``doc_id % 97 == 0``
+    line truncated to 20 bytes — a mid-record flush; always invalid
+    JSON because the ``text`` field's quote never closes) → text-file
+    landing write → declared-schema PERMISSIVE JSONL scan
+    (``sources/readers.py read_jsonl``) → per-source stats with the
+    quarantined lines as their own bucket. The oracle recomputes the
+    expected stats from the ORIGINAL table plus the corruption rule, so
+    a green row proves the whole loop: JSON escaping round-trips the
+    text byte-exactly (sum_text_len), numeric fields survive
+    (sum_n_chars), and the quarantine catches EXACTLY the injected
+    lines — nothing dropped, nothing misparsed.
+
+    Scale shape: corruption detection and the quarantine bucketing are
+    map-side expressions inside the scan stage; the raw line is already
+    in the parser's buffer so capture is free. The only exchange is the
+    final stats aggregate (count-distinct expand + final), which is
+    output-sized, not corpus-sized. At 100 TB the landing zone is read
+    ONCE with the declared schema — schema inference would be a second
+    full pass before the first real one."""
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+    landed = docs.select(
+        F.when(F.col("doc_id") % 97 == 0, F.substring(line, 1, 20))
+        .otherwise(line)
+        .alias("value")
+    )
+    path = _scratch("docs_jsonl")
+    landed.write.mode("overwrite").text(path)
+
+    from retail_datawarehouse_spark.sources.readers import (
+        DOCS_JSONL_SCHEMA,
+        read_jsonl,
+    )
+
+    back = read_jsonl(spark, path, DOCS_JSONL_SCHEMA)
+    return back.groupBy(
+        F.when(F.col("_corrupt").isNotNull(), F.lit("__quarantined__"))
+        .otherwise(F.col("source"))
+        .alias("src")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_n_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
     "q_etl_audit_metrics",
     oracle="""
     SELECT 'n_rows' AS metric, COUNT(*) AS value FROM orders

@@ -322,3 +322,54 @@ def read_retail_csv(spark: SparkSession, path: str, sep: str = ";") -> DataFrame
         .schema(RAW_RETAIL_SCHEMA)
         .csv(path)
     )
+
+
+DOCS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """Line-delimited JSON scan with a DECLARED schema and an explicit
+    quarantine column — the LLM-pipeline landing format (web scrapes,
+    Common-Crawl-style dumps, API exports all arrive as JSONL).
+
+    100 TB discipline, same as the CSV scan above:
+
+    - The schema is a contract, never inferred — inference is a full
+      extra pass over the landing zone, and a sampled inference can
+      silently narrow a type on the one shard that lacked the wide
+      value.
+    - ``mode=PERMISSIVE`` + ``columnNameOfCorruptRecord`` keeps the
+      scan single-pass AND total: a malformed line (truncated upload,
+      mid-record flush, non-JSON noise) lands with all data fields
+      NULL and the raw line preserved in ``corrupt_col`` for the
+      quarantine branch, instead of failing the job (FAILFAST) or
+      vanishing (DROPMALFORMED — silent data loss at the exact layer
+      where you most need an audit trail).
+    - Capturing the raw line costs nothing extra: the parser already
+      holds the line buffer; there is no second read.
+
+    The corrupt column is appended to the declared schema here so
+    callers state only the data contract.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .json(path)
+    )

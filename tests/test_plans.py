@@ -606,6 +606,9 @@ SHUFFLE_BUDGET = {
     "q_fact_sales": 4,
     "q_grouping_sets_suite": 3,
     "q_json_props_stats": 1,
+    # r6: JSONL landing ingest — scan-stage quarantine bucketing, then
+    # one count-distinct aggregate (2 exchanges, both output-sized).
+    "q_jsonl_ingest": 2,
     "q_merge_upsert_customers": 2,
     "q_multimodal_suite": 0,
     "q_pack_sequences": 1,

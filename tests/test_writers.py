@@ -490,3 +490,50 @@ def test_load_table_probes_fixture_drift_at_scan_boundary(spark, tmpdir):
         load_table(spark, ok_dir, "region")
     finally:
         readers._probe_fixture = real
+
+
+def test_jsonl_quarantine_semantics(spark, tmpdir):
+    """read_jsonl's PERMISSIVE quarantine contract, pinned on a
+    hand-built landing file: exactly the malformed lines land in
+    `_corrupt` (raw bytes preserved, data fields all NULL), valid lines
+    parse clean with a NULL `_corrupt`, and nothing is dropped — the
+    row count equals the line count. This is the audit-trail property
+    the q_jsonl_ingest oracle relies on."""
+    import os
+
+    from retail_datawarehouse_spark.sources.readers import (
+        DOCS_JSONL_SCHEMA,
+        read_jsonl,
+    )
+
+    lines = [
+        '{"doc_id":1,"text":"alpha beta","lang":"en","source":"web","n_chars":10}',
+        '{"doc_id":2,"text":"gamma","lang"',  # truncated mid-record
+        'not json at all',
+        '{"doc_id":3,"text":"delta","lang":"de","source":"api","n_chars":5}',
+    ]
+    path = os.path.join(str(tmpdir), "landing")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    rows = read_jsonl(spark, path, DOCS_JSONL_SCHEMA).collect()
+    assert len(rows) == len(lines)  # total: nothing silently dropped
+
+    corrupt = sorted(
+        (r for r in rows if r["_corrupt"] is not None), key=lambda r: r["_corrupt"]
+    )
+    good = {r["doc_id"]: r for r in rows if r["_corrupt"] is None}
+
+    # Exactly the malformed lines quarantined, raw bytes preserved.
+    assert [r["_corrupt"] for r in corrupt] == sorted([lines[1], lines[2]])
+    # Quarantined rows carry NO parsed data (all-NULL fields) — the
+    # q_jsonl_ingest stats rely on this (their sums stay NULL).
+    for r in corrupt:
+        assert all(
+            r[f.name] is None for f in DOCS_JSONL_SCHEMA.fields
+        ), f"corrupt row leaked parsed fields: {r}"
+    # Valid lines parse clean.
+    assert set(good) == {1, 3}
+    assert good[1]["text"] == "alpha beta" and good[1]["n_chars"] == 10
+    assert good[3]["lang"] == "de" and good[3]["source"] == "api"
