@@ -1007,6 +1007,182 @@ def _adc_topk(q: DataFrame, c: DataFrame) -> DataFrame:
     return _per_query_topk(scored)
 
 
+# --- Product quantization (PQ) — the Jégou et al. IVF-ADC layout -------
+#
+# The scalar-int8 ADC branch above keeps one code PER DIMENSION; PQ is
+# the stronger compression real 100 TB serving uses (FAISS IVFPQ,
+# ScaNN): the 64-dim vector splits into PQ_M=8 subspaces of 8 dims,
+# each subspace gets its own PQ_K=16-entry codebook (one seeded Lloyd
+# iteration, fixed depth — same training discipline as the IVF index),
+# and a vector is stored as 8 code bytes: 256 bytes of float32 → 8
+# bytes, a 32× cut. Scoring is asymmetric: the float query against the
+# codebook RECONSTRUCTION of each candidate. Everything is
+# SQL-expressible because the codebook means are fixed-point int64
+# (the q_embedding_centroids discipline), so the whole train → encode
+# → reconstruct → score pipeline is hash-checked cross-engine.
+
+PQ_M = 8  # subspaces (64 dims → 8 × 8)
+PQ_K = 16  # codes per subspace codebook
+_PQ_SUB = 64 // PQ_M
+# Codebooks train on a bounded deterministic sample (the first
+# PQ_TRAIN_N corpus vectors), not the full corpus — the FAISS/ScaNN
+# discipline: codebook quality saturates at a few hundred samples per
+# cell, so training cost is CONSTANT in corpus size while encode stays
+# the linear term. The oracle mirrors the same id bound.
+PQ_TRAIN_N = 256
+
+# Ordered-fold squared-L2 distance — the canonical PQ assignment metric
+# (subvectors are not normalized, so cosine is wrong here; L2 also
+# avoids a 0/0 on an all-zero subvector).
+_SPARK_L2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+    "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), "
+    "(acc, p) -> acc + p)"
+)
+_DUCK_L2 = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> (p[1]::DOUBLE - p[2]::DOUBLE) "
+    "* (p[1]::DOUBLE - p[2]::DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+def _pq_codebook(c: DataFrame) -> DataFrame:
+    """Train the PQ_M × PQ_K codebook over the bounded training sample
+    (first PQ_TRAIN_N corpus vectors) and pack it into ONE broadcast
+    row of (s, cell, centroid) structs.
+
+    Training is one seeded Lloyd iteration per subspace, all in the
+    same plan: corpus × PQ_M subspace explode (map-side; slice() is a
+    pointer copy, not a shuffle), nearest-seed assignment as a map-side
+    argmin fold against the broadcast packed seeds (struct(d, cell) min
+    reproduces the ORDER BY d, cell tie-break), then the fixed-point
+    element-wise mean per (s, cell, pos) — ONE exchange over a domain
+    bounded by PQ_M·PQ_K·sub_dim = 1024 rows regardless of corpus
+    size, with map-side partial aggregation doing the heavy lifting.
+    Seeds are the first PQ_K corpus vectors' subvectors; every cell is
+    non-empty because a seed's own subvector is at distance 0 from
+    itself (ties broken toward the lower cell id, deterministic in
+    both engines)."""
+    explode_s = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s")
+    sub = (
+        c.filter(F.col("candidate_id") < N_QUERIES + PQ_TRAIN_N)
+        .select("candidate_id", "c_emb", explode_s)
+        .withColumn("subvec", F.expr(f"slice(c_emb, s * {_PQ_SUB} + 1, {_PQ_SUB})"))
+        .drop("c_emb")
+    )
+    seeds_sub = (
+        c.filter(F.col("candidate_id") < N_QUERIES + PQ_K)
+        .select((F.col("candidate_id") - N_QUERIES).alias("cell"), "c_emb", explode_s)
+        .withColumn("seedvec", F.expr(f"slice(c_emb, s * {_PQ_SUB} + 1, {_PQ_SUB})"))
+        .drop("c_emb")
+    )
+    packed_seeds = seeds_sub.agg(
+        F.collect_list(F.struct("s", "cell", "seedvec")).alias("_seeds")
+    )
+    assigned = sub.crossJoin(F.broadcast(packed_seeds)).withColumn(
+        "cell",
+        F.expr(
+            "array_min(transform(filter(_seeds, e -> e.s = s), "
+            f"e -> struct({_SPARK_L2.format(a='subvec', b='e.seedvec')} AS d, "
+            "e.cell AS cell))).cell"
+        ),
+    )
+    cent = (
+        assigned.select("s", "cell", F.posexplode("subvec").alias("pos", "v"))
+        .groupBy("s", "cell", "pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long")
+            ).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("m", F.col("sq").cast("double") / (F.lit(1048576.0) * F.col("n")))
+        .groupBy("s", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda e: e.m
+            ).alias("centroid")
+        )
+    )
+    return cent.agg(F.collect_list(F.struct("s", "cell", "centroid")).alias("_cb"))
+
+
+def _pq_topk(q: DataFrame, c: DataFrame) -> DataFrame:
+    """PQ-ADC top-k: encode each candidate as PQ_M codebook codes, then
+    score the float query against the RECONSTRUCTION (concatenated
+    codebook entries) with the standard pinned cosine folds — the same
+    bit-exactness argument as the int8 ADC branch, so the oracle
+    reproduces every IEEE step.
+
+    Scale shape: encoding is a map-side fold against the one broadcast
+    codebook row (PQ_M · PQ_K = 128 small L2 folds per vector, a
+    CONSTANT independent of corpus size); the reconstruction and its
+    norm² derive map-side BELOW the pair join, so the pair loop stays
+    one 64-dim dot fold per (query, candidate). At 100 TB the codes
+    column (8 bytes/vector) is what the serving tier stores and scans —
+    the float corpus is only read at train/encode time.
+
+    Recall honesty: at 32× compression the reconstruction error
+    exceeds the tiny cosine gaps between near-uniform fixture vectors,
+    so top-k agreement with the exact branch is NOT a property of this
+    operator on this data — what it guarantees (and what
+    test_pq_reconstruction_and_planted_recall pins) is a
+    reconstruction-cosine floor, full codebook utilization, and rank-1
+    retrieval of true near-neighbors (planted scale-invariant copies),
+    which is the property a dedup/retrieval candidate generator needs."""
+    packed = _pq_codebook(c)
+    # One shared per-subspace argmin ("picked") carries BOTH the code
+    # and its centroid, so codes / recon / recon_n2 are cheap
+    # extractions of one expression instead of three independent
+    # argmin passes — CollapseProject inlines picked into each
+    # consumer, so keeping the argmin single-sourced bounds the
+    # duplicated work at ~3× one pass (measured: a naive
+    # codes-then-lookup formulation re-inlined the FULL encode tree
+    # into the pair-level cosine — once per (query, candidate) pair,
+    # 91 s at sf0.1 vs ~2.6 s for this shape).
+    l2 = _SPARK_L2.format(a="element_at(subs, s + 1)", b="e.centroid")
+    coded = (
+        c.crossJoin(F.broadcast(packed))
+        .withColumn(
+            "subs",
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"s -> slice(c_emb, s * {_PQ_SUB} + 1, {_PQ_SUB}))"
+            ),
+        )
+        .withColumn(
+            "picked",
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), s -> "
+                "array_min(transform(filter(_cb, e -> e.s = s), "
+                f"e -> struct({l2} AS d, e.cell AS cell, "
+                "e.centroid AS centroid))))"
+            ),
+        )
+        .withColumn("codes", F.expr("transform(picked, x -> x.cell)"))
+        .withColumn("recon", F.expr("flatten(transform(picked, x -> x.centroid))"))
+        .withColumn("recon_n2", F.expr(_SPARK_NORM2.format(a="recon")))
+        .select("candidate_id", "codes", "recon", "recon_n2")
+        # The persist is a CORRECTNESS-OF-SHAPE boundary, not a cache
+        # nicety: without it the encode tree inlines into the
+        # pair-level cosine and is re-evaluated once per (query,
+        # candidate) pair — and the expression is big enough to knock
+        # the projection out of whole-stage codegen. In production the
+        # codes/recon columns are the STORED index — reading them
+        # materialized is the design, not an optimization. Remaining
+        # wall at sf0.1 is fixed job-barrier latency on the
+        # broadcast/persist chain, not data cost (train is bounded by
+        # PQ_TRAIN_N; encode is one map-side pass).
+        .persist()
+    )
+    scored = coded.crossJoin(F.broadcast(q)).withColumn(
+        "cosine",
+        F.expr(_SPARK_DOT.format(a="q_emb", b="recon"))
+        / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("recon_n2"))),
+    )
+    return _per_query_topk(scored)
+
+
 def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3, vectorized variant of
     ``q_ann_cosine_topk``: identical plan shape (broadcast queries ×
@@ -1218,13 +1394,96 @@ _ANN_ADC_SQL = f"""
 """
 
 
+# The PQ branch mirrored: same seeded-Lloyd training per subspace
+# (fixed-point means), same L2 assignment tie-break, same pinned
+# reconstruction-cosine op order as _pq_topk.
+_ANN_PQ_SQL = f"""
+    WITH corpus AS (
+        SELECT vec_id AS id, embedding AS emb FROM embeddings
+        WHERE vec_id >= {N_QUERIES}
+    ),
+    subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+    sub AS (
+        SELECT id, s,
+               emb[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS subvec
+        FROM corpus CROSS JOIN subsp
+    ),
+    pq_seeds AS (
+        SELECT s, id - {N_QUERIES} AS cell,
+               emb[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS seedvec
+        FROM corpus CROSS JOIN subsp
+        WHERE id < {N_QUERIES + PQ_K}
+    ),
+    pq_assign0 AS (
+        SELECT id, s, subvec, cell FROM (
+            SELECT v.id, v.s, v.subvec, sd.cell,
+                   row_number() OVER (
+                       PARTITION BY v.id, v.s
+                       ORDER BY {_DUCK_L2.format(a="v.subvec", b="sd.seedvec")},
+                                sd.cell
+                   ) AS rk
+            FROM sub v JOIN pq_seeds sd ON sd.s = v.s
+            WHERE v.id < {N_QUERIES + PQ_TRAIN_N}
+        ) WHERE rk = 1
+    ),
+    pq_cent_tall AS (
+        SELECT s, cell, generate_subscripts(subvec, 1) AS pos,
+               CAST(unnest(subvec) AS DOUBLE) AS v
+        FROM pq_assign0
+    ),
+    pq_cent_agg AS (
+        SELECT s, cell, pos,
+               CAST(SUM(CAST(FLOOR(v * 1048576.0) AS BIGINT)) AS BIGINT) AS sq,
+               COUNT(*) AS n
+        FROM pq_cent_tall GROUP BY 1, 2, 3
+    ),
+    codebook AS (
+        SELECT s, cell, list(sq::DOUBLE / (1048576.0 * n) ORDER BY pos) AS centroid
+        FROM pq_cent_agg GROUP BY s, cell
+    ),
+    encoded AS (
+        SELECT id, s, centroid FROM (
+            SELECT v.id, v.s, cb.centroid,
+                   row_number() OVER (
+                       PARTITION BY v.id, v.s
+                       ORDER BY {_DUCK_L2.format(a="v.subvec", b="cb.centroid")},
+                                cb.cell
+                   ) AS rk
+            FROM sub v JOIN codebook cb ON cb.s = v.s
+        ) WHERE rk = 1
+    ),
+    recon AS (
+        SELECT id AS candidate_id, flatten(list(centroid ORDER BY s)) AS recon
+        FROM encoded GROUP BY id
+    ),
+    pq_q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    pq_scored AS (
+        SELECT q.query_id, r.candidate_id,
+               ({_DUCK_DOT.format(a="q.q_emb", b="r.recon")})
+               / (sqrt({_DUCK_NORM2.format(a="q.q_emb")})
+                  * sqrt({_DUCK_NORM2.format(a="r.recon")})) AS cosine
+        FROM recon r CROSS JOIN pq_q q
+    )
+    SELECT query_id, candidate_id, cosine,
+           CAST(row_number() OVER
+               (PARTITION BY query_id ORDER BY cosine DESC, candidate_id)
+               AS BIGINT) AS rank
+    FROM pq_scored
+    QUALIFY rank <= {TOP_K}
+"""
+
+
 @register(
     "q_ann_topk_suite",
     oracle=f"""
     WITH exact AS ({_ANN_EXACT_SQL}),
     lsh AS ({_ANN_LSH_SQL}),
     ivf AS ({_ANN_IVF_SQL}),
-    adc AS ({_ANN_ADC_SQL})
+    adc AS ({_ANN_ADC_SQL}),
+    pq AS ({_ANN_PQ_SQL})
     SELECT 'exact' AS method, query_id, candidate_id,
            {_COSQ_SQL} AS cosine_q, rank
     FROM exact
@@ -1237,10 +1496,12 @@ _ANN_ADC_SQL = f"""
     SELECT 'ivf', query_id, candidate_id, {_COSQ_SQL}, rank FROM ivf
     UNION ALL
     SELECT 'adc', query_id, candidate_id, {_COSQ_SQL}, rank FROM adc
+    UNION ALL
+    SELECT 'pq', query_id, candidate_id, {_COSQ_SQL}, rank FROM pq
     """,
 )
 def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k, all five strategies under one hash gate: 'exact'
+    """ANN top-k, all six strategies under one hash gate: 'exact'
     (fold-cosine brute force — the recall baseline), 'vectorized' (the
     SAME plan with the Arrow pandas-UDF kernel — cumsum-fold
     accumulation makes it BIT-identical to the exact branch, so its
@@ -1248,11 +1509,14 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorings), 'ivf' (seeded one-iteration Lloyd, nprobe=4 of 16 —
     fully SQL-mirrored thanks to fixed-point centroid means), and 'adc'
     (float query × int8-quantized corpus with per-vector scale — the
-    memory-bound serving layout; see ``_adc_topk``). Ranks are
-    computed over each branch's raw cosine (ties broken by
-    candidate_id); the quantized cosine is the shared value surface.
+    memory-bound serving layout; see ``_adc_topk``), and 'pq' (true
+    product quantization: per-subspace trained codebooks, 8 code bytes
+    per vector, query scored against the reconstruction — see
+    ``_pq_topk``). Ranks are computed over each branch's raw cosine
+    (ties broken by candidate_id); the quantized cosine is the shared
+    value surface.
 
-    The five branches share ONE persisted corpus frame (candidate id +
+    The six branches share ONE persisted corpus frame (candidate id +
     embedding + precomputed norm²): without it each branch re-reads the
     parquet scan and re-folds the norms — scans and re-folds per
     branch collapse to 1 cached scan (the ADC code columns derive
@@ -1279,4 +1543,5 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q6(_lsh_topk(queries, corpus), "lsh"))
         .unionByName(q6(_ivf_topk_over(queries, corpus, IVF_NPROBE), "ivf"))
         .unionByName(q6(_adc_topk(queries, corpus), "adc"))
+        .unionByName(q6(_pq_topk(queries, corpus), "pq"))
     )

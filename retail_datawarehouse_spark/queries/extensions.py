@@ -283,18 +283,64 @@ def q_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_json_props_stats",
+    "q_json_suite",
     oracle="""
-    SELECT event_type,
-           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+    SELECT 'props' AS part, event_type AS key_s,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS v1,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS v2,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS sum_k,
+                AS BIGINT) AS v3,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
+    UNION ALL
+    SELECT 'jsonl', src, sum_n_chars, sum_text_len, n_langs, n_docs
+    FROM (
+    SELECT source AS src,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents WHERE doc_id % 97 <> 0
+    GROUP BY source
+    UNION ALL
+    SELECT '__quarantined__', COUNT(*), NULL, NULL, 0
+    FROM documents WHERE doc_id % 97 = 0
+    )
     """,
 )
+def q_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semi-structured JSON surface as one part-tagged suite
+    (driver gates exactly 50 sorted names, so parts fold — COVERAGE.md):
+
+    - 'props': extract a typed field from the JSON ``props`` payload
+      and aggregate (``q_json_props_stats``).
+    - 'jsonl': line-delimited JSON landing-zone ingest with
+      corrupt-record quarantine (``queries/sinks.py q_jsonl_ingest``) —
+      write → PERMISSIVE declared-schema scan → per-source stats with
+      the quarantined lines as their own bucket."""
+    from retail_datawarehouse_spark.queries.sinks import q_jsonl_ingest
+
+    null_l = F.lit(None).cast("long")
+    props = q_json_props_stats(spark, sf_dir).select(
+        F.lit("props").alias("part"),
+        F.col("event_type").alias("key_s"),
+        F.col("min_k").alias("v1"),
+        F.col("max_k").alias("v2"),
+        F.col("sum_k").alias("v3"),
+        "n",
+    )
+    jsonl = q_jsonl_ingest(spark, sf_dir).select(
+        F.lit("jsonl").alias("part"),
+        F.col("src").alias("key_s"),
+        F.col("sum_n_chars").alias("v1"),
+        F.col("sum_text_len").alias("v2"),
+        F.col("n_langs").alias("v3"),
+        F.col("n_docs").alias("n"),
+    )
+    return props.unionByName(jsonl)
+
+
 def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: extract a typed field from the
     JSON ``props`` payload and aggregate. ``get_json_object`` runs

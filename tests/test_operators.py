@@ -1351,3 +1351,102 @@ def test_text_mining_tokenized_memo_no_cache_accrual(spark, sf_dir):
     assert not (df1.storageLevel.useMemory or df1.storageLevel.useDisk)
     _run("q_text_mining", spark, sf_dir).count()
     assert df1.storageLevel.useMemory or df1.storageLevel.useDisk
+
+
+def test_pq_reconstruction_and_planted_recall(spark, sf_correctness_dir):
+    """What PQ does and does not guarantee, pinned honestly. At 32×
+    compression (64 float32 → 8 code bytes) reconstruction error is
+    LARGER than the tiny cosine gaps between near-uniform fixture
+    vectors (max pairwise cosine ≈ 0.44), so top-3-vs-exact recall is
+    meaningless noise on this data — the property that matters for a
+    dedup/retrieval candidate generator is that a TRUE near-neighbor
+    (cosine ≈ 1) survives quantization. Three pins:
+
+    1. Reconstruction quality floor: avg cosine(original, recon) ≥ 0.55,
+       min ≥ 0.4 (measured 0.628 / 0.454 at sf0.01).
+    2. Codebook utilization: every subspace uses all PQ_K cells
+       (training didn't collapse; measured all 16 in all 8 subspaces).
+    3. Planted-neighbor recall: a scaled copy of a corpus vector
+       (cosine 1 with its original; scale-invariant like the injected
+       dup corpora) retrieves its original at RANK 1 — the ~0.56
+       cosine gap to everything else dwarfs reconstruction error
+       (measured 4/4 at sf0.01 and 19/19 at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from retail_datawarehouse_spark.operators.similarity import (
+        _PQ_SUB,
+        PQ_K,
+        PQ_M,
+        _ann_corpus,
+        _pq_codebook,
+        _pq_topk,
+        _SPARK_DOT,
+        _SPARK_L2,
+        _SPARK_NORM2,
+        norm2_col,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    corpus = _ann_corpus(emb).persist()
+
+    # 1+2: reconstruction stats and utilization from the coded frame.
+    packed = _pq_codebook(corpus)
+    l2 = _SPARK_L2.format(a="element_at(subs, s + 1)", b="e.centroid")
+    coded = (
+        corpus.crossJoin(F.broadcast(packed))
+        .withColumn(
+            "subs",
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"s -> slice(c_emb, s * {_PQ_SUB} + 1, {_PQ_SUB}))"
+            ),
+        )
+        .withColumn(
+            "picked",
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), s -> "
+                "array_min(transform(filter(_cb, e -> e.s = s), "
+                f"e -> struct({l2} AS d, e.cell AS cell, "
+                "e.centroid AS centroid))))"
+            ),
+        )
+        .withColumn("codes", F.expr("transform(picked, x -> x.cell)"))
+        .withColumn("recon", F.expr("flatten(transform(picked, x -> x.centroid))"))
+    )
+    rc = (
+        F.expr(_SPARK_DOT.format(a="c_emb", b="recon"))
+        / (
+            F.sqrt(F.expr(_SPARK_NORM2.format(a="c_emb")))
+            * F.sqrt(F.expr(_SPARK_NORM2.format(a="recon")))
+        )
+    ).alias("rc")
+    stats = coded.select(rc).agg(
+        F.avg("rc").alias("avg_rc"), F.min("rc").alias("min_rc")
+    ).collect()[0]
+    assert stats.avg_rc >= 0.55, stats
+    assert stats.min_rc >= 0.4, stats
+
+    used = (
+        coded.select(F.posexplode("codes").alias("s", "cell"))
+        .groupBy("s")
+        .agg(F.countDistinct("cell").alias("n"))
+        .collect()
+    )
+    assert len(used) == PQ_M
+    assert all(r.n == PQ_K for r in used), [(r.s, r.n) for r in used]
+
+    # 3: planted scale-invariant neighbors retrieved at rank 1.
+    q = (
+        corpus.filter(F.col("candidate_id") % 100 == 0)
+        .select(
+            F.col("candidate_id").alias("query_id"),
+            F.expr("transform(c_emb, x -> x * 1.5f)").alias("q_emb"),
+        )
+        .withColumn("q_n2", norm2_col("q_emb"))
+    )
+    top = _pq_topk(q, corpus).filter("rank = 1").collect()
+    assert top, "no planted queries"
+    misses = [(r.query_id, r.candidate_id) for r in top if r.candidate_id != r.query_id]
+    assert not misses, misses
+    corpus.unpersist()

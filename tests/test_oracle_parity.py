@@ -63,8 +63,7 @@ WALL_BUDGET_S: dict[str, float] = {
     "q_fact_monthly_snapshot": 15.0,  # measured 0.94 (see note)
     "q_fact_sales": 15.0,  # measured 0.42 (see note)
     "q_grouping_sets_suite": 15.0,  # measured 0.54 (see note)
-    "q_json_props_stats": 15.0,  # measured 0.37 (see note)
-    "q_jsonl_ingest": 15.0,  # measured 5.7 cold incl. landing write
+    "q_json_suite": 15.0,  # measured 5.7 cold incl. the landing write
     "q_merge_upsert_customers": 15.0,  # measured 0.32 (see note)
     "q_multimodal_suite": 15.0,  # measured 2.45 (see note)
     "q_pack_sequences": 15.0,  # measured 0.17 (see note)

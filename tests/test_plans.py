@@ -564,7 +564,16 @@ SHUFFLE_BUDGET = {
     # the same single exchange every other branch pays. Code columns
     # derive map-side from the shared persisted corpus (no extra scan
     # or shuffle below the pair join).
-    "q_ann_topk_suite": 10,
+    # r6: 10 → 30 STATIC. The PQ branch's codebook train + packed
+    # broadcast + persisted coded frame print their lineage at each
+    # reference in the formatted plan (same static-vs-executed gap as
+    # q_dedup_components). EXECUTED per run: the train aggregates are
+    # bounded by PQ_M·PQ_K·sub_dim = 1024 rows (train sample itself
+    # bounded by PQ_TRAIN_N), the encode is one map-side pass over the
+    # shared corpus cache, and the branch's own window top-k is the
+    # same single data-sized exchange every other branch pays. Wall is
+    # gated by WALL_BUDGET_S and the bench band.
+    "q_ann_topk_suite": 30,
     "q_corpus_shard": 1,
     "q_customer_derived_attrs": 1,
     "q_decontaminate_suite": 4,
@@ -605,10 +614,10 @@ SHUFFLE_BUDGET = {
     "q_fact_monthly_snapshot": 4,
     "q_fact_sales": 4,
     "q_grouping_sets_suite": 3,
-    "q_json_props_stats": 1,
-    # r6: JSONL landing ingest — scan-stage quarantine bucketing, then
-    # one count-distinct aggregate (2 exchanges, both output-sized).
-    "q_jsonl_ingest": 2,
+    # r6: q_json_props_stats (1) folded with the JSONL landing ingest
+    # (scan-stage quarantine bucketing + one output-sized count-distinct
+    # aggregate, 2) into the part-tagged suite — driver gates 50 names.
+    "q_json_suite": 3,
     "q_merge_upsert_customers": 2,
     "q_multimodal_suite": 0,
     "q_pack_sequences": 1,
