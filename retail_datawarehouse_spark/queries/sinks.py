@@ -193,6 +193,55 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_etl_audit_metrics",
     oracle="""
+    WITH drift_src AS (
+        SELECT CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS side,
+               CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                         AND o_orderkey % 7 = 0
+                    THEN '1-URGENT' ELSE o_orderpriority END AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents
+        FROM orders
+    ),
+    cat AS (
+        SELECT k,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                    AS DECIMAL(38,0)) AS c_ref,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                    AS DECIMAL(38,0)) AS c_cur
+        FROM drift_src GROUP BY k
+    ),
+    cat_tot AS (
+        SELECT CAST(SUM(c_ref) AS DECIMAL(38,0)) AS n_ref,
+               CAST(SUM(c_cur) AS DECIMAL(38,0)) AS n_cur
+        FROM cat
+    ),
+    tvd AS (
+        SELECT CAST(SUM(ABS(c_cur * n_ref - c_ref * n_cur))
+                    AS DECIMAL(38,0)) AS tvd_scaled,
+               MIN(n_ref) AS n_ref, MIN(n_cur) AS n_cur
+        FROM cat, cat_tot
+    ),
+    bins AS (
+        SELECT cents - (cents % 16384) AS b,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                    AS DECIMAL(38,0)) AS c_ref,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                    AS DECIMAL(38,0)) AS c_cur
+        FROM drift_src GROUP BY 1
+    ),
+    cum AS (
+        SELECT SUM(c_ref) OVER (ORDER BY b) AS cum_ref,
+               SUM(c_cur) OVER (ORDER BY b) AS cum_cur
+        FROM bins
+    ),
+    ks AS (
+        SELECT CAST(MAX(ABS(cum_cur * n_ref - cum_ref * n_cur))
+                    AS DECIMAL(38,0)) AS ks_scaled,
+               COUNT(*) AS n_bins,
+               MIN(n_ref) AS n_ref, MIN(n_cur) AS n_cur
+        FROM cum, cat_tot
+    )
     SELECT 'n_rows' AS metric, COUNT(*) AS value FROM orders
     UNION ALL
     SELECT 'nulls_clerk_sim', CAST(SUM(CASE WHEN o_orderkey % 10 = 0
@@ -201,6 +250,22 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'n_f_status', COUNT(*) FILTER (WHERE o_orderstatus = 'F')
     FROM orders
+    UNION ALL
+    SELECT 'drift_cat_tvd_scaled', CAST(tvd_scaled AS BIGINT) FROM tvd
+    UNION ALL
+    SELECT 'drift_cat_flag',
+           CASE WHEN tvd_scaled * 1000 > 2 * n_ref * n_cur * 50
+                THEN 1 ELSE 0 END
+    FROM tvd
+    UNION ALL
+    SELECT 'drift_ks_scaled', CAST(ks_scaled AS BIGINT) FROM ks
+    UNION ALL
+    SELECT 'drift_ks_flag',
+           CASE WHEN ks_scaled * 1000 > n_ref * n_cur * 50
+                THEN 1 ELSE 0 END
+    FROM ks
+    UNION ALL
+    SELECT 'drift_ks_bins', n_bins FROM ks
     """,
 )
 def q_etl_audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,8 +274,26 @@ def q_etl_audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit at 100 TB; a count() per stage is an extra full scan each) —
     then emitted as (metric, value) rows the oracle recomputes with
     plain SQL. The observed frame injects a deterministic null pattern
-    so the null-count metric is visibly non-zero on complete fixtures."""
+    so the null-count metric is visibly non-zero on complete fixtures.
+
+    Extended with the drift-monitoring panel (``operators/drift.py``):
+    the order stream is split at 1998-01-01 into reference/current
+    slices and two exact-integer drift statistics ride alongside the
+    audit counters — scaled TVD on the priority mix (with a
+    deterministic relabel injected on the current side, same pattern
+    as the null injection, so the flag demonstrably FIRES on a
+    stationary fixture: ~1/7 of current rows move to '1-URGENT' →
+    TVD ≈ 0.114 > 0.05) and binned-ECDF KS on the untouched price
+    distribution (stationary → flag 0 — both flag states are part of
+    the hash-gated surface). Each statistic is one extra scan+shuffle
+    keyed on key/bin cardinality; at 100 TB the two would fuse into a
+    single GROUPING SETS pass over the same scan."""
     from retail_datawarehouse_spark.etl.audit import observed
+    from retail_datawarehouse_spark.functions.money import dec
+    from retail_datawarehouse_spark.operators.drift import (
+        binned_ks_drift,
+        categorical_drift_summary,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     staged = orders.withColumn(
@@ -232,7 +315,38 @@ def q_etl_audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df.write.format("noop").mode("overwrite").save()  # the one real pass
     metrics = obs.get
-    return spark.createDataFrame(
+    audit = spark.createDataFrame(
         [(k, int(v)) for k, v in metrics.items()],
         "metric string, value long",
     )
+
+    is_cur = (
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1998-01-01"))
+    ).cast("int")
+    tagged = orders.select(
+        is_cur.alias("side"),
+        F.when(
+            (is_cur == 1) & (F.col("o_orderkey") % 7 == 0), F.lit("1-URGENT")
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("k"),
+        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cat = categorical_drift_summary(tagged, F.col("k"), F.col("side"))
+    ks = binned_ks_drift(tagged, F.col("cents"), F.col("side"))
+    drift = cat.select(
+        F.expr(
+            "stack(2, 'drift_cat_tvd_scaled', CAST(tvd_scaled AS BIGINT),"
+            " 'drift_cat_flag', flag) AS (metric, value)"
+        )
+    ).unionByName(
+        ks.select(
+            F.expr(
+                "stack(3, 'drift_ks_scaled', CAST(ks_scaled AS BIGINT),"
+                " 'drift_ks_flag', flag,"
+                " 'drift_ks_bins', CAST(n_bins AS BIGINT))"
+                " AS (metric, value)"
+            )
+        )
+    )
+    return audit.unionByName(drift)

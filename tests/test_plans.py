@@ -607,7 +607,14 @@ SHUFFLE_BUDGET = {
     "q_dim_product": 1,
     "q_dim_time_of_day": 0,
     "q_embedding_suite": 1,
-    "q_etl_audit_metrics": 0,
+    # r6: 0 → 8. The entry gained the drift-monitoring panel
+    # (operators/drift.py): two statistics, each one key/bin-cardinality
+    # groupBy over the side-tagged orders scan plus 1-row totals /
+    # summary aggregates (the rest of the 8 are those 1-row frames and
+    # the bounded-bin cumsum window — metadata-sized, not data-sized;
+    # the only data-sized exchanges are the two partial-agg'd groupBys).
+    # The audit counters themselves still ride the ONE observe pass.
+    "q_etl_audit_metrics": 8,
     "q_etl_clean_staging": 1,
     "q_etl_stages_suite": 5,
     "q_event_funnel_asof": 2,
