@@ -154,6 +154,67 @@ def categorical_drift_summary(
     )
 
 
+def categorical_drift_from_profiles(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    thresh_permille: int = DEFAULT_THRESH_PERMILLE,
+) -> DataFrame:
+    """Same 1-row summary as ``categorical_drift_summary``, but from
+    two PRE-AGGREGATED (k, c) count profiles — the monitoring shape:
+    the reference profile is computed once from the corpus and reused
+    against every arriving batch, so steady-state drift checks never
+    touch the reference data again.
+
+    Folding the two profiles goes through a union + re-groupBy rather
+    than a full-outer join (full outer can't broadcast, and a join
+    would drop single-side keys under the wrong join type); both
+    inputs are key-cardinality frames, so the one shuffle here is
+    metadata-sized.
+    """
+    unioned = ref_counts.select(
+        F.col("k"),
+        F.col("c").cast(DEC).alias("c_ref"),
+        F.lit(0).cast(DEC).alias("c_cur"),
+    ).unionByName(
+        cur_counts.select(
+            F.col("k"),
+            F.lit(0).cast(DEC).alias("c_ref"),
+            F.col("c").cast(DEC).alias("c_cur"),
+        )
+    )
+    counts = unioned.groupBy("k").agg(
+        F.sum("c_ref").cast(DEC).alias("c_ref"),
+        F.sum("c_cur").cast(DEC).alias("c_cur"),
+    )
+    per_key = _with_totals(counts).select(
+        F.abs(
+            F.col("c_cur") * F.col("n_ref") - F.col("c_ref") * F.col("n_cur")
+        ).alias("dev"),
+        "n_ref",
+        "n_cur",
+    )
+    return per_key.groupBy("n_ref", "n_cur").agg(
+        F.sum("dev").cast(DEC).alias("tvd_scaled")
+    ).select(
+        "tvd_scaled",
+        "n_ref",
+        "n_cur",
+        (
+            F.col("tvd_scaled") * 1000
+            > F.lit(2) * F.col("n_ref") * F.col("n_cur") * thresh_permille
+        ).cast("long").alias("flag"),
+    )
+
+
+def key_profile(df: DataFrame, key: Column) -> DataFrame:
+    """(k, c) count profile of a frame — the stored reference side of
+    ``categorical_drift_from_profiles``. One partial-agg'd shuffle of
+    key cardinality."""
+    return df.groupBy(key.alias("k")).agg(
+        F.count(F.lit(1)).cast(DEC).alias("c")
+    )
+
+
 def binned_ks_drift(
     tagged: DataFrame,
     cents: Column,
