@@ -206,6 +206,99 @@ def categorical_drift_from_profiles(
     )
 
 
+def embedding_centroid_drift(
+    tall: DataFrame,
+    thresh_permille: int = DEFAULT_THRESH_PERMILLE,
+    q_scale: int = 65536,
+) -> DataFrame:
+    """Embedding-distribution drift: fixed-point centroid shift between
+    a reference (side=0) and current (side=1) vector population.
+
+    ``tall`` is the exploded fixed-point image (side int, pos long —
+    1-based dimension, q long — floor(v·q_scale), q2 long —
+    floor(v·v·q_scale)); the caller owns quantization so injection /
+    preprocessing stays engine-mirrorable. The default q_scale is 2^16
+    (not the centroid pipeline's 2^20): the cross-multiplied products
+    below grow with (q_scale·n)², and 2^16 keeps the DECIMAL(38,0)
+    headroom good to ~10^5 vectors/side (the 100× probe scale) — scaling
+    by a power of two is an EXACT double operation, so any power-of-two
+    choice stays engine-identical. The centroid discipline is
+    `q_embedding_centroids`' (floor-quantize, exact int64 sums — float
+    means can't be hash-compared), and the drift test is scale-FREE:
+    the mean-vector shift is compared against the reference's RMS
+    vector norm, not the mean-vector norm (embeddings are near
+    zero-centered, so ‖μ_ref‖ is itself sampling noise — a threshold
+    relative to it is unstable; E‖v‖² is O(1) regardless of
+    centering):
+
+        drift ⇔ ‖Δμ‖² > ε² · E‖v‖²_ref
+              ⇔ Σ_pos(s_cur·n_ref − s_ref·n_cur)² · 10⁶
+                   > permille² · Σ_pos s2_ref · q_scale · n_ref · n_cur²
+
+    — all integer (DECIMAL(38,0) products). Output is part-shaped for
+    a suite fold: per-dimension rows (key_s='dim', pos, n=n_ref,
+    iv = s_cur − s_ref — WHICH dimensions moved, the diagnostic a
+    scalar statistic can't give) plus one flag row (key_s='flag').
+
+    Scale: one K×dim-sized shuffle (partial-agg'd posexplode groupBy,
+    the centroid cost), then 1-row math; the per-pos frame persists
+    (dim-count rows) because both the dim rows and the flag reference
+    it. The cross-multiplied form keeps every step division-free; its
+    DECIMAL(38,0) headroom covers ~10^10 rows/side — beyond that,
+    switch the comparison to per-side floor-divided means (bounded at
+    any n; costs one documented trunc-vs-floor division-semantics
+    pin between engines).
+    """
+    side = F.col("side")
+    per_pos = (
+        tall.groupBy("pos")
+        .agg(
+            F.sum(F.when(side == 0, F.col("q")).otherwise(0))
+            .cast(DEC)
+            .alias("sr"),
+            F.sum(F.when(side == 1, F.col("q")).otherwise(0))
+            .cast(DEC)
+            .alias("sc"),
+            F.sum(F.when(side == 0, 1).otherwise(0)).cast(DEC).alias("nr"),
+            F.sum(F.when(side == 1, 1).otherwise(0)).cast(DEC).alias("nc"),
+            F.sum(F.when(side == 0, F.col("q2")).otherwise(0))
+            .cast(DEC)
+            .alias("s2r"),
+        )
+        .persist()
+    )
+    dim_rows = per_pos.select(
+        F.lit("dim").alias("key_s"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("nr").cast("long").alias("n"),
+        (F.col("sc") - F.col("sr")).cast("long").alias("iv"),
+    )
+    d = F.col("sc") * F.col("nr") - F.col("sr") * F.col("nc")
+    flag_row = (
+        per_pos.agg(
+            F.sum(d * d).cast(DEC).alias("d2"),
+            F.sum("s2r").cast(DEC).alias("s2"),
+            F.max("nr").alias("nr"),
+            F.max("nc").alias("nc"),
+        )
+        .select(
+            F.lit("flag").alias("key_s"),
+            F.lit(0).cast("long").alias("pos"),
+            F.lit(None).cast("long").alias("n"),
+            (
+                F.col("d2") * 1000000
+                > F.lit(thresh_permille * thresh_permille)
+                * F.col("s2")
+                * q_scale
+                * F.col("nr")
+                * F.col("nc")
+                * F.col("nc")
+            ).cast("long").alias("iv"),
+        )
+    )
+    return dim_rows.unionByName(flag_row)
+
+
 def key_profile(df: DataFrame, key: Column) -> DataFrame:
     """(k, c) count profile of a frame — the stored reference side of
     ``categorical_drift_from_profiles``. One partial-agg'd shuffle of

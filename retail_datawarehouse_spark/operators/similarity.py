@@ -1254,11 +1254,98 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Consolidated embedding-math entry (driver checks ≤50 names) --------
 
 
+# Embedding-drift part: parity split (even vec_ids = reference, odd =
+# current) with a deterministic injected shift on the current side —
+# +0.25 on every 5th dimension (16384 at the kernel's q16 scale, an
+# integer add AFTER quantization so zero float arithmetic rides the
+# injection) — so the flag demonstrably FIRES; the un-injected parity
+# split is quiet at sf0.1 (28‰ noise floor vs the 50‰ line) while at
+# sf0.01's 250 vectors/side the noise floor of a 64-dim mean is
+# honestly ABOVE the line (89‰) — both pinned by test. 2^16 scaling
+# is an EXACT double multiply (power of two), engine-identical.
+_EMBEDDING_DRIFT_SQL = """
+    WITH d_tall0 AS (
+        SELECT vec_id % 2 AS side,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    d_tall AS (
+        SELECT side, CAST(pos AS BIGINT) AS pos,
+               CAST(FLOOR(v * 65536.0) AS BIGINT)
+                   + CASE WHEN side = 1 AND pos % 5 = 0
+                          THEN 16384 ELSE 0 END AS q,
+               CAST(FLOOR((v * v) * 65536.0) AS BIGINT) AS q2
+        FROM d_tall0
+    ),
+    d_pos AS (
+        SELECT pos,
+               CAST(SUM(CASE WHEN side = 0 THEN q ELSE 0 END)
+                    AS HUGEINT) AS sr,
+               CAST(SUM(CASE WHEN side = 1 THEN q ELSE 0 END)
+                    AS HUGEINT) AS sc,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS nr,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS nc,
+               CAST(SUM(CASE WHEN side = 0 THEN q2 ELSE 0 END)
+                    AS HUGEINT) AS s2r
+        FROM d_tall GROUP BY pos
+    ),
+    d_dim AS (
+        SELECT 'dim' AS key_s, pos, CAST(nr AS BIGINT) AS n,
+               CAST(sc - sr AS BIGINT) AS iv
+        FROM d_pos
+    ),
+    d_flag AS (
+        SELECT 'flag' AS key_s, CAST(0 AS BIGINT) AS pos,
+               CAST(NULL AS BIGINT) AS n,
+               CAST(CASE WHEN
+                   SUM((sc * nr - sr * nc) * (sc * nr - sr * nc)) * 1000000
+                   > 2500 * SUM(s2r) * 65536 * MAX(nr) * MAX(nc) * MAX(nc)
+               THEN 1 ELSE 0 END AS BIGINT) AS iv
+        FROM d_pos
+    )
+    SELECT * FROM d_dim UNION ALL SELECT * FROM d_flag
+"""
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift over the parity-split fixture with the injected
+    current-side shift (see ``_EMBEDDING_DRIFT_SQL``); kernel docs in
+    ``operators/drift.py::embedding_centroid_drift``."""
+    from retail_datawarehouse_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    tall0 = emb.select(
+        (F.col("vec_id") % 2).cast("int").alias("side"),
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "side", (F.col("pos0") + 1).cast("long").alias("pos"), "v"
+    )
+    tall = tall0.select(
+        "side",
+        "pos",
+        (
+            F.floor(v * F.lit(65536.0)).cast("long")
+            + F.when(
+                (F.col("side") == 1) & (F.col("pos") % 5 == 0), 16384
+            ).otherwise(0)
+        ).alias("q"),
+        F.floor((v * v) * F.lit(65536.0)).cast("long").alias("q2"),
+    )
+    return embedding_centroid_drift(tall, q_scale=65536)
+
+
 @register(
     "q_embedding_suite",
     oracle=f"""
     WITH cent AS ({_EMBEDDING_CENTROIDS_SQL}),
-    quant AS ({_EMBEDDING_QUANTIZE_SQL})
+    quant AS ({_EMBEDDING_QUANTIZE_SQL}),
+    drift AS ({_EMBEDDING_DRIFT_SQL})
     SELECT 'centroid' AS part, CAST(label AS VARCHAR) AS key_s, pos,
            n, sum_q20 AS iv, centroid AS dv
     FROM cent
@@ -1266,12 +1353,18 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'quantize', CAST(vec_id AS VARCHAR), pos,
            CAST(NULL AS BIGINT), code, scale
     FROM quant
+    UNION ALL
+    SELECT 'drift', key_s, pos, n, iv, CAST(NULL AS DOUBLE)
+    FROM drift
     """,
 )
 def q_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding column math — fixed-point-exact per-label centroids and
-    symmetric int8 quantization — as one part-tagged union; both emit
-    tall (key, pos) so the hash gate compares scalars."""
+    """Embedding column math — fixed-point-exact per-label centroids,
+    symmetric int8 quantization, and the centroid-shift drift panel
+    (per-dimension Δsums naming WHICH dimensions moved + the
+    scale-free integer flag, ``operators/drift.py``) — as one
+    part-tagged union; all emit tall (key, pos) so the hash gate
+    compares scalars."""
     null_l = F.lit(None).cast("long")
     cent = q_embedding_centroids(spark, sf_dir).select(
         F.lit("centroid").alias("part"),
@@ -1289,7 +1382,15 @@ def q_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("code").alias("iv"),
         F.col("scale").alias("dv"),
     )
-    return cent.unionByName(quant)
+    drift = q_embedding_drift(spark, sf_dir).select(
+        F.lit("drift").alias("part"),
+        "key_s",
+        "pos",
+        "n",
+        "iv",
+        F.lit(None).cast("double").alias("dv"),
+    )
+    return cent.unionByName(quant).unionByName(drift)
 
 
 # --- Consolidated ANN entry: all four top-k variants, one oracle --------

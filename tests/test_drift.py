@@ -145,3 +145,146 @@ def test_audit_entry_carries_drift_panel(spark, sf_dir):
     assert m["drift_ks_flag"] == 0
     assert m["drift_ks_scaled"] > 0  # finite-sample noise, never exactly 0
     assert m["drift_ks_bins"] > 100  # real binning, bounded domain
+
+
+def _emb_tall(spark, vecs):
+    """(side, pos, q, q2) q16 image of {vec_id: [floats]}."""
+    import math
+
+    rows = []
+    for vid, v in vecs.items():
+        for i, x in enumerate(v):
+            rows.append(
+                (
+                    vid % 2,
+                    i + 1,
+                    math.floor(x * 65536.0),
+                    math.floor((x * x) * 65536.0),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "side int, pos long, q long, q2 long"
+    ), rows
+
+
+def _py_emb_drift(rows, permille, q_scale):
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])  # sr, sc, nr, nc, s2r
+    for side, pos, q, q2 in rows:
+        a = agg[pos]
+        if side == 0:
+            a[0] += q
+            a[2] += 1
+            a[4] += q2
+        else:
+            a[1] += q
+            a[3] += 1
+    d2 = sum((a[1] * a[2] - a[0] * a[3]) ** 2 for a in agg.values())
+    s2 = sum(a[4] for a in agg.values())
+    nr = max(a[2] for a in agg.values())
+    nc = max(a[3] for a in agg.values())
+    dims = {p: (a[2], a[1] - a[0]) for p, a in agg.items()}
+    flag = 1 if d2 * 1000000 > permille * permille * s2 * q_scale * nr * nc * nc else 0
+    return dims, flag
+
+
+def test_embedding_drift_matches_python_fires_on_shift(spark):
+    # current side (odd ids) shifted +0.5 in dim 1: well past 5% of RMS
+    vecs = {}
+    for vid in range(40):
+        base = [((vid * 7 + i * 3) % 11 - 5) / 5.0 for i in range(8)]
+        if vid % 2 == 1:
+            base[0] += 0.5
+        vecs[vid] = base
+    tall, rows = _emb_tall(spark, vecs)
+    from retail_datawarehouse_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+
+    got = embedding_centroid_drift(tall, q_scale=65536).collect()
+    dims = {r.pos: (r.n, r.iv) for r in got if r.key_s == "dim"}
+    flag = [r.iv for r in got if r.key_s == "flag"]
+    want_dims, want_flag = _py_emb_drift(rows, 50, 65536)
+    assert dims == want_dims
+    assert flag == [want_flag] == [1]
+    # the shifted dimension carries (by far) the largest |delta-sum|
+    assert max(dims, key=lambda p: abs(dims[p][1])) == 1
+
+
+def test_embedding_drift_quiet_on_identical_populations(spark):
+    # both sides the SAME 20 vectors -> delta sums exactly 0, flag 0
+    vecs = {}
+    for vid in range(40):
+        j = vid // 2
+        vecs[vid] = [((j * 7 + i * 3) % 11 - 5) / 5.0 for i in range(8)]
+    tall, rows = _emb_tall(spark, vecs)
+    from retail_datawarehouse_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+
+    got = embedding_centroid_drift(tall, q_scale=65536).collect()
+    assert all(r.iv == 0 for r in got if r.key_s == "dim")
+    assert [r.iv for r in got if r.key_s == "flag"] == [0]
+
+
+def test_embedding_drift_fixture_uninjected_quiet_injected_fires(spark):
+    """The raw parity split of the fixture sits BELOW the 5% line
+    (sampling noise only) while the entry's injected split fires —
+    the statistic separates noise from shift on real data rather than
+    firing on everything. The quiet half needs sf0.1: the fixture's
+    vectors are unit-normalized (E‖v‖² = 1, per-dim RMS 0.125), so
+    the mean-shift noise floor is √(2·dim/n_side)·0.125 of RMS —
+    89‰ at sf0.01's 250/side (correctly above the line: a 64-dim mean
+    from 250 samples IS that uncertain) and 28‰ at sf0.1's
+    2500/side. The embeddings table at sf0.1 is 5000 rows — cheap."""
+    sf_dir = "/root/testdata/sf0.1"
+    from pyspark.sql import functions as F
+
+    from retail_datawarehouse_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+    from retail_datawarehouse_spark.operators.similarity import (
+        q_embedding_drift,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    plain = (
+        emb.select(
+            (F.col("vec_id") % 2).cast("int").alias("side"),
+            F.posexplode("embedding").alias("pos0", "v"),
+        )
+        .select("side", (F.col("pos0") + 1).cast("long").alias("pos"), "v")
+        .select(
+            "side",
+            "pos",
+            F.floor(v * F.lit(65536.0)).cast("long").alias("q"),
+            F.floor((v * v) * F.lit(65536.0)).cast("long").alias("q2"),
+        )
+    )
+    quiet = embedding_centroid_drift(plain, q_scale=65536)
+    assert [r.iv for r in quiet.collect() if r.key_s == "flag"] == [0]
+    fired = q_embedding_drift(spark, sf_dir)
+    assert [r.iv for r in fired.collect() if r.key_s == "flag"] == [1]
+    # and at sf0.01 the UN-injected parity split fires too — the noise
+    # floor of a 250-sample 64-dim mean genuinely exceeds 5% of RMS;
+    # pin it so the threshold's small-sample honesty is documented
+    # behavior, not an accident
+    emb001 = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    plain001 = (
+        emb001.select(
+            (F.col("vec_id") % 2).cast("int").alias("side"),
+            F.posexplode("embedding").alias("pos0", "v"),
+        )
+        .select("side", (F.col("pos0") + 1).cast("long").alias("pos"), "v")
+        .select(
+            "side",
+            "pos",
+            F.floor(v * F.lit(65536.0)).cast("long").alias("q"),
+            F.floor((v * v) * F.lit(65536.0)).cast("long").alias("q2"),
+        )
+    )
+    noisy = embedding_centroid_drift(plain001, q_scale=65536)
+    assert [r.iv for r in noisy.collect() if r.key_s == "flag"] == [1]

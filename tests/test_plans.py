@@ -606,7 +606,13 @@ SHUFFLE_BUDGET = {
     "q_dim_extracted_suite": 5,
     "q_dim_product": 1,
     "q_dim_time_of_day": 0,
-    "q_embedding_suite": 1,
+    # r6: 1 → 3. The suite gained the centroid-shift drift part
+    # (operators/drift.py): one K×dim posexplode groupBy (the same
+    # centroid cost class as the existing part) whose persisted per-pos
+    # frame feeds both the dim rows and the 1-row flag aggregate — the
+    # two extra exchanges are that groupBy and the dim-count-sized
+    # flag aggregate.
+    "q_embedding_suite": 3,
     # r6: 0 → 8. The entry gained the drift-monitoring panel
     # (operators/drift.py): two statistics, each one key/bin-cardinality
     # groupBy over the side-tagged orders scan plus 1-row totals /
