@@ -467,8 +467,13 @@ def test_entity_resolution_blocked_join_no_corpus_shuffle(spark, sf_dir):
 # crossJoins TWO 1-row broadcast frames per round (the node count N and
 # the round's dangling sum ds) — the same N×1 bounds shape; the link
 # contribution join stays a hash equi-join on the vertex key.
+# q_etl_audit_metrics (r6): the drift panel attaches (n_ref, n_cur)
+# totals to the key/bin count frames as a 1-row broadcast cross join
+# (operators/drift.py _with_totals) — N×1 again, where N is key/bin
+# cardinality, not data.
 NESTED_LOOP_ALLOWLIST = {
     "q55_snapshot_lifetime_read",
+    "q_etl_audit_metrics",
     "q_ann_topk_suite",
     "q_dedup_components",
     "q_dedup_embedding_cosine",
