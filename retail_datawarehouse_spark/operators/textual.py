@@ -17,6 +17,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from retail_datawarehouse_spark.operators.bpe import (
+    apply_bpe,
+    bpe_apply_oracle_sql,
+    bpe_oracle_cte,
+    train_bpe,
+)
 from retail_datawarehouse_spark.registry import register
 from retail_datawarehouse_spark.sources.readers import load_table
 
@@ -809,6 +815,9 @@ _LM_SQL = f"""
 """
 
 
+_BPE_CTES, _BPE_UNION = bpe_oracle_cte()
+
+
 @register(
     "q_text_mining",
     oracle=f"""
@@ -817,7 +826,8 @@ _LM_SQL = f"""
     {_DUCK_PII_DOCS},
     pii AS ({_DUCK_PII_SQL}),
     bm25 AS ({_BM25_SQL}),
-    lm AS ({_LM_SQL})
+    lm AS ({_LM_SQL}),
+    {_BPE_CTES}
     SELECT 'fp' AS part, doc_id, content_md5 AS skey,
            rolling_hash AS i1, CAST(0 AS BIGINT) AS i2, CAST(0 AS BIGINT) AS i3
     FROM fp
@@ -833,6 +843,14 @@ _LM_SQL = f"""
     UNION ALL
     SELECT 'lm', doc_id, '', lm_mass, n_tri, n_rare
     FROM lm
+    UNION ALL
+    SELECT 'bpe', round, pair, CAST(cnt AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM ({_BPE_UNION})
+    UNION ALL
+    SELECT 'bpe_enc', doc_id, enc_md5, bpe_tokens, ws_tokens,
+           CAST(0 AS BIGINT)
+    FROM ({bpe_apply_oracle_sql()})
     """,
 )
 def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -841,13 +859,17 @@ def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode-aggregate pipeline), the PII audit (regex detect + redact
     over injected emails/phones/IPs, map-only), and BM25 keyword
     retrieval (integer-exact single-term ranking, hoisted-tokenization
-    HOF tf — the corpus never token-explodes), and the char-trigram LM
+    HOF tf — the corpus never token-explodes), the char-trigram LM
     quality panel (``lm_score_frame`` — corpus-trained model, integer-
-    exact scoring) — as one part-tagged union. Five distinct plan
-    shapes deliberately share the catalog entry; each keeps its own
-    full value surface ((md5, hash) / (token, tf, df, rank) /
-    (type, count, redacted_len) / (term, tf, df, rank) /
-    (lm_mass, n_tri, n_rare)) so the driver hash checks every cell."""
+    exact scoring), and the BPE tokenizer — TRAIN (iterative Sennrich
+    merge learning on the capped vocab, `operators/bpe.py`) and APPLY
+    (map-only broadcast-merge-table encode of every doc) — as one
+    part-tagged union. Seven distinct plan shapes deliberately share
+    the catalog entry; each keeps its own full value surface
+    ((md5, hash) / (token, tf, df, rank) / (type, count, redacted_len)
+    / (term, tf, df, rank) / (lm_mass, n_tri, n_rare) / (round, pair,
+    cnt) / (enc_md5, bpe_tokens, ws_tokens)) so the driver hash checks
+    every cell."""
     # ONE persisted tokenized projection feeds all five parts (r4
     # verdict #2): previously each part re-scanned documents and
     # re-derived its tokens/lowercase image independently — the entry's
@@ -903,8 +925,38 @@ def q_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tri").alias("i2"),
         F.col("n_rare").alias("i3"),
     )
+    # sixth part (r6): the BPE merge-table trainer (operators/bpe.py) —
+    # iterative, so its rounds EXECUTE during plan construction behind
+    # eager localCheckpoints (the components-CC discipline); the final
+    # plan carries only the 8-row merge table. Shares the persisted
+    # tokenized projection's scan via the vocab groupBy.
+    merge_table = train_bpe(docs)
+    bpe = merge_table.select(
+        F.lit("bpe").alias("part"),
+        F.col("round").alias("doc_id"),
+        F.col("pair").alias("skey"),
+        F.col("cnt").alias("i1"),
+        F.lit(0).cast("long").alias("i2"),
+        F.lit(0).cast("long").alias("i3"),
+    )
+    # seventh part: ENCODE every doc with the learned merges — the
+    # map-only apply half (broadcast merge array, in-row fold; the
+    # enc_md5 gates the full encoding, not just counts).
+    bpe_enc = apply_bpe(docs, merge_table).select(
+        F.lit("bpe_enc").alias("part"),
+        "doc_id",
+        F.col("enc_md5").alias("skey"),
+        F.col("bpe_tokens").alias("i1"),
+        F.col("ws_tokens").alias("i2"),
+        F.lit(0).cast("long").alias("i3"),
+    )
     return (
-        fp.unionByName(terms).unionByName(pii).unionByName(bm25).unionByName(lm)
+        fp.unionByName(terms)
+        .unionByName(pii)
+        .unionByName(bm25)
+        .unionByName(lm)
+        .unionByName(bpe)
+        .unionByName(bpe_enc)
     )
 
 

@@ -673,7 +673,12 @@ SHUFFLE_BUDGET = {
     # 1-row total, and the per-doc score re-aggregate (1) — the model
     # and total join back as broadcasts, the corpus never re-shuffles
     # for scoring.
-    "q_text_mining": 12,
+    # r6: 12 → 13. BPE apply ('bpe_enc'): ONE exchange folding the
+    # 8-row learned merge table into a single ordered array (bounded by
+    # BPE_ROUNDS, scale-free); the table broadcasts back and the encode
+    # itself is map-only. The trainer's per-round shuffles run eagerly
+    # behind localCheckpoints and never appear in the final plan.
+    "q_text_mining": 13,
 }
 
 
