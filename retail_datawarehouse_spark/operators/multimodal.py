@@ -31,6 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from retail_datawarehouse_spark.operators.audio import (
+    AUDIO_ORACLE_SQL,
+    featurize_audio,
+    with_wav_payload,
+)
 from retail_datawarehouse_spark.registry import register
 from retail_datawarehouse_spark.sources.readers import load_table
 
@@ -631,7 +636,8 @@ _TCHUNK_SQL = f"""
     chunks AS ({_CHUNKS_SQL}),
     tchunks AS ({_TCHUNK_SQL}),
     feats AS ({_FEATURES_SQL}),
-    rsz AS ({_RESIZE_SQL})
+    rsz AS ({_RESIZE_SQL}),
+    audio AS ({AUDIO_ORACLE_SQL})
     SELECT 'meta' AS part, doc_id, payload_bytes AS i1,
            first_byte AS i2, payload_md5 AS s1, CAST(NULL AS DOUBLE) AS d1
     FROM meta
@@ -649,6 +655,9 @@ _TCHUNK_SQL = f"""
     UNION ALL
     SELECT 'resize', doc_id, width, height, resized_md5, resized_mean
     FROM rsz
+    UNION ALL
+    SELECT 'audio', doc_id, amp_sum, extrema, sample_md5, duration_ms
+    FROM audio
     """,
 )
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,7 +671,10 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims, integer index map, sharing the 'feat' decode pass via one
     persisted featurizer frame), plus the pure-JVM overlapping TOKEN
     chunker ('tchunk' — the embedding-model text prep, zero Python by
-    contrast with the Arrow byte chunker). Every part is
+    contrast with the Arrow byte chunker), and the AUDIO leg ('audio'
+    — real RIFF/WAVE 8-bit-PCM payloads synthesized JVM-side, decoded
+    by the chunk-walking parser in `operators/audio.py`, sample
+    statistics hash-checked against text arithmetic). Every part is
     value-verified; no stubbed step remains."""
     docs = load_table(spark, sf_dir, "documents")
     null_d = F.lit(None).cast("double")
@@ -711,9 +723,18 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resized_md5").alias("s1"),
         F.col("resized_mean").alias("d1"),
     )
+    audio = featurize_audio(with_wav_payload(docs)).select(
+        F.lit("audio").alias("part"),
+        "doc_id",
+        F.col("amp_sum").alias("i1"),
+        F.col("extrema").alias("i2"),
+        F.col("sample_md5").alias("s1"),
+        F.col("duration_ms").alias("d1"),
+    )
     return (
         meta.unionByName(chunks)
         .unionByName(feats)
         .unionByName(tchunks)
         .unionByName(rsz)
+        .unionByName(audio)
     )

@@ -1,0 +1,139 @@
+"""Audio leg of the multimodal stack (operators/audio.py): the WAV
+parser against stdlib ``wave`` as an independent round-trip witness in
+BOTH directions, the guard family (EOF, fmt contract, chunk walking),
+the extrema semantics against a pure-Python loop, and the Spark
+payload→decode→featurize path."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import pytest
+
+from retail_datawarehouse_spark.operators.audio import (
+    AUDIO_RATE,
+    decode_wav,
+    featurize_audio,
+    with_wav_payload,
+)
+
+
+def _stdlib_wav(samples: bytes, rate: int = AUDIO_RATE) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit unsigned PCM
+        w.setframerate(rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def test_decodes_stdlib_written_wav():
+    """Our parser reads a file the stdlib writer produced — the wire
+    format agreement is two-sided, neither implementation derived from
+    the other."""
+    samples = bytes(range(40, 90))
+    rate, got = decode_wav(_stdlib_wav(samples))
+    assert (rate, got) == (AUDIO_RATE, samples)
+
+
+def test_stdlib_reads_spark_synthesized_payload(spark):
+    """And the reverse: stdlib ``wave`` parses the JVM-synthesized
+    payload and agrees on every header parameter and the sample
+    bytes."""
+    docs = spark.createDataFrame(
+        [(6, "hello world this is a test doc")], "doc_id long, text string"
+    )
+    payload = bytes(with_wav_payload(docs).collect()[0].payload)
+    with wave.open(io.BytesIO(payload)) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 1
+        assert w.getframerate() == AUDIO_RATE
+        n = 16 + 6 % 32
+        assert w.getnframes() == n
+        frames = w.readframes(n)
+    assert frames == b"hello world this is a "  # first 22 bytes, doc long enough
+    assert decode_wav(payload) == (AUDIO_RATE, frames)
+
+
+def test_unknown_chunks_skipped_and_odd_size_padded():
+    """A LIST metadata chunk (odd body size → word-alignment pad byte)
+    between fmt and data must be walked over, not tripped over."""
+    samples = b"abcdef"
+    base = _stdlib_wav(samples)
+    fmt_end = base.index(b"data")
+    meta = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd + pad
+    patched = (
+        base[:4]
+        + struct.pack("<I", struct.unpack_from("<I", base, 4)[0] + len(meta))
+        + base[8:fmt_end]
+        + meta
+        + base[fmt_end:]
+    )
+    assert decode_wav(patched) == (AUDIO_RATE, samples)
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda b: b[:8], "truncated before the RIFF"),
+        (lambda b: b"JUNK" + b[4:], "not a RIFF"),
+        (lambda b: b[:8] + b"AVI " + b[12:], "not WAVE"),
+        (lambda b: b[:-3], "overruns the payload"),
+        # format code 1 -> 3 (IEEE float) at fmt body offset 20
+        (lambda b: b[:20] + struct.pack("<H", 3) + b[22:], "only PCM"),
+        # channels 1 -> 2 at offset 22
+        (lambda b: b[:22] + struct.pack("<H", 2) + b[24:], "mono only"),
+        # bits 8 -> 16 at offset 34
+        (lambda b: b[:34] + struct.pack("<H", 16) + b[36:], "8-bit PCM only"),
+    ],
+)
+def test_guard_family(mutate, msg):
+    base = _stdlib_wav(b"abcdefgh")
+    with pytest.raises(ValueError, match=msg):
+        decode_wav(mutate(base))
+
+
+def test_data_before_fmt_rejected():
+    samples = b"xyz"
+    hdr = b"RIFF" + struct.pack("<I", 4 + 8 + 4) + b"WAVE"
+    bad = hdr + b"data" + struct.pack("<I", len(samples)) + samples + b"\x00"
+    with pytest.raises(ValueError, match="data chunk before fmt"):
+        decode_wav(bad)
+
+
+def test_extrema_matches_pure_python(spark):
+    """Featurizer extrema == the definitional loop, on a sequence with
+    peaks, valleys, AND plateaus (plateau edges are not extrema: the
+    sign product is 0)."""
+    text = "abeba"  # 97 98 101 98 97: peak at 'e'
+    text2 = "aacca"  # plateau 97 97, rise, plateau 99 99, fall -> 0 strict extrema?
+    docs = spark.createDataFrame(
+        [(0, text), (32, text2)], "doc_id long, text string"
+    )  # doc_id % 32 == 0 -> n = 16, rpad with 'x' beyond the text
+    rows = {
+        r.doc_id: r
+        for r in featurize_audio(with_wav_payload(docs)).collect()
+    }
+
+    def py_extrema(vals):
+        return sum(
+            1
+            for i in range(1, len(vals) - 1)
+            if (vals[i] - vals[i - 1]) * (vals[i + 1] - vals[i]) < 0
+        )
+
+    for doc_id, text_ in ((0, text), (32, text2)):
+        padded = text_.ljust(16, "x")[:16]
+        vals = [ord(c) for c in padded]
+        r = rows[doc_id]
+        assert r.extrema == py_extrema(vals)
+        assert r.amp_sum == sum(vals)
+        assert r.duration_ms == 16 / 8
+        assert r.sample_rate == AUDIO_RATE
+    # the hand-audited values, so the test fails loudly if the fixture
+    # arithmetic drifts: 'abeba' + 11×'x' has the 'e' peak plus the
+    # valley where the final 'a' turns up into the pad run
+    assert rows[0].extrema == 2
