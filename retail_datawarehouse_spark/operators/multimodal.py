@@ -36,6 +36,11 @@ from retail_datawarehouse_spark.operators.audio import (
     featurize_audio,
     with_wav_payload,
 )
+from retail_datawarehouse_spark.operators.video import (
+    VIDEO_ORACLE_SQL,
+    sample_frames,
+    with_y4m_payload,
+)
 from retail_datawarehouse_spark.registry import register
 from retail_datawarehouse_spark.sources.readers import load_table
 
@@ -637,7 +642,8 @@ _TCHUNK_SQL = f"""
     tchunks AS ({_TCHUNK_SQL}),
     feats AS ({_FEATURES_SQL}),
     rsz AS ({_RESIZE_SQL}),
-    audio AS ({AUDIO_ORACLE_SQL})
+    audio AS ({AUDIO_ORACLE_SQL}),
+    video AS ({VIDEO_ORACLE_SQL})
     SELECT 'meta' AS part, doc_id, payload_bytes AS i1,
            first_byte AS i2, payload_md5 AS s1, CAST(NULL AS DOUBLE) AS d1
     FROM meta
@@ -658,6 +664,9 @@ _TCHUNK_SQL = f"""
     UNION ALL
     SELECT 'audio', doc_id, amp_sum, extrema, sample_md5, duration_ms
     FROM audio
+    UNION ALL
+    SELECT 'video', doc_id, frame_idx, frame_sum, frame_md5, duration_ms
+    FROM video
     """,
 )
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,11 +680,14 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims, integer index map, sharing the 'feat' decode pass via one
     persisted featurizer frame), plus the pure-JVM overlapping TOKEN
     chunker ('tchunk' — the embedding-model text prep, zero Python by
-    contrast with the Arrow byte chunker), and the AUDIO leg ('audio'
-    — real RIFF/WAVE 8-bit-PCM payloads synthesized JVM-side, decoded
-    by the chunk-walking parser in `operators/audio.py`, sample
-    statistics hash-checked against text arithmetic). Every part is
-    value-verified; no stubbed step remains."""
+    contrast with the Arrow byte chunker), the AUDIO leg ('audio' —
+    real RIFF/WAVE 8-bit-PCM payloads synthesized JVM-side, decoded by
+    the chunk-walking parser in `operators/audio.py`, sample statistics
+    hash-checked against text arithmetic), and the VIDEO leg ('video' —
+    real multi-frame YUV4MPEG2 streams, decoded + FRAME-SAMPLED at
+    stride 2 by `operators/video.py`, per-kept-frame stats hash-checked
+    the same way). Every part is value-verified; no stubbed step
+    remains."""
     docs = load_table(spark, sf_dir, "documents")
     null_d = F.lit(None).cast("double")
     meta = q_multimodal_meta(spark, sf_dir).select(
@@ -731,10 +743,19 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sample_md5").alias("s1"),
         F.col("duration_ms").alias("d1"),
     )
+    video = sample_frames(with_y4m_payload(docs)).select(
+        F.lit("video").alias("part"),
+        "doc_id",
+        F.col("frame_idx").alias("i1"),
+        F.col("frame_sum").alias("i2"),
+        F.col("frame_md5").alias("s1"),
+        F.col("duration_ms").alias("d1"),
+    )
     return (
         meta.unionByName(chunks)
         .unionByName(feats)
         .unionByName(tchunks)
         .unionByName(rsz)
         .unionByName(audio)
+        .unionByName(video)
     )
