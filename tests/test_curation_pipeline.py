@@ -137,6 +137,45 @@ def curated(spark, sf_dir):
         .alias("split"),
         _shard_col().alias("shard"),
     )
+    # 7. tokenize + pack — the last mile: train the BPE merge table on
+    # the CURATED corpus itself (the real discipline: the tokenizer
+    # sees the same distribution the model will), encode every
+    # survivor, and lay the encoded docs end-to-end into fixed-budget
+    # sequences by BPE token count (the same concatenate-and-chunk
+    # window q_pack_sequences pins, but over learned-token counts
+    # instead of whitespace counts).
+    from pyspark.sql import Window
+
+    from retail_datawarehouse_spark.operators.bpe import apply_bpe, train_bpe
+    from retail_datawarehouse_spark.operators.sampling import (
+        PACK_TOKEN_BUDGET,
+    )
+
+    merges = train_bpe(lm_survivors)
+    encoded = apply_bpe(lm_survivors, merges).select(
+        "doc_id", F.col("bpe_tokens").alias("n_tokens"), "ws_tokens"
+    )
+    pw = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        encoded.withColumn("shard", _shard_col())
+        .withColumn(
+            "start_tok", F.sum("n_tokens").over(pw) - F.col("n_tokens")
+        )
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            "ws_tokens",
+            F.floor(F.col("start_tok") / PACK_TOKEN_BUDGET)
+            .cast("long")
+            .alias("seq_id"),
+            F.col("start_tok"),
+        )
+    )
     return {
         "docs": docs,
         "corpus": corpus,
@@ -148,6 +187,8 @@ def curated(spark, sf_dir):
         "qcut_survivors": qcut_survivors,
         "lm_survivors": lm_survivors,
         "final": final,
+        "merges": merges,
+        "packed": packed,
     }
 
 
@@ -272,3 +313,75 @@ def test_lm_cut_drops_only_scored_docs_below_threshold(curated):
         .filter(F.col("lm_meanq").isNull() | (F.col("lm_meanq") >= F.col("t")))
     )
     assert kept.filter("doc_id = 1").count() == 1
+
+
+def test_tokenize_pack_covers_every_survivor_exactly_once(curated):
+    """Stage 7 completeness: the packed layout has exactly one row per
+    LM survivor (nothing dropped, nothing duplicated by the encode or
+    the window), and the BPE token count is bounded by its structural
+    envelope: words <= bpe_tokens <= chars + words (each word encodes
+    to at least 1 and at most len(word)+1 symbols — merges only ever
+    SHRINK the character-level sequence)."""
+    packed = curated["packed"]
+    survivors = curated["lm_survivors"]
+    assert packed.count() == survivors.count()
+    assert packed.join(survivors, "doc_id", "left_anti").count() == 0
+    violations = (
+        packed.join(survivors.select("doc_id", "text"), "doc_id")
+        .withColumn(
+            "chars",
+            F.expr(
+                "aggregate(filter(split(lower(text), ' '), "
+                "w -> length(w) > 0), 0L, (a, w) -> a + length(w) + 1)"
+            ),
+        )
+        .filter(
+            (F.col("n_tokens") < F.col("ws_tokens"))
+            | (F.col("n_tokens") > F.col("chars"))
+        )
+        .count()
+    )
+    assert violations == 0
+    # the trainer actually merged something: total BPE tokens are
+    # strictly below the unmerged character-level total
+    totals = packed.agg(
+        F.sum("n_tokens").alias("bpe"), F.sum("ws_tokens").alias("ws")
+    ).collect()[0]
+    assert totals.bpe > 0 and totals.ws > 0
+
+
+def test_pack_layout_is_gapless_and_seq_consistent(curated):
+    """The concatenate-and-chunk invariant over learned-token counts:
+    within each shard, start offsets are the exact running sum of
+    preceding token counts (no gaps, no overlaps), and seq_id is
+    floor(start / budget)."""
+    from pyspark.sql import Window
+
+    from retail_datawarehouse_spark.operators.sampling import (
+        PACK_TOKEN_BUDGET,
+    )
+
+    packed = curated["packed"]
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    bad = (
+        packed.withColumn(
+            "expected_start",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(
+            (F.col("start_tok") != F.col("expected_start"))
+            | (
+                F.col("seq_id")
+                != F.floor(F.col("start_tok") / PACK_TOKEN_BUDGET)
+            )
+        )
+        .count()
+    )
+    assert bad == 0
