@@ -227,48 +227,115 @@ def _register_leakage() -> None:
     @register(
         "q_split_leakage_report",
         oracle=f"""
-        WITH {_DUCK_LSH_PAIRS_CTES}
-        SELECT doc_a, doc_b, jaccard,
-               {_split_case_sql('doc_a')} AS split_a,
-               {_split_case_sql('doc_b')} AS split_b
+        WITH RECURSIVE {_DUCK_LSH_PAIRS_CTES},
+        lk_edges AS (
+            SELECT doc_a AS u, doc_b AS w FROM pairs
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS w FROM pairs
+        ),
+        lk_ends AS (
+            -- set-op wrapped in a subquery (the cand_docs rule): a
+            -- top-level UNION in a CTE is an iteration body under the
+            -- WITH RECURSIVE prefix
+            SELECT DISTINCT v FROM (
+                SELECT doc_a AS v FROM pairs
+                UNION ALL
+                SELECT doc_b AS v FROM pairs
+            ) u
+        ),
+        lk_reach(v, r) AS (
+            SELECT v, v FROM lk_ends
+            UNION
+            SELECT e.u, lk_reach.r
+            FROM lk_edges e JOIN lk_reach ON e.w = lk_reach.v
+        ),
+        lk_comp AS (
+            SELECT v, MIN(r) AS component FROM lk_reach GROUP BY v
+        )
+        SELECT 'leak' AS part, doc_a AS node, doc_b AS peer, jaccard,
+               {_split_case_sql('doc_a')} AS split_from,
+               {_split_case_sql('doc_b')} AS split_to
         FROM pairs
         WHERE {_split_case_sql('doc_a')} <> {_split_case_sql('doc_b')}
+        UNION ALL
+        SELECT 'fixed', v, component, CAST(NULL AS DOUBLE),
+               {_split_case_sql('v')}, {_split_case_sql('component')}
+        FROM lk_comp
         """,
     )
     def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Train/test contamination audit — the reason dedup and split
-        assignment exist in the same engine: near-dup pairs whose
-        endpoints landed in DIFFERENT splits (a test doc nearly
-        identical to a train doc inflates eval). Composes the LSH pair
-        pipeline with the hash-derived split (both deterministic, so
-        the report is reproducible evidence, not a sample). Remediation
-        is then policy: move the pair's component (see
-        q_dedup_components) into one split, or drop the eval twin."""
+        """Train/test contamination audit AND its remediation — the
+        reason dedup and split assignment exist in the same engine:
+
+        - part 'leak': near-dup pairs whose endpoints landed in
+          DIFFERENT splits (a test doc nearly identical to a train doc
+          inflates eval). Composes the LSH pair pipeline with the
+          hash-derived split; both deterministic, so the report is
+          reproducible evidence, not a sample.
+        - part 'fixed' (r6): the component-aware reassignment that
+          CLOSES the leak — every doc participating in a near-dup pair
+          is re-split by the hash of its connected-component
+          representative (star-contraction components over the pair
+          graph, the q_dedup_components machinery), so a whole
+          duplicate cluster lands in ONE split by construction. Emits
+          (doc, component, old split, new split); the invariant that
+          no remediated pair straddles splits is pinned by
+          ``test_component_split_eliminates_leakage``.
+
+        Scale shape: the components run is over PAIR ENDPOINTS only
+        (duplicate docs, a vanishing fraction of the corpus), not the
+        full vertex set — at 100 TB the graph input is the dedup
+        pipeline's own candidate output, already bounded by banding +
+        df caps."""
+        from retail_datawarehouse_spark.operators.dedup import (
+            connected_components,
+        )
+
         pairs = q_dedup_minhash_lsh(spark, sf_dir)
-        split_of = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-        splits = load_table(spark, sf_dir, "documents").select(
-            "doc_id",
-            F.when(split_of < TRAIN_MAX_HEX, F.lit("train"))
-            .when(split_of < VAL_MAX_HEX, F.lit("val"))
-            .otherwise(F.lit("test"))
-            .alias("split"),
-        )
-        return (
-            pairs.join(
-                splits.select(
-                    F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
-                ),
-                "doc_a",
+
+        def split_of(col: str) -> F.Column:
+            h = F.substring(F.md5(F.col(col).cast("string")), 1, 2)
+            return (
+                F.when(h < TRAIN_MAX_HEX, F.lit("train"))
+                .when(h < VAL_MAX_HEX, F.lit("val"))
+                .otherwise(F.lit("test"))
             )
-            .join(
-                splits.select(
-                    F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
-                ),
-                "doc_b",
+
+        leak = (
+            pairs.withColumn("split_from", split_of("doc_a"))
+            .withColumn("split_to", split_of("doc_b"))
+            .filter(F.col("split_from") != F.col("split_to"))
+            .select(
+                F.lit("leak").alias("part"),
+                F.col("doc_a").alias("node"),
+                F.col("doc_b").alias("peer"),
+                "jaccard",
+                "split_from",
+                "split_to",
             )
-            .filter(F.col("split_a") != F.col("split_b"))
-            .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
         )
+        ends = (
+            pairs.select(F.col("doc_a").alias("v"))
+            .unionByName(pairs.select(F.col("doc_b").alias("v")))
+            .distinct()
+        )
+        # The labels frame still references the lazy `ends` subtree
+        # (vertices join) — truncate it so the shipped plan carries one
+        # leaf for the 'fixed' part instead of re-inlining the LSH pair
+        # pipeline twice (static Exchange count 50 → ~17; the cc rounds
+        # already ran eagerly, this adds no new job of significance).
+        labels = connected_components(
+            ends, pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        ).localCheckpoint(eager=True)
+        fixed = labels.select(
+            F.lit("fixed").alias("part"),
+            F.col("v").alias("node"),
+            F.col("component").alias("peer"),
+            F.lit(None).cast("double").alias("jaccard"),
+            split_of("v").alias("split_from"),
+            split_of("component").alias("split_to"),
+        )
+        return leak.unionByName(fixed)
 
 
 _register_leakage()

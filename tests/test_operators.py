@@ -1450,3 +1450,53 @@ def test_pq_reconstruction_and_planted_recall(spark, sf_correctness_dir):
     misses = [(r.query_id, r.candidate_id) for r in top if r.candidate_id != r.query_id]
     assert not misses, misses
     corpus.unpersist()
+
+
+def test_component_split_eliminates_leakage(spark, sf_correctness_dir):
+    """The 'fixed' part of q_split_leakage_report is a real remediation:
+    re-scoring the SAME near-dup pairs under the component-aware
+    assignment yields ZERO cross-split pairs (a whole duplicate cluster
+    shares one component hash, hence one split), while the raw
+    doc_id-hash assignment demonstrably leaks on this fixture. Also:
+    every pair endpoint gets exactly one remediated row, and docs in
+    the same component agree on split_to."""
+    report = _run("q_split_leakage_report", spark, sf_correctness_dir)
+    leak = report.filter(F.col("part") == "leak")
+    fixed = report.filter(F.col("part") == "fixed")
+    assert leak.count() > 0  # the audit has observable work
+    pairs = _run("q_dedup_minhash_lsh", spark, sf_correctness_dir)
+    assert fixed.count() == (
+        pairs.select(F.col("doc_a").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("v")))
+        .distinct()
+        .count()
+    )
+    new_split = fixed.select(
+        F.col("node").alias("doc"), F.col("split_to").alias("s")
+    )
+    still_leaking = (
+        pairs.join(
+            new_split.withColumnRenamed("doc", "doc_a").withColumnRenamed(
+                "s", "s_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            new_split.withColumnRenamed("doc", "doc_b").withColumnRenamed(
+                "s", "s_b"
+            ),
+            "doc_b",
+        )
+        .filter(F.col("s_a") != F.col("s_b"))
+        .count()
+    )
+    assert still_leaking == 0
+    # per-component split consistency (stronger than pairwise: covers
+    # A~B, B~C chains where A,C were never scored as a pair)
+    assert (
+        fixed.groupBy("peer")
+        .agg(F.count_distinct("split_to").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
