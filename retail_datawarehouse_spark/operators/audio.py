@@ -81,6 +81,16 @@ def _wav_header_hex() -> str:
     )
 
 
+def wav_payload_col() -> F.Column:
+    """The payload as a Column expression (needs ``doc_id`` and
+    ``text`` in scope) — exposed so mixed-media fixtures can CASE over
+    modality payloads in one select."""
+    samples = F.expr(f"rpad(text, CAST({_WAV_N} AS INTEGER), 'x')")
+    return F.concat(
+        F.unhex(F.expr(_wav_header_hex())), F.encode(samples, "utf-8")
+    )
+
+
 def with_wav_payload(docs: DataFrame) -> DataFrame:
     """Synthesize a REAL RIFF/WAVE 8-bit-mono-PCM payload per document,
     JVM-side (one scan, zero Python): header built as hex text →
@@ -88,12 +98,9 @@ def with_wav_payload(docs: DataFrame) -> DataFrame:
     truncates to exactly the declared data-chunk length in Spark and
     DuckDB alike, which is what makes the decoded sample statistics
     SQL-oracle-able."""
-    samples = F.expr(f"rpad(text, CAST({_WAV_N} AS INTEGER), 'x')")
     return docs.select(
         "doc_id",
-        F.concat(
-            F.unhex(F.expr(_wav_header_hex())), F.encode(samples, "utf-8")
-        ).alias("payload"),
+        wav_payload_col().alias("payload"),
         F.lit("audio/wav").alias("media_type"),
     )
 

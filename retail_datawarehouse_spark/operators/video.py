@@ -48,11 +48,10 @@ _VID_WH = f"({_VID_W} * {_VID_H})"
 _VID_PAD = f"rpad(text, CAST({_VID_NF} * {_VID_WH} AS INTEGER), 'x')"
 
 
-def with_y4m_payload(docs: DataFrame) -> DataFrame:
-    """Synthesize a REAL multi-frame YUV4MPEG2 stream per document,
-    JVM-side (one scan, zero Python): the ASCII parameter line, then
-    one ``FRAME`` + W·H-byte mono raster per frame, rasters carved from
-    the rpad'd text so the decoded statistics stay SQL-oracle-able."""
+def y4m_payload_col() -> F.Column:
+    """The payload as a Column expression (needs ``doc_id`` and
+    ``text`` in scope) — exposed so mixed-media fixtures can CASE over
+    modality payloads in one select."""
     stream = F.expr(
         f"concat('YUV4MPEG2 W', CAST({_VID_W} AS STRING), "
         f"' H', CAST({_VID_H} AS STRING), ' F25:1 Ip A1:1 Cmono', char(10), "
@@ -60,9 +59,17 @@ def with_y4m_payload(docs: DataFrame) -> DataFrame:
         f"k -> concat('FRAME', char(10), "
         f"substring({_VID_PAD}, k * {_VID_WH} + 1, {_VID_WH})))))"
     )
+    return F.encode(stream, "utf-8")
+
+
+def with_y4m_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL multi-frame YUV4MPEG2 stream per document,
+    JVM-side (one scan, zero Python): the ASCII parameter line, then
+    one ``FRAME`` + W·H-byte mono raster per frame, rasters carved from
+    the rpad'd text so the decoded statistics stay SQL-oracle-able."""
     return docs.select(
         "doc_id",
-        F.encode(stream, "utf-8").alias("payload"),
+        y4m_payload_col().alias("payload"),
         F.lit("video/x-yuv4mpeg").alias("media_type"),
     )
 
