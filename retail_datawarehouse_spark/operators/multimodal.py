@@ -404,6 +404,41 @@ _FEATURES_SQL = f"""
 """
 
 
+# The unified-dispatch featurizer's oracle (part 'media'): the mixed
+# fixture routes doc_id % 3 → PGM / WAV / Y4M, so each modality's
+# text-arithmetic oracle applies on its residue class — image here is
+# PGM-dims for ALL residue-0 docs (unlike the 'feat' part's
+# parity-mixed codecs), and video's n_frames is the residue-2 constant
+# of the Y4M formula. media+idx pack into the string key so the hash
+# gates the ROUTING as well as the values.
+_MEDIA_SQL = f"""
+    SELECT doc_id,
+           CAST({_PGM_W} AS BIGINT) AS f1,
+           CAST({_PGM_H} AS BIGINT) AS f2,
+           concat('image:0:',
+                  md5(rpad(text, CAST({_PGM_W} * {_PGM_H} AS INTEGER), 'x')))
+               AS skey,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(regexp_extract_all(
+                        rpad(text, CAST({_PGM_W} * {_PGM_H} AS INTEGER), 'x'),
+                        '.'),
+                        ch -> CAST(ascii(ch) AS BIGINT))),
+                (acc, x) -> acc + x) AS DOUBLE)
+               / ({_PGM_W} * {_PGM_H}) AS fd
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, amp_sum AS f1, extrema AS f2,
+           concat('audio:0:', sample_md5) AS skey, duration_ms AS fd
+    FROM ({AUDIO_ORACLE_SQL}) WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, frame_sum AS f1,
+           CAST(2 + doc_id % 3 AS BIGINT) AS f2,
+           concat('video:', frame_idx, ':', frame_md5) AS skey,
+           duration_ms AS fd
+    FROM ({VIDEO_ORACLE_SQL}) WHERE doc_id % 3 = 2
+"""
+
+
 # --- Resize: decode → nearest-neighbor downsample → re-featurize ------
 
 RS_W, RS_H = 8, 6  # fixed thumbnail dims (model-input normalization)
@@ -643,7 +678,8 @@ _TCHUNK_SQL = f"""
     feats AS ({_FEATURES_SQL}),
     rsz AS ({_RESIZE_SQL}),
     audio AS ({AUDIO_ORACLE_SQL}),
-    video AS ({VIDEO_ORACLE_SQL})
+    video AS ({VIDEO_ORACLE_SQL}),
+    media AS ({_MEDIA_SQL})
     SELECT 'meta' AS part, doc_id, payload_bytes AS i1,
            first_byte AS i2, payload_md5 AS s1, CAST(NULL AS DOUBLE) AS d1
     FROM meta
@@ -667,6 +703,9 @@ _TCHUNK_SQL = f"""
     UNION ALL
     SELECT 'video', doc_id, frame_idx, frame_sum, frame_md5, duration_ms
     FROM video
+    UNION ALL
+    SELECT 'media', doc_id, f1, f2, skey, fd
+    FROM media
     """,
 )
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,8 +725,11 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against text arithmetic), and the VIDEO leg ('video' —
     real multi-frame YUV4MPEG2 streams, decoded + FRAME-SAMPLED at
     stride 2 by `operators/video.py`, per-kept-frame stats hash-checked
-    the same way). Every part is value-verified; no stubbed step
-    remains."""
+    the same way), and the UNIFIED dispatch ('media' — the magic-byte
+    router of `operators/media.py` over an interleaved pgm/wav/y4m
+    fixture, media tag + sub-item idx packed into the string key so the
+    gate checks the routing itself). Every part is value-verified; no
+    stubbed step remains."""
     docs = load_table(spark, sf_dir, "documents")
     null_d = F.lit(None).cast("double")
     meta = q_multimodal_meta(spark, sf_dir).select(
@@ -751,6 +793,22 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_md5").alias("s1"),
         F.col("duration_ms").alias("d1"),
     )
+    # eighth part: the UNIFIED magic-dispatch featurizer over the
+    # interleaved pgm/wav/y4m fixture — media + sub-item idx pack into
+    # the string key so the hash gates the ROUTING, not just values.
+    from retail_datawarehouse_spark.operators.media import (
+        featurize_media,
+        with_mixed_media_payload,
+    )
+
+    media = featurize_media(with_mixed_media_payload(docs)).select(
+        F.lit("media").alias("part"),
+        "doc_id",
+        F.col("f1").alias("i1"),
+        F.col("f2").alias("i2"),
+        F.concat_ws(":", "media", "idx", "fhash").alias("s1"),
+        F.col("fd").alias("d1"),
+    )
     return (
         meta.unionByName(chunks)
         .unionByName(feats)
@@ -758,4 +816,5 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rsz)
         .unionByName(audio)
         .unionByName(video)
+        .unionByName(media)
     )
