@@ -207,3 +207,59 @@ def test_scd2_merge_batch_matches_python_reference(spark, dim_spec, changes_spec
     )
     got = {tuple(r) for r in scd2_merge_batch(dim, changes).collect()}
     assert got == set(ref)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    samples=st.binary(min_size=0, max_size=200),
+    rate=st.sampled_from([8000, 11025, 16000, 44100]),
+)
+def test_wav_decode_roundtrips_stdlib_writer(samples, rate):
+    """Property: ANY byte string written as 8-bit mono PCM by the
+    stdlib ``wave`` writer (the independent implementation) decodes
+    back exactly — arbitrary sample bytes, several sample rates, empty
+    clips included."""
+    import io
+    import wave as wave_mod
+
+    from retail_datawarehouse_spark.operators.audio import decode_wav
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(rate)
+        w.writeframes(samples)
+    assert decode_wav(buf.getvalue()) == (rate, samples)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    n_frames=st.integers(min_value=0, max_value=6),
+    fps=st.tuples(
+        st.integers(min_value=1, max_value=60),
+        st.integers(min_value=1, max_value=4),
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_y4m_decode_roundtrips_definitional_builder(w, h, n_frames, fps, seed):
+    """Property: any (dims, frame count, fps) stream built by a
+    definitional Python byte-assembler — including zero-frame streams
+    and frame rasters containing newline/space bytes, which a naive
+    line-oriented parser would trip on — decodes back exactly."""
+    from retail_datawarehouse_spark.operators.video import decode_y4m
+
+    num, den = fps
+    # deterministic pseudo-random rasters incl. \n and ' ' bytes
+    frames = [
+        bytes(
+            (seed + 31 * k + 7 * i) % 256 for i in range(w * h)
+        )
+        for k in range(n_frames)
+    ]
+    raw = f"YUV4MPEG2 W{w} H{h} F{num}:{den} Ip A1:1 Cmono\n".encode()
+    for fr in frames:
+        raw += b"FRAME\n" + fr
+    assert decode_y4m(raw) == (w, h, num, den, frames)
