@@ -25,7 +25,11 @@ from pyspark.sql import types as T
 from retail_datawarehouse_spark.functions.money import dec_sum
 from retail_datawarehouse_spark.registry import register
 from retail_datawarehouse_spark.sources.readers import load_table
-from retail_datawarehouse_spark.sources.writers import write_csv, write_parquet_table
+from retail_datawarehouse_spark.sources.writers import (
+    write_csv,
+    write_orc_table,
+    write_parquet_table,
+)
 
 def _scratch(name: str) -> str:
     """Fixed per-query scratch path under the system temp root.
@@ -87,12 +91,17 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sink_warehouse_roundtrip",
     oracle="""
-    SELECT strftime(o_orderdate, '%m%Y') AS month_key,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-               AS month_value
-    FROM orders
-    GROUP BY 1
+    WITH agg AS (
+        SELECT strftime(o_orderdate, '%m%Y') AS month_key,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS month_value
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT 'parquet' AS part, month_key, n_orders, month_value FROM agg
+    UNION ALL
+    SELECT 'orc', month_key, n_orders, month_value FROM agg
     """,
 )
 def q_sink_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,21 +125,32 @@ def q_sink_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
-    path = _scratch("fact_orders")
-    write_parquet_table(orders, path, partition_by=["month_key"])
-    back = spark.read.schema(
-        T.StructType(
-            [
-                T.StructField("o_orderkey", T.LongType()),
-                T.StructField("o_totalprice", T.DoubleType()),
-                T.StructField("month_key", T.StringType()),
-            ]
-        )
-    ).parquet(path)
-    return back.groupBy("month_key").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dec_sum("o_totalprice", "month_value"),
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("month_key", T.StringType()),
+        ]
     )
+    pq_path = _scratch("fact_orders")
+    write_parquet_table(orders, pq_path, partition_by=["month_key"])
+    orc_path = _scratch("fact_orders_orc")
+    write_orc_table(orders, orc_path, partition_by=["month_key"])
+
+    def month_agg(back: DataFrame, part: str) -> DataFrame:
+        return back.groupBy("month_key").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "month_value"),
+        ).select(F.lit(part).alias("part"), "*")
+
+    # part 'orc' (r6): the SAME partitioned layout + declared-schema
+    # read-back + aggregate through Spark's other in-core columnar
+    # format — the hash match proves partition-value and double/decimal
+    # fidelity hold across the format swap, not just for Parquet.
+    return month_agg(spark.read.schema(schema).parquet(pq_path), "parquet")\
+        .unionByName(
+            month_agg(spark.read.schema(schema).orc(orc_path), "orc")
+        )
 
 
 # Registered as the 'jsonl' part of q_json_suite (queries/extensions.py):

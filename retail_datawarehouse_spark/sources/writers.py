@@ -53,6 +53,22 @@ def write_parquet_table(
         writer.parquet(path)
 
 
+def write_orc_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC warehouse load — the same partitioned layout contract as
+    ``write_parquet_table`` through Spark's other built-in columnar
+    format (ORC ships in-core; a lakehouse migrating between the two
+    keeps the directory/partition discipline unchanged). Same F2
+    leading-zero hazard, same declared-schema read-back rule."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 ZORDER_BITS = 8
 
 

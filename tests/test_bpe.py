@@ -141,3 +141,29 @@ def test_vocab_cap_deterministic(spark):
     texts = ["c c c b b a a z q"]
     v = {r.w: r.f for r in word_vocab(_docs(spark, texts), cap=2).collect()}
     assert v == {"c": 3, "a": 2}  # 'a' beats 'b'? no: both f=2, 'a' < 'b'
+
+
+def test_merge_table_is_a_storable_artifact(spark, tmp_path):
+    """The production tokenizer discipline: TRAIN once, store the merge
+    table, APPLY from the stored artifact in later sessions. A
+    parquet-round-tripped merge table must encode identically to the
+    in-memory one — order carried by the `round` column, not row order
+    (parquet readback has no order guarantee)."""
+    from retail_datawarehouse_spark.operators.bpe import apply_bpe
+
+    texts = [
+        "low low low lower lower newest newest newest newest widest",
+        "widest widest newest low",
+    ]
+    docs = _docs(spark, texts)
+    merges = train_bpe(docs, rounds=6, cap=50)
+    path = str(tmp_path / "merges")
+    merges.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    live = sorted(
+        tuple(r) for r in apply_bpe(docs, merges).collect()
+    )
+    stored = sorted(
+        tuple(r) for r in apply_bpe(docs, reloaded).collect()
+    )
+    assert live == stored

@@ -656,7 +656,10 @@ SHUFFLE_BUDGET = {
     "q_sessionize_batch": 1,
     "q_setops_purchase_error_users": 6,
     "q_sink_csv_roundtrip": 0,
-    "q_sink_warehouse_roundtrip": 1,
+    # r6: 1 → 2. The ORC branch is a second independent read-back
+    # aggregate (one groupBy per format); each is output-cardinality
+    # (months), and the two scans prune to (o_totalprice, month_key).
+    "q_sink_warehouse_roundtrip": 2,
     "q_sketch_suite": 9,
     # r4: 17 → 10. append_latest_month_lazy persists the 1-row bounds
     # aggregate (was re-scanned by four branches) and the prior snapshot
