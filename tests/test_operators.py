@@ -1500,3 +1500,37 @@ def test_component_split_eliminates_leakage(spark, sf_correctness_dir):
         .count()
         == 0
     )
+
+
+def test_hll_sketch_union_is_sharding_invariant(spark, sf_correctness_dir):
+    """The property that makes sketch rollups correct at 100 TB:
+    Datasketches HLL union is register-wise max, so the merged estimate
+    is IDENTICAL under any sharding of the data — per-partition/per-day
+    sketches can be stored and rolled up to any grain without the
+    layout leaking into the answer. (It is NOT byte-equivalent to the
+    one-shot global sketch — the union target runs a different HLL mode
+    than the un-unioned sketch, measured 1991 vs 2023 on this fixture —
+    so the invariance across shardings is the honest contract, and both
+    paths must sit inside the error bound of the exact count.)"""
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_correctness_dir, "lineitem")
+
+    def merged(shard_mod: int) -> float:
+        return (
+            li.withColumn("shard", F.col("l_orderkey") % shard_mod)
+            .groupBy("shard")
+            .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+            .collect()[0]
+            .est
+        )
+
+    est7, est13, est101 = merged(7), merged(13), merged(101)
+    assert est7 == est13 == est101  # layout never leaks into the answer
+    exact = li.select("l_partkey").distinct().count()
+    assert abs(est7 - exact) / exact < 0.05
+    one_shot = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est")
+    ).collect()[0].est
+    assert abs(one_shot - exact) / exact < 0.05
