@@ -679,9 +679,18 @@ SHUFFLE_BUDGET = {
     # r6: 12 → 13. BPE apply ('bpe_enc'): ONE exchange folding the
     # 8-row learned merge table into a single ordered array (bounded by
     # BPE_ROUNDS, scale-free); the table broadcasts back and the encode
-    # itself is map-only. The trainer's per-round shuffles run eagerly
-    # behind localCheckpoints and never appear in the final plan.
-    "q_text_mining": 13,
+    # itself is map-only. The trainer's per-round VOCAB shuffles run
+    # eagerly behind localCheckpoints and never appear in the final
+    # plan.
+    # r6 cont.: 13 → 28, STATIC ONLY (the q_dedup_components
+    # discipline). Dropping the per-round best-pair checkpoint halves
+    # the trainer's eager job barriers (16 → 8; measured 7.0 → 6.5 s
+    # at sf0.1) at the price of the 8 argmax subtrees printing in the
+    # final plan — each is a pair-count groupBy + 1-row TakeOrdered
+    # over a ≤256-row localCheckpoint LEAF, bounded by the vocab cap,
+    # scale-free. Executed corpus-sized exchanges are unchanged (the
+    # r6 base 13).
+    "q_text_mining": 28,
 }
 
 
