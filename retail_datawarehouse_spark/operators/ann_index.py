@@ -49,12 +49,50 @@ def _with_n2(vectors: DataFrame) -> DataFrame:
     )
 
 
-def store_ivf_index(corpus: DataFrame, index_dir: str) -> None:
+def _build_index(
+    corpus: DataFrame, cells: int
+) -> tuple[DataFrame, DataFrame]:
+    """Generalized index build at an arbitrary cell count: seed the
+    ``cells`` smallest-id corpus vectors (orderBy+limit is a top-K
+    TakeOrdered, not a global sort; the row_number window then runs
+    over only ``cells`` rows), one Lloyd iteration, final assignment —
+    the `_ivf_index_over` recipe freed from the fixture-pinned
+    IVF_CELLS, so the build can follow the √N cell-count rule."""
+    from pyspark.sql import Window
+
+    from retail_datawarehouse_spark.operators.similarity import (
+        _fixed_point_centroids,
+    )
+
+    w = Window.orderBy("id")
+    seeds = (
+        corpus.select("id", "emb")
+        .orderBy("id")
+        .limit(cells)
+        .withColumn("cell", F.row_number().over(w) - 1)
+        .select("cell", F.col("emb").alias("centroid"))
+    )
+    assigned0 = _nearest_cell(corpus, seeds, keep=1)
+    centroids = _fixed_point_centroids(assigned0).persist()
+    return _nearest_cell(corpus, centroids, keep=1), centroids
+
+
+def store_ivf_index(
+    corpus: DataFrame, index_dir: str, cells: int | None = None
+) -> None:
     """Build the IVF index over (id, emb) and persist it as a
     cell-partitioned parquet table + a centroid sidecar. One-time
     train/assign cost; every later query and append reads only what it
-    touches."""
-    assigned, centroids = _ivf_index_over(_with_n2(corpus))
+    touches. ``cells=None`` reuses the suite's fixture-pinned builder
+    (byte-compatible with the in-memory `ivf_topk` twin); an explicit
+    ``cells`` frees the count to follow the √N occupancy rule — probe
+    cost is nprobe/K of the corpus either way, and full-probe
+    exactness is cell-count-independent (pinned by test)."""
+    withn2 = _with_n2(corpus)
+    if cells is None:
+        assigned, centroids = _ivf_index_over(withn2)
+    else:
+        assigned, centroids = _build_index(withn2, cells)
     assigned.select("id", "emb", "n2", "cell").write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(f"{index_dir}/cells")

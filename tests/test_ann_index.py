@@ -185,3 +185,48 @@ def test_append_touches_only_landed_cells(
     untouched = {d for d in before if int(d.rsplit("cell=", 1)[1]) not in landed}
     for d in untouched:
         assert after[d] == before[d]
+
+
+def test_custom_cell_count_full_probe_is_exact(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Full-probe exactness is CELL-COUNT-INDEPENDENT: an index built
+    at cells=8 (the generalized builder, not the fixture-pinned one)
+    must reproduce brute-force top-k exactly at nprobe=8 — cell
+    partitions are a complete disjoint cover whatever their count —
+    and the layout lands as exactly 8 directories."""
+    from pyspark.sql import Window
+
+    from retail_datawarehouse_spark.operators.similarity import (
+        TOP_K,
+        cosine_from_norms,
+        norm2_col,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivf8")
+    store_ivf_index(corpus, idx, cells=8)
+    assert len(glob.glob(f"{idx}/cells/cell=*")) == 8
+    got = query_ivf_index(queries, idx, nprobe=8)
+    scored = (
+        corpus.withColumnRenamed("id", "candidate_id")
+        .withColumnRenamed("emb", "c_emb")
+        .withColumn("c_n2", norm2_col("c_emb"))
+        .crossJoin(
+            F.broadcast(
+                queries.withColumnRenamed("id", "query_id")
+                .withColumnRenamed("emb", "q_emb")
+                .withColumn("q_n2", norm2_col("q_emb"))
+            )
+        )
+        .withColumn(
+            "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    want = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "candidate_id", "cosine", "rank")
+    )
+    assert _rows(got) == _rows(want)
