@@ -152,3 +152,62 @@ def test_replayed_wave_dedupes_at_read(spark, tmp_path):
     assert raw.count() == 2 * deduped.count()
     batch = featurize_media(with_mixed_media_payload(_docs(spark, range(6))))
     assert deduped.count() == batch.count()
+
+
+def test_modality_mix_drift_flags_broken_extractor(spark, tmp_path):
+    """Composition: the drift monitor watches the MEDIA-TAG profile of
+    featurized arriving waves — a wave whose payloads collapsed to one
+    modality (the broken-extractor failure: every doc suddenly lands
+    as an image) flags at the door, while a healthy wave from the same
+    generator stays quiet. Reuses the streaming monitor verbatim: the
+    featurizer's media tag IS the categorical key."""
+    import glob as _glob
+    import shutil
+
+    from retail_datawarehouse_spark.operators.drift import key_profile
+    from retail_datawarehouse_spark.operators.multimodal import (
+        with_pgm_payload,
+    )
+    from retail_datawarehouse_spark.streaming.monitor import (
+        read_verdicts,
+        run_drift_monitor_available_now,
+    )
+
+    root = str(tmp_path)
+    landing = f"{root}/landing"
+    os.makedirs(landing)
+    # reference profile: the healthy generator's media-row mix
+    ref = key_profile(
+        featurize_media(with_mixed_media_payload(_docs(spark, range(600)))),
+        F.col("media"),
+    )
+    ref.write.parquet(f"{root}/ref_profile")
+
+    def land(wave, frame):
+        keyed = frame.select(
+            F.lit(wave).cast("long").alias("wave"),
+            F.col("media").alias("k"),
+        )
+        tmp = f"{root}/w{wave}"
+        keyed.coalesce(1).write.parquet(tmp)
+        shutil.copy(
+            _glob.glob(f"{tmp}/part-*.parquet")[0],
+            f"{landing}/wave-{wave}.parquet",
+        )
+
+    healthy = featurize_media(
+        with_mixed_media_payload(_docs(spark, range(600, 900)))
+    )
+    broken = featurize_media(
+        with_pgm_payload(_docs(spark, range(900, 1200)))
+    )  # extractor collapse: every doc an image
+    land(0, healthy)
+    land(1, broken)
+    run_drift_monitor_available_now(
+        spark, landing, f"{root}/ref_profile", f"{root}/verdicts"
+    )
+    flags = {
+        r.wave: r.flag
+        for r in read_verdicts(spark, f"{root}/verdicts").collect()
+    }
+    assert flags == {0: 0, 1: 1}
