@@ -55,6 +55,9 @@ HEAVY_ENTRIES = [
     "q_embedding_suite",
     "q_multimodal_suite",
     "q_decontaminate_suite",
+    # r6: the leakage report gained the component remediation part —
+    # its pair-graph cc run is a heavy doc-family kernel now
+    "q_split_leakage_report",
 ]
 
 OTHER_TABLES = (
