@@ -65,7 +65,7 @@ WALL_BUDGET_S: dict[str, float] = {
     "q_grouping_sets_suite": 15.0,  # measured 0.54 (see note)
     "q_json_suite": 15.0,  # measured 5.7 cold incl. the landing write
     "q_merge_upsert_customers": 15.0,  # measured 0.32 (see note)
-    "q_multimodal_suite": 15.0,  # measured 2.45 (see note)
+    "q_multimodal_suite": 15.0,  # r6: ~3.1 with 8 parts (audio/video/media)
     "q_pack_sequences": 15.0,  # measured 0.17 (see note)
     "q_percentile_order_value": 15.0,  # measured 0.35 (see note)
     "q_pivot_status_by_priority": 15.0,  # measured 0.33 (see note)
@@ -77,14 +77,14 @@ WALL_BUDGET_S: dict[str, float] = {
     "q_sessionize_batch": 15.0,  # measured 0.27 (see note)
     "q_setops_purchase_error_users": 15.0,  # measured 0.41 (see note)
     "q_sink_csv_roundtrip": 15.0,  # measured 0.30 (see note)
-    "q_sink_warehouse_roundtrip": 15.0,  # measured 0.44 (see note)
+    "q_sink_warehouse_roundtrip": 15.0,  # r6: ~1.0 with the ORC branch
     "q_sketch_suite": 21.0,  # measured 8.21 (see note)
     "q_snapshot_incremental_mom": 15.0,  # measured 2.90 (see note)
-    "q_split_leakage_report": 15.0,  # measured 1.36 (see note)
+    "q_split_leakage_report": 15.0,  # r6: ~6 at sf0.01 with the cc remediation part
     "q_stream_joins_stateful": 15.0,  # measured 0.64 (see note)
     "q_stream_windows": 15.0,  # measured 0.83 (see note)
     "q_text_metrics": 15.0,  # measured 0.82 (see note)
-    "q_text_mining": 15.0,  # measured 0.90 (see note)
+    "q_text_mining": 15.0,  # r6: ~7 at sf0.01 with BPE train (8 eager vocab jobs) + apply
 }
 
 _wall_seen: dict[str, float] = {}
