@@ -263,3 +263,83 @@ def test_y4m_decode_roundtrips_definitional_builder(w, h, n_frames, fps, seed):
     for fr in frames:
         raw += b"FRAME\n" + fr
     assert decode_y4m(raw) == (w, h, num, den, frames)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            # printable ASCII incl. the marker characters < / w > and
+            # punctuation — a merged symbol can become the literal
+            # string '</w>' and MUST keep agreeing (both engines work
+            # in the string domain, so the collision is symmetric)
+            alphabet=st.sampled_from(list("abcw</>.!? ")),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    rounds=st.integers(min_value=1, max_value=4),
+)
+def test_bpe_train_and_apply_match_python_reference_fuzz(
+    spark, texts, rounds
+):
+    """Property: trainer AND encoder agree with the pure-Python
+    Sennrich reference on arbitrary ASCII corpora — multi-space runs
+    (empty-token filtering), marker-character words, short/empty docs.
+    Skips draws whose corpus has no pairs to merge (both sides would
+    raise/no-op)."""
+    import hashlib
+
+    from tests.test_bpe import _docs, _py_bpe
+
+    from retail_datawarehouse_spark.operators.bpe import (
+        apply_bpe,
+        train_bpe,
+    )
+
+    words = [w for t in texts for w in t.lower().split(" ") if w]
+    if not words:
+        return  # nothing to train on; vocab empty in both engines
+    try:
+        want = _py_bpe(texts, rounds, cap=30)
+    except ValueError:  # a round ran out of pairs (all 1-char words)
+        return
+    if len(want) < rounds:
+        return
+    docs = _docs(spark, texts)
+    merges = train_bpe(docs, rounds=rounds, cap=30)
+    got = [
+        (r.round, r.pair, r.cnt) for r in merges.orderBy("round").collect()
+    ]
+    assert got == want
+
+    rules = [tuple(p.split(" ", 1)) for _, p, _ in want]
+
+    def enc(w):
+        toks = list(w) + ["</w>"]
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and (toks[i], toks[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    applied = {
+        r.doc_id: (r.bpe_tokens, r.ws_tokens, r.enc_md5)
+        for r in apply_bpe(docs, merges).collect()
+    }
+    for doc_id, t in enumerate(texts):
+        ws = [w for w in t.lower().split(" ") if w]
+        encs = ["  ".join(enc(w)) for w in ws]
+        assert applied[doc_id] == (
+            sum(len(e.split("  ")) for e in encs),
+            len(ws),
+            hashlib.md5("|".join(encs).encode()).hexdigest(),
+        )
