@@ -202,6 +202,90 @@ def featurize_audio(df_with_payload: DataFrame) -> DataFrame:
     )
 
 
+RESAMPLE_EVERY = 2  # decimate 8 kHz → 4 kHz (model-input normalization)
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rs_rate", T.LongType()),
+        T.StructField("rs_n", T.LongType()),
+        T.StructField("rs_amp_sum", T.LongType()),
+        T.StructField("rs_md5", T.StringType()),
+        T.StructField("rs_duration_ms", T.DoubleType()),
+    ]
+)
+
+_RS_COLS = [f.name for f in RESAMPLE_SCHEMA.fields]
+
+
+def _resample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, samples = decode_wav(bytes(payload))
+            rs = samples[::RESAMPLE_EVERY]
+            rs_rate = rate // RESAMPLE_EVERY
+            rows.append(
+                (
+                    int(doc_id),
+                    rs_rate,
+                    len(rs),
+                    int(sum(rs)),
+                    hashlib.md5(rs).hexdigest(),
+                    len(rs) * 1000.0 / rs_rate,
+                )
+            )
+        yield pd.DataFrame(rows, columns=_RS_COLS)
+
+
+def resample_audio(df_with_payload: DataFrame) -> DataFrame:
+    """Decode + decimate-by-``RESAMPLE_EVERY`` — the audio twin of the
+    image resize normalization (every clip leaves at one target rate
+    before featurization/embedding). Plain decimation, deliberately: a
+    proper resampler low-pass-filters first, but an anti-alias FIR is
+    float convolution — not hash-gateable cross-engine — and on the
+    text-derived fixture the aliasing question is moot; the docstring
+    marks where scipy.signal.decimate would slot in. Map-only Arrow
+    pass, same shuffle story as the featurizer. rs_duration is exact:
+    rs_n·1000/4000 = rs_n/4, a power-of-two division."""
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        _resample_batches, RESAMPLE_SCHEMA
+    )
+
+
+# Decimated-sample stats in SQL: positions 1, 1+k, 1+2k … of the rpad'd
+# text (DuckDB range() takes a step); rs_n = ceil(n / k) exactly via
+# ((n + k - 1) // k) in integer arithmetic.
+AUDIO_RESAMPLE_ORACLE_SQL = f"""
+    SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(a, x -> x)), 0) AS BIGINT)
+               AS rs_amp_sum,
+           CAST((n + {RESAMPLE_EVERY} - 1) // {RESAMPLE_EVERY} AS BIGINT)
+               AS rs_n,
+           md5(rs) AS rs_md5,
+           CAST((n + {RESAMPLE_EVERY} - 1) // {RESAMPLE_EVERY} AS DOUBLE)
+               / 4 AS rs_duration_ms
+    FROM (
+        SELECT doc_id, n, rs,
+               list_transform(regexp_extract_all(rs, '.'),
+                              ch -> CAST(ascii(ch) AS BIGINT)) AS a
+        FROM (
+            SELECT doc_id, n,
+                   array_to_string(list_transform(
+                       range(1, n + 1, {RESAMPLE_EVERY}),
+                       i -> substr(s, CAST(i AS INTEGER), 1)), '') AS rs
+            FROM (
+                SELECT doc_id, {_WAV_N} AS n,
+                       rpad(text, CAST({_WAV_N} AS INTEGER), 'x') AS s
+                FROM documents
+            )
+        )
+    )
+"""
+
+
 # The decoded-sample stats re-expressed in SQL (the featurizer oracle):
 # samples are rpad(text, n, 'x') bytes, text is pure ASCII (fixture
 # probe), so sample bytes == ascii(char). amp_sum is an exact integer

@@ -33,7 +33,9 @@ from pyspark.sql import types as T
 
 from retail_datawarehouse_spark.operators.audio import (
     AUDIO_ORACLE_SQL,
+    AUDIO_RESAMPLE_ORACLE_SQL,
     featurize_audio,
+    resample_audio,
     with_wav_payload,
 )
 from retail_datawarehouse_spark.operators.video import (
@@ -678,6 +680,7 @@ _TCHUNK_SQL = f"""
     feats AS ({_FEATURES_SQL}),
     rsz AS ({_RESIZE_SQL}),
     audio AS ({AUDIO_ORACLE_SQL}),
+    resamp AS ({AUDIO_RESAMPLE_ORACLE_SQL}),
     video AS ({VIDEO_ORACLE_SQL}),
     media AS ({_MEDIA_SQL})
     SELECT 'meta' AS part, doc_id, payload_bytes AS i1,
@@ -706,6 +709,9 @@ _TCHUNK_SQL = f"""
     UNION ALL
     SELECT 'media', doc_id, f1, f2, skey, fd
     FROM media
+    UNION ALL
+    SELECT 'resample', doc_id, rs_n, rs_amp_sum, rs_md5, rs_duration_ms
+    FROM resamp
     """,
 )
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,6 +815,16 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "media", "idx", "fhash").alias("s1"),
         F.col("fd").alias("d1"),
     )
+    # ninth part: audio decimate-by-2 — the audio twin of the image
+    # resize normalization (every clip leaves at one target rate).
+    resamp = resample_audio(with_wav_payload(docs)).select(
+        F.lit("resample").alias("part"),
+        "doc_id",
+        F.col("rs_n").alias("i1"),
+        F.col("rs_amp_sum").alias("i2"),
+        F.col("rs_md5").alias("s1"),
+        F.col("rs_duration_ms").alias("d1"),
+    )
     return (
         meta.unionByName(chunks)
         .unionByName(feats)
@@ -817,4 +833,5 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audio)
         .unionByName(video)
         .unionByName(media)
+        .unionByName(resamp)
     )

@@ -137,3 +137,29 @@ def test_extrema_matches_pure_python(spark):
     # arithmetic drifts: 'abeba' + 11×'x' has the 'e' peak plus the
     # valley where the final 'a' turns up into the pad run
     assert rows[0].extrema == 2
+
+def test_resample_matches_definitional_decimation(spark):
+    """resample_audio == Python slicing [::RESAMPLE_EVERY] of the
+    decoded samples, with the halved rate and exact duration."""
+    from retail_datawarehouse_spark.operators.audio import (
+        RESAMPLE_EVERY,
+        resample_audio,
+    )
+
+    texts = {i: f"resample test doc {i} {'q' * (i % 5)}" for i in range(8)}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in resample_audio(with_wav_payload(docs)).collect()}
+    import hashlib
+
+    for i, text in texts.items():
+        n = 16 + i % 32
+        samples = text.ljust(n, "x")[:n].encode()
+        rs = samples[::RESAMPLE_EVERY]
+        r = got[i]
+        assert r.rs_rate == AUDIO_RATE // RESAMPLE_EVERY
+        assert r.rs_n == len(rs)
+        assert r.rs_amp_sum == sum(rs)
+        assert r.rs_md5 == hashlib.md5(rs).hexdigest()
+        assert r.rs_duration_ms == len(rs) / 4
