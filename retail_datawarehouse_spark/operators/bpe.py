@@ -204,9 +204,13 @@ def bpe_apply_oracle_sql(rounds: int = BPE_ROUNDS) -> str:
     """
 
 
-def bpe_oracle_cte(rounds: int = BPE_ROUNDS, cap: int = BPE_VOCAB_CAP) -> str:
-    """DuckDB mirror: the vocab CTE + one (pairs, best, vocab) CTE
-    triple per unrolled round, final SELECT = the merge table."""
+def bpe_oracle_cte(
+    rounds: int = BPE_ROUNDS, cap: int = BPE_VOCAB_CAP
+) -> tuple[str, str]:
+    """DuckDB mirror: returns ``(ctes, unions)`` — the vocab CTE plus
+    one (pairs, best, vocab) CTE triple per unrolled round, and the
+    UNION ALL over the per-round best-pair CTEs that reassembles the
+    merge table (callers splice both into their oracle SQL)."""
     parts = [
         f"""bpe_v0 AS (
         SELECT {_SEQ_DUCK} AS seq, f FROM (

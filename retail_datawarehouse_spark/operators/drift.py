@@ -139,18 +139,34 @@ def categorical_drift_summary(
     ``flag`` is the integer-domain threshold test
     ``tvd_scaled·1000 > 2·N_ref·N_cur·thresh_permille`` ⇔
     ``TVD > thresh_permille/1000`` — no division anywhere.
+
+    Degenerate inputs ALARM instead of passing quietly (ADVICE r6): a
+    global aggregate (never an empty frame) emits the row even when the
+    tagged input is empty, and an empty side forces ``flag=1`` — a wave
+    whose payload vanished is the loudest possible distribution shift,
+    not "no drift" (the cross-product statistic alone degenerates to 0
+    there).
     """
     per_key = categorical_drift(tagged, key, side)
-    return per_key.groupBy("n_ref", "n_cur").agg(
-        F.sum("dev").cast(DEC).alias("tvd_scaled")
+    return per_key.agg(
+        F.coalesce(F.sum("dev").cast(DEC), F.lit(0).cast(DEC)).alias(
+            "tvd_scaled"
+        ),
+        F.coalesce(F.max("n_ref"), F.lit(0).cast(DEC)).alias("n_ref"),
+        F.coalesce(F.max("n_cur"), F.lit(0).cast(DEC)).alias("n_cur"),
     ).select(
         "tvd_scaled",
         "n_ref",
         "n_cur",
-        (
-            F.col("tvd_scaled") * 1000
-            > F.lit(2) * F.col("n_ref") * F.col("n_cur") * thresh_permille
-        ).cast("long").alias("flag"),
+        F.when((F.col("n_ref") == 0) | (F.col("n_cur") == 0), F.lit(1))
+        .otherwise(
+            (
+                F.col("tvd_scaled") * 1000
+                > F.lit(2) * F.col("n_ref") * F.col("n_cur") * thresh_permille
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("flag"),
     )
 
 
@@ -193,16 +209,29 @@ def categorical_drift_from_profiles(
         "n_ref",
         "n_cur",
     )
-    return per_key.groupBy("n_ref", "n_cur").agg(
-        F.sum("dev").cast(DEC).alias("tvd_scaled")
+    # Global aggregate + empty-side alarm: same degenerate-case
+    # discipline as categorical_drift_summary (ADVICE r6) — an empty
+    # batch or profile yields an explicit flag=1 row, never an empty
+    # frame or a quiet tvd=0 pass.
+    return per_key.agg(
+        F.coalesce(F.sum("dev").cast(DEC), F.lit(0).cast(DEC)).alias(
+            "tvd_scaled"
+        ),
+        F.coalesce(F.max("n_ref"), F.lit(0).cast(DEC)).alias("n_ref"),
+        F.coalesce(F.max("n_cur"), F.lit(0).cast(DEC)).alias("n_cur"),
     ).select(
         "tvd_scaled",
         "n_ref",
         "n_cur",
-        (
-            F.col("tvd_scaled") * 1000
-            > F.lit(2) * F.col("n_ref") * F.col("n_cur") * thresh_permille
-        ).cast("long").alias("flag"),
+        F.when((F.col("n_ref") == 0) | (F.col("n_cur") == 0), F.lit(1))
+        .otherwise(
+            (
+                F.col("tvd_scaled") * 1000
+                > F.lit(2) * F.col("n_ref") * F.col("n_cur") * thresh_permille
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("flag"),
     )
 
 
@@ -274,26 +303,38 @@ def embedding_centroid_drift(
         (F.col("sc") - F.col("sr")).cast("long").alias("iv"),
     )
     d = F.col("sc") * F.col("nr") - F.col("sr") * F.col("nc")
+    # Empty-side alarm (ADVICE r6 discipline): with one side empty the
+    # cross-multiplied shift degenerates to 0·0 > 0 — a vanished vector
+    # population must read as the loudest drift, not the quietest.
     flag_row = (
         per_pos.agg(
-            F.sum(d * d).cast(DEC).alias("d2"),
-            F.sum("s2r").cast(DEC).alias("s2"),
-            F.max("nr").alias("nr"),
-            F.max("nc").alias("nc"),
+            F.coalesce(F.sum(d * d).cast(DEC), F.lit(0).cast(DEC)).alias(
+                "d2"
+            ),
+            F.coalesce(F.sum("s2r").cast(DEC), F.lit(0).cast(DEC)).alias(
+                "s2"
+            ),
+            F.coalesce(F.max("nr"), F.lit(0).cast(DEC)).alias("nr"),
+            F.coalesce(F.max("nc"), F.lit(0).cast(DEC)).alias("nc"),
         )
         .select(
             F.lit("flag").alias("key_s"),
             F.lit(0).cast("long").alias("pos"),
             F.lit(None).cast("long").alias("n"),
-            (
-                F.col("d2") * 1000000
-                > F.lit(thresh_permille * thresh_permille)
-                * F.col("s2")
-                * q_scale
-                * F.col("nr")
-                * F.col("nc")
-                * F.col("nc")
-            ).cast("long").alias("iv"),
+            F.when((F.col("nr") == 0) | (F.col("nc") == 0), F.lit(1))
+            .otherwise(
+                (
+                    F.col("d2") * 1000000
+                    > F.lit(thresh_permille * thresh_permille)
+                    * F.col("s2")
+                    * q_scale
+                    * F.col("nr")
+                    * F.col("nc")
+                    * F.col("nc")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("iv"),
         )
     )
     return dim_rows.unionByName(flag_row)
@@ -344,21 +385,35 @@ def binned_ks_drift(
         F.sum("c_ref").over(w).cast(DEC).alias("cum_ref"),
         F.sum("c_cur").over(w).cast(DEC).alias("cum_cur"),
     )
-    return cum.groupBy("n_ref", "n_cur").agg(
-        F.max(
-            F.abs(
-                F.col("cum_cur") * F.col("n_ref")
-                - F.col("cum_ref") * F.col("n_cur")
-            )
-        ).cast(DEC).alias("ks_scaled"),
+    # Global aggregate + empty-side alarm (ADVICE r6): an empty input
+    # still yields the 1-row summary (n_bins=0) and an empty side is
+    # flag=1 — the cross-product KS statistic alone degenerates to 0
+    # when one side vanishes.
+    return cum.agg(
+        F.coalesce(
+            F.max(
+                F.abs(
+                    F.col("cum_cur") * F.col("n_ref")
+                    - F.col("cum_ref") * F.col("n_cur")
+                )
+            ).cast(DEC),
+            F.lit(0).cast(DEC),
+        ).alias("ks_scaled"),
+        F.coalesce(F.max("n_ref"), F.lit(0).cast(DEC)).alias("n_ref"),
+        F.coalesce(F.max("n_cur"), F.lit(0).cast(DEC)).alias("n_cur"),
         F.count(F.lit(1)).alias("n_bins"),
     ).select(
         "ks_scaled",
         "n_ref",
         "n_cur",
-        (
-            F.col("ks_scaled") * 1000
-            > F.col("n_ref") * F.col("n_cur") * thresh_permille
-        ).cast("long").alias("flag"),
+        F.when((F.col("n_ref") == 0) | (F.col("n_cur") == 0), F.lit(1))
+        .otherwise(
+            (
+                F.col("ks_scaled") * 1000
+                > F.col("n_ref") * F.col("n_cur") * thresh_permille
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("flag"),
         "n_bins",
     )

@@ -17,13 +17,18 @@ references the measure, and require either
 
 - the time grain in that Aggregate's grouping (a per-month aggregate —
   the measure is additive WITHIN a month), or
-- an equality pin on the grain somewhere below the Aggregate (a
-  single-month slice — q55's read shape): an ``EqualTo``/
-  ``EqualNullSafe`` whose one side carries the grain attribute and
-  whose other side contains NO attribute (a literal/foldable value),
-  not nested under ``Not`` — so ``!=`` (printed as Not(EqualTo)),
-  IN-lists, ranges, and column-to-column equality all correctly fail
-  to qualify (ADVICE r5: the regex form matched the first two).
+- an equality pin on the grain below the Aggregate (a single-month
+  slice — q55's read shape): an ``EqualTo``/``EqualNullSafe`` whose
+  one side carries the grain attribute and whose other side contains
+  NO attribute (a literal/foldable value), standing as a CONJUNCT of
+  its Filter condition (reached through ``And`` only) — so ``!=``
+  (printed as Not(EqualTo)), IN-lists, ranges, column-to-column
+  equality, and a pin hidden inside an OR disjunction (``month = X OR
+  status = 'F'`` admits every month; ADVICE r6) all correctly fail to
+  qualify. The Filter must additionally sit on the branch that carries
+  the measure's lineage — a pin on an unrelated join branch (e.g. a
+  dimension filtered to one month, joined to unpinned fact rows) never
+  restricts the measure's rows and does not count (ADVICE r6).
 
 Attribute identity is tracked by ``exprId`` LINEAGE, not by name:
 every ``AttributeReference`` literally named a measure/grain seeds the
@@ -173,27 +178,51 @@ def _collect_tainted(plan: dict, names: tuple[str, ...]) -> set[int]:
     return tainted
 
 
-def _pin_in_condition(e: dict, grain_ids: set[int], under_not: bool) -> bool:
+def _pin_in_condition(e: dict, grain_ids: set[int]) -> bool:
+    """True only when a single-grain equality is a CONJUNCT of the
+    condition: recurse through And (both conjuncts restrict every
+    surviving row) and STOP at everything else — an equality under Or
+    admits rows the equality never pinned (``month = X OR status =
+    'F'`` passes every month; ADVICE r6), and under Not it is ``!=``.
+    Stopping rather than enumerating bad wrappers keeps the fail-closed
+    direction: an exotic shape is a false ALARM, never a silent pass."""
     k = _simple(e)
-    if k == "Not":
-        return any(_pin_in_condition(c, grain_ids, True) for c in e["_kids"])
-    if not under_not and k in ("EqualTo", "EqualNullSafe") and len(e["_kids"]) == 2:
+    if k == "And":
+        return any(_pin_in_condition(c, grain_ids) for c in e["_kids"])
+    if k in ("EqualTo", "EqualNullSafe") and len(e["_kids"]) == 2:
         left, right = e["_kids"]
         for a, b in ((left, right), (right, left)):
             if _refs_any(a, grain_ids) and not _has_attrs(b):
                 return True
-        return False
-    return any(_pin_in_condition(c, grain_ids, under_not) for c in e["_kids"])
+    return False
 
 
-def _subtree_pins_grain(node: dict, grain_ids: set[int]) -> bool:
-    """True if any Filter at-or-below carries a single-grain equality
-    pin (see module docstring for what deliberately does NOT count)."""
-    if _simple(node) == "Filter":
+def _node_refs(node: dict, ids: set[int]) -> bool:
+    """Any expression field anywhere in the plan subtree references one
+    of ``ids``. Leaf relations serialize their output attributes as
+    expression fields, so this answers 'does this branch carry the
+    column' — the lineage test that keeps a pin on an unrelated join
+    branch (one that never produces the measure's rows) from
+    qualifying (ADVICE r6)."""
+    if any(_refs_any(tree, ids) for tree in _expr_fields(node)):
+        return True
+    return any(_node_refs(c, ids) for c in node["_kids"])
+
+
+def _subtree_pins_grain(
+    node: dict, grain_ids: set[int], measure_ids: set[int]
+) -> bool:
+    """True if a Filter at-or-below carries a single-grain equality pin
+    AS A CONJUNCT, and that Filter sits on the branch that carries the
+    measure's lineage (see module docstring for what deliberately does
+    NOT count)."""
+    if _simple(node) == "Filter" and _node_refs(node, measure_ids):
         for tree in _expr_fields(node):
-            if _pin_in_condition(tree, grain_ids, False):
+            if _pin_in_condition(tree, grain_ids):
                 return True
-    return any(_subtree_pins_grain(c, grain_ids) for c in node["_kids"])
+    return any(
+        _subtree_pins_grain(c, grain_ids, measure_ids) for c in node["_kids"]
+    )
 
 
 def assert_semi_additive_safe(
@@ -231,7 +260,7 @@ def assert_semi_additive_safe(
         ]
         if any(_refs_any(g, grain_ids) for g in grouping):
             return
-        if _subtree_pins_grain(node, grain_ids):
+        if _subtree_pins_grain(node, grain_ids, measure_ids):
             return
         raise SemiAdditiveViolation(
             f"{hit}() aggregates a SEMI-ADDITIVE measure (lineage of "
@@ -280,7 +309,9 @@ def assert_semi_additive_safe(
                     and "WindowFrame" not in _simple(k)
                 ]
                 safe = any(_refs_any(p, grain_ids) for p in part)
-        if hit is None or safe or _subtree_pins_grain(node, grain_ids):
+        if hit is None or safe or _subtree_pins_grain(
+            node, grain_ids, measure_ids
+        ):
             return
         raise SemiAdditiveViolation(
             f"window {hit}() runs a SEMI-ADDITIVE measure (lineage of "

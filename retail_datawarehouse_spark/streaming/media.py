@@ -79,8 +79,28 @@ def run_media_ingest_available_now(
 
     def featurize_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # one wave per batch; carry its tag from the data (epoch_id
-        # restarts with a fresh checkpoint — the wave tag is stable)
-        wave = batch_df.agg(F.min("wave").cast("long").alias("wave"))
+        # restarts with a fresh checkpoint — the wave tag is stable).
+        # The tag expression RAISES if the batch ever spans >1 wave
+        # (ADVICE r6: a silent min() would mis-attribute the extra
+        # wave's features and let the (wave, doc, idx) dedupe collapse
+        # rows from distinct waves) — the one-file-per-wave contract
+        # fails loudly, in-plan, with no extra driver action.
+        wave = batch_df.agg(
+            F.min("wave").cast("long").alias("_w"),
+            F.countDistinct("wave").alias("_nw"),
+        ).select(
+            F.when(F.col("_nw") <= 1, F.col("_w"))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "media ingest batch spans %d waves — "
+                        "one-file-per-wave contract broken",
+                        F.col("_nw"),
+                    )
+                ).cast("long")
+            )
+            .alias("wave")
+        )
         out = featurize_media(batch_df).crossJoin(F.broadcast(wave)).select(
             "wave", *[f.name for f in MEDIA_FEATURE_SCHEMA.fields]
         )

@@ -96,8 +96,27 @@ def run_drift_monitor_available_now(
         cur = key_profile(batch_df, F.col("k"))
         # one wave per batch (maxFilesPerTrigger=1); carry its tag from
         # the data itself, not epoch_id (epoch numbering restarts with
-        # a fresh checkpoint — the wave tag is the stable identity)
-        wave = batch_df.agg(F.min("wave").cast("long").alias("wave"))
+        # a fresh checkpoint — the wave tag is the stable identity).
+        # The tag RAISES if the batch spans >1 wave (ADVICE r6: a
+        # batch-wide verdict attributed to min(wave) would silently
+        # average a drifted and a clean wave and drop one's verdict) —
+        # contract failure is loud, in-plan, no extra driver action.
+        wave = batch_df.agg(
+            F.min("wave").cast("long").alias("_w"),
+            F.countDistinct("wave").alias("_nw"),
+        ).select(
+            F.when(F.col("_nw") <= 1, F.col("_w"))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "drift monitor batch spans %d waves — "
+                        "one-file-per-wave contract broken",
+                        F.col("_nw"),
+                    )
+                ).cast("long")
+            )
+            .alias("wave")
+        )
         verdict = (
             categorical_drift_from_profiles(ref, cur, permille)
             .crossJoin(F.broadcast(wave))

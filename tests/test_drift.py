@@ -288,3 +288,64 @@ def test_embedding_drift_fixture_uninjected_quiet_injected_fires(spark):
     )
     noisy = embedding_centroid_drift(plain001, q_scale=65536)
     assert [r.iv for r in noisy.collect() if r.key_s == "flag"] == [1]
+
+
+def test_degenerate_sides_alarm_not_quiet(spark):
+    """ADVICE r6: an empty current side (a wave whose payload vanished)
+    must read as an ALARM — the cross-product statistic alone
+    degenerates to 0 there — and an empty input must still emit the
+    1-row summary instead of an empty frame."""
+    ref_only = [(0, "a", 100), (0, "b", 200), (0, "a", 300)]
+    cat = categorical_drift_summary(
+        _tagged(spark, ref_only), F.col("k"), F.col("side")
+    ).collect()
+    assert len(cat) == 1
+    assert (int(cat[0].n_ref), int(cat[0].n_cur)) == (3, 0)
+    assert cat[0].flag == 1
+    ks = binned_ks_drift(
+        _tagged(spark, ref_only), F.col("cents"), F.col("side")
+    ).collect()
+    assert len(ks) == 1 and ks[0].flag == 1
+    # fully empty input: explicit zero-count row, flagged
+    empty = _tagged(spark, []).filter(F.lit(False))
+    cat0 = categorical_drift_summary(
+        empty, F.col("k"), F.col("side")
+    ).collect()
+    assert len(cat0) == 1
+    assert (int(cat0[0].n_ref), int(cat0[0].n_cur), cat0[0].flag) == (0, 0, 1)
+    ks0 = binned_ks_drift(empty, F.col("cents"), F.col("side")).collect()
+    assert len(ks0) == 1 and ks0[0].flag == 1 and ks0[0].n_bins == 0
+
+
+def test_profile_drift_empty_batch_alarms(spark):
+    """The monitoring shape: reference profile vs an EMPTY arriving
+    batch profile — explicit flag=1 verdict, not 'no drift'."""
+    from retail_datawarehouse_spark.operators.drift import (
+        categorical_drift_from_profiles,
+        key_profile,
+    )
+
+    ref = key_profile(
+        _tagged(spark, [(0, "a", 1)] * 6 + [(0, "b", 2)] * 4), F.col("k")
+    )
+    cur = key_profile(
+        _tagged(spark, []).filter(F.lit(False)), F.col("k")
+    )
+    got = categorical_drift_from_profiles(ref, cur).collect()
+    assert len(got) == 1
+    assert (int(got[0].n_ref), int(got[0].n_cur), got[0].flag) == (10, 0, 1)
+
+
+def test_embedding_drift_empty_side_alarms(spark):
+    """Centroid-shift drift: a vanished current vector population
+    flags instead of reading 0·0 > 0 as quiet."""
+    from retail_datawarehouse_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+
+    rows = [(0, p, q, q * q) for p in (1, 2) for q in (3, 4)]
+    tall = spark.createDataFrame(
+        rows, "side int, pos long, q long, q2 long"
+    )
+    got = {r.key_s: r for r in embedding_centroid_drift(tall).collect()}
+    assert got["flag"].iv == 1

@@ -127,3 +127,19 @@ def test_replayed_verdicts_dedupe_on_wave(spark, mon_root):
 
 def test_read_verdicts_empty_dir(spark, mon_root):
     assert read_verdicts(spark, f"{mon_root}/nope").count() == 0
+
+
+def test_multi_wave_file_fails_loudly(spark, mon_root):
+    """ADVICE r6: a landing file mixing two waves must not produce one
+    verdict attributed to min(wave) — the drain raises instead of
+    silently averaging a drifted and a clean wave."""
+    landing, ref_dir, verdict_dir = _setup(spark, mon_root)
+    rows = [(0, "a"), (0, "b"), (1, "a"), (1, "b")]
+    frame = spark.createDataFrame(rows, "wave long, k string")
+    tmp = f"{mon_root}/mixed"
+    frame.coalesce(1).write.parquet(tmp)
+    shutil.copy(
+        glob.glob(f"{tmp}/part-*.parquet")[0], f"{landing}/wave-x.parquet"
+    )
+    with pytest.raises(Exception, match="spans 2 waves"):
+        run_drift_monitor_available_now(spark, landing, ref_dir, verdict_dir)

@@ -189,6 +189,83 @@ def test_rejects_in_list_filter_sum(snap):
         assert_semi_additive_safe(bad)
 
 
+def test_rejects_pin_inside_or_disjunction(snap):
+    """ADVICE r6 (medium): ``month = X OR <anything>`` admits every
+    month through the other disjunct — an equality only pins when it is
+    a CONJUNCT of the condition."""
+    bad = (
+        snap.filter(
+            (F.col("month_start") == "1998-02-01")
+            | (F.col("month_total_spent") > 0)
+        )
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
+
+
+def test_accepts_pin_as_conjunct_of_and(snap):
+    """The pin may share the condition with other conjuncts: every
+    surviving row is still single-month."""
+    ok = (
+        snap.filter(
+            (F.col("month_start") == "1998-02-01")
+            & (F.col("month_total_spent") >= 0)
+        )
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    assert assert_semi_additive_safe(ok).first().s == 22.0
+
+
+def test_rejects_not_not_equal_double_negation(snap):
+    """NOT(month != X) is logically a pin but sits under Not — the
+    walker fails CLOSED on shapes it doesn't prove, so this raises
+    (a false alarm, never a silent pass)."""
+    bad = (
+        snap.filter(~(F.col("month_start") != "1998-02-01"))
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
+
+
+def test_rejects_pin_on_unrelated_join_branch(spark, snap):
+    """ADVICE r6 (medium): a month pin on the DIMENSION side of a join
+    filters dimension rows, not the measure's fact rows — every month
+    of the fact still reaches the SUM."""
+    dim = spark.createDataFrame(
+        [(1, "gold", "1998-02-01"), (2, "blue", "1998-02-01")],
+        "customer_key long, segment string, month_start string",
+    )
+    pinned_dim = (
+        dim.filter(F.col("month_start") == "1998-02-01")
+        .select("customer_key", "segment")
+    )
+    bad = (
+        snap.join(pinned_dim, "customer_key")
+        .groupBy("segment")
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
+
+
+def test_accepts_pin_on_measure_branch_of_join(spark, snap):
+    """The mirror case stays legal: the pin restricts the FACT branch
+    (the measure's lineage) before the join."""
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "blue")], "customer_key long, segment string"
+    )
+    ok = (
+        snap.filter(F.col("month_start") == "1998-02-01")
+        .join(dim, "customer_key")
+        .groupBy("segment")
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    out = {r.segment: r.s for r in assert_semi_additive_safe(ok).collect()}
+    assert out == {"gold": 15.0, "blue": 7.0}
+
+
 def test_accepts_pin_on_renamed_grain(snap):
     """Grain lineage follows renames too: pinning the RENAMED month
     column is still a single-month slice."""

@@ -136,6 +136,27 @@ def test_drain_equals_batch_image_and_restart_is_incremental(spark, tmp_path):
     assert _rows(deduped) == _rows(batch_all)
 
 
+def test_multi_wave_file_fails_loudly(spark, tmp_path):
+    """ADVICE r6: a landing file that (illegally) mixes two waves must
+    not be silently attributed to min(wave) — the drain raises instead
+    of mis-tagging features."""
+    root = str(tmp_path)
+    landing = f"{root}/landing"
+    os.makedirs(landing)
+    mixed = with_mixed_media_payload(_docs(spark, range(4))).select(
+        (F.col("doc_id") % 2).cast("long").alias("wave"), "doc_id", "payload"
+    )
+    tmp = f"{root}/mixed"
+    mixed.coalesce(1).write.parquet(tmp)
+    shutil.copy(
+        glob.glob(f"{tmp}/part-*.parquet")[0], f"{landing}/wave-x.parquet"
+    )
+    with pytest.raises(Exception, match="spans 2 waves"):
+        run_media_ingest_available_now(
+            spark, landing, f"{root}/features", f"{root}/ckpt"
+        )
+
+
 def test_replayed_wave_dedupes_at_read(spark, tmp_path):
     """At-least-once foreachBatch can append a wave's deterministic
     rows twice across a crash; the reader collapses them."""
