@@ -901,15 +901,24 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return _ivf_index_over(corpus)
 
 
-def _ivf_topk_over(q: DataFrame, c: DataFrame, nprobe: int) -> DataFrame:
+def _ivf_topk_over(
+    q: DataFrame,
+    c: DataFrame,
+    nprobe: int,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """IVF search over shared (query, corpus) frames in the suite's
-    column convention (query_id/q_emb/q_n2, candidate_id/c_emb/c_n2)."""
+    column convention (query_id/q_emb/q_n2, candidate_id/c_emb/c_n2).
+    ``index`` optionally shares a prebuilt (assigned, centroids) pair
+    with the IVF×PQ branch so the Lloyd build runs once per suite."""
     corpus = c.select(
         F.col("candidate_id").alias("id"),
         F.col("c_emb").alias("emb"),
         F.col("c_n2").alias("n2"),
     )
-    assigned, centroids = _ivf_index_over(corpus)
+    assigned, centroids = (
+        _ivf_index_over(corpus) if index is None else index
+    )
     queries = q.select(
         F.col("query_id").alias("id"),
         F.col("q_emb").alias("emb"),
@@ -1107,42 +1116,35 @@ def _pq_codebook(c: DataFrame) -> DataFrame:
     return cent.agg(F.collect_list(F.struct("s", "cell", "centroid")).alias("_cb"))
 
 
-def _pq_topk(q: DataFrame, c: DataFrame) -> DataFrame:
-    """PQ-ADC top-k: encode each candidate as PQ_M codebook codes, then
-    score the float query against the RECONSTRUCTION (concatenated
-    codebook entries) with the standard pinned cosine folds — the same
-    bit-exactness argument as the int8 ADC branch, so the oracle
-    reproduces every IEEE step.
+def _pq_encode(codebook_src: DataFrame, cand: DataFrame) -> DataFrame:
+    """Encode ``cand`` (candidate_id, c_emb[, passthrough cols — e.g.
+    the IVF ``cell``]) against the codebook trained on
+    ``codebook_src``'s bounded sample; returns the PERSISTED coded
+    frame (candidate_id, *passthrough, codes, recon, recon_n2).
 
-    Scale shape: encoding is a map-side fold against the one broadcast
-    codebook row (PQ_M · PQ_K = 128 small L2 folds per vector, a
-    CONSTANT independent of corpus size); the reconstruction and its
-    norm² derive map-side BELOW the pair join, so the pair loop stays
-    one 64-dim dot fold per (query, candidate). At 100 TB the codes
-    column (8 bytes/vector) is what the serving tier stores and scans —
-    the float corpus is only read at train/encode time.
+    One shared per-subspace argmin ("picked") carries BOTH the code
+    and its centroid, so codes / recon / recon_n2 are cheap
+    extractions of one expression instead of three independent
+    argmin passes — CollapseProject inlines picked into each
+    consumer, so keeping the argmin single-sourced bounds the
+    duplicated work at ~3× one pass (measured: a naive
+    codes-then-lookup formulation re-inlined the FULL encode tree
+    into the pair-level cosine — once per (query, candidate) pair,
+    91 s at sf0.1 vs ~2.6 s for this shape).
 
-    Recall honesty: at 32× compression the reconstruction error
-    exceeds the tiny cosine gaps between near-uniform fixture vectors,
-    so top-k agreement with the exact branch is NOT a property of this
-    operator on this data — what it guarantees (and what
-    test_pq_reconstruction_and_planted_recall pins) is a
-    reconstruction-cosine floor, full codebook utilization, and rank-1
-    retrieval of true near-neighbors (planted scale-invariant copies),
-    which is the property a dedup/retrieval candidate generator needs."""
-    packed = _pq_codebook(c)
-    # One shared per-subspace argmin ("picked") carries BOTH the code
-    # and its centroid, so codes / recon / recon_n2 are cheap
-    # extractions of one expression instead of three independent
-    # argmin passes — CollapseProject inlines picked into each
-    # consumer, so keeping the argmin single-sourced bounds the
-    # duplicated work at ~3× one pass (measured: a naive
-    # codes-then-lookup formulation re-inlined the FULL encode tree
-    # into the pair-level cosine — once per (query, candidate) pair,
-    # 91 s at sf0.1 vs ~2.6 s for this shape).
+    The persist is a CORRECTNESS-OF-SHAPE boundary, not a cache
+    nicety: without it the encode tree inlines into the pair-level
+    cosine and is re-evaluated once per (query, candidate) pair — and
+    the expression is big enough to knock the projection out of
+    whole-stage codegen. In production the codes/recon columns are
+    the STORED index — reading them materialized is the design (see
+    ``ann_index.store_ivf_index(pq=True)``, which writes exactly this
+    frame cell-partitioned)."""
+    packed = _pq_codebook(codebook_src)
     l2 = _SPARK_L2.format(a="element_at(subs, s + 1)", b="e.centroid")
-    coded = (
-        c.crossJoin(F.broadcast(packed))
+    extras = [c for c in cand.columns if c not in ("candidate_id", "c_emb")]
+    return (
+        cand.crossJoin(F.broadcast(packed))
         .withColumn(
             "subs",
             F.expr(
@@ -1162,23 +1164,113 @@ def _pq_topk(q: DataFrame, c: DataFrame) -> DataFrame:
         .withColumn("codes", F.expr("transform(picked, x -> x.cell)"))
         .withColumn("recon", F.expr("flatten(transform(picked, x -> x.centroid))"))
         .withColumn("recon_n2", F.expr(_SPARK_NORM2.format(a="recon")))
-        .select("candidate_id", "codes", "recon", "recon_n2")
-        # The persist is a CORRECTNESS-OF-SHAPE boundary, not a cache
-        # nicety: without it the encode tree inlines into the
-        # pair-level cosine and is re-evaluated once per (query,
-        # candidate) pair — and the expression is big enough to knock
-        # the projection out of whole-stage codegen. In production the
-        # codes/recon columns are the STORED index — reading them
-        # materialized is the design, not an optimization. Remaining
-        # wall at sf0.1 is fixed job-barrier latency on the
-        # broadcast/persist chain, not data cost (train is bounded by
-        # PQ_TRAIN_N; encode is one map-side pass).
+        .select("candidate_id", *extras, "codes", "recon", "recon_n2")
         .persist()
     )
+
+
+def _pq_adc_cosine() -> F.Column:
+    """The ADC scoring expression shared by the full-scan and
+    IVF-pruned PQ paths: float query against the reconstruction, with
+    both norms precomputed below the join — bit-identical between the
+    two paths by construction (full-probe ≡ full-scan is pinned by
+    test)."""
+    return F.expr(_SPARK_DOT.format(a="q_emb", b="recon")) / (
+        F.sqrt(F.col("q_n2")) * F.sqrt(F.col("recon_n2"))
+    )
+
+
+def _pq_topk(q: DataFrame, c: DataFrame) -> DataFrame:
+    """PQ-ADC top-k over the FULL corpus: encode each candidate as PQ_M
+    codebook codes, then score the float query against the
+    RECONSTRUCTION (concatenated codebook entries) with the standard
+    pinned cosine folds — the same bit-exactness argument as the int8
+    ADC branch, so the oracle reproduces every IEEE step.
+
+    Scale shape: encoding is a map-side fold against the one broadcast
+    codebook row (PQ_M · PQ_K = 128 small L2 folds per vector, a
+    CONSTANT independent of corpus size); the reconstruction and its
+    norm² derive map-side BELOW the pair join, so the pair loop stays
+    one 64-dim dot fold per (query, candidate). At 100 TB the codes
+    column (8 bytes/vector) is what the serving tier stores and scans —
+    the float corpus is only read at train/encode time.
+
+    THIS IS THE EXACTNESS TWIN, NOT THE SERVING PATH (r6 verdict #1):
+    the Q×N ADC scan is linear in the corpus, which is exactly the
+    term IVF pruning exists to cut — the headline suite serves the
+    composed ``_ivfpq_topk`` (probe nprobe cells, score codes only
+    there), and this full scan remains as the nprobe=K equivalence
+    baseline the pruned path is pinned against.
+
+    Recall honesty: at 32× compression the reconstruction error
+    exceeds the tiny cosine gaps between near-uniform fixture vectors,
+    so top-k agreement with the exact branch is NOT a property of this
+    operator on this data — what it guarantees (and what
+    test_pq_reconstruction_and_planted_recall pins) is a
+    reconstruction-cosine floor, full codebook utilization, and rank-1
+    retrieval of true near-neighbors (planted scale-invariant copies),
+    which is the property a dedup/retrieval candidate generator needs."""
+    coded = _pq_encode(c, c.select("candidate_id", "c_emb"))
     scored = coded.crossJoin(F.broadcast(q)).withColumn(
-        "cosine",
-        F.expr(_SPARK_DOT.format(a="q_emb", b="recon"))
-        / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("recon_n2"))),
+        "cosine", _pq_adc_cosine()
+    )
+    return _per_query_topk(scored)
+
+
+def _ivfpq_topk(
+    q: DataFrame,
+    c: DataFrame,
+    nprobe: int = IVF_NPROBE,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF×PQ — the composed serving layout (FAISS IVFPQ; r6 verdict
+    #1): the corpus is coarse-quantized into IVF cells AND
+    product-quantized into 8 code bytes; a query routes to its nprobe
+    nearest cells and ADC-scores reconstructions ONLY there. Query
+    cost is Q × N·nprobe/K — the linear Q×N scan of ``_pq_topk``
+    becomes the probe-bounded term that survives a 100× corpus, while
+    encode (the one linear pass) is the INDEX BUILD, paid once at
+    store time, not per query (``ann_index.store_ivf_index(pq=True)``
+    persists exactly the frame built here).
+
+    nprobe=K degrades to the full ADC scan: cells are a disjoint
+    cover, so every candidate is scored exactly once with the same
+    fold — row-for-row equal to ``_pq_topk`` (pinned by test, the same
+    argument the stored-IVF full-probe test makes).
+
+    ``index`` shares a prebuilt (assigned, centroids) pair — the suite
+    passes the one it already builds for the plain-IVF branch, so the
+    Lloyd pass runs once, not twice."""
+    corpus = c.select(
+        F.col("candidate_id").alias("id"),
+        F.col("c_emb").alias("emb"),
+        F.col("c_n2").alias("n2"),
+    )
+    assigned, centroids = (
+        _ivf_index_over(corpus) if index is None else index
+    )
+    # cell rides the encode input, so codes+cell come out of ONE
+    # map-side pass over the cached corpus (assignment fold → encode
+    # fold), never an id-keyed shuffle join between the two.
+    cand = assigned.select(
+        F.col("id").alias("candidate_id"),
+        F.col("emb").alias("c_emb"),
+        "cell",
+    )
+    coded = _pq_encode(c, cand)
+    queries = q.select(
+        F.col("query_id").alias("id"),
+        F.col("q_emb").alias("emb"),
+        F.col("q_n2").alias("n2"),
+    )
+    probes = _nearest_cell(queries, centroids, keep=nprobe).select(
+        F.col("id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+        "cell",
+    )
+    scored = coded.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", _pq_adc_cosine()
     )
     return _per_query_topk(scored)
 
@@ -1495,13 +1587,46 @@ _ANN_ADC_SQL = f"""
 """
 
 
-# The PQ branch mirrored: same seeded-Lloyd training per subspace
-# (fixed-point means), same L2 assignment tie-break, same pinned
-# reconstruction-cosine op order as _pq_topk.
-_ANN_PQ_SQL = f"""
+# The IVF×PQ branch mirrored: the IVF chain (seeded Lloyd, fixed-point
+# means, argmax cell assignment + query probes — same CTEs as
+# _ANN_IVF_SQL) composed with the PQ chain (per-subspace seeded-Lloyd
+# codebooks, L2 assignment tie-break, reconstruction) — scoring joins
+# reconstructions to probes THROUGH the cell assignment, so only the
+# nprobe probed cells' candidates are scored, same pinned
+# reconstruction-cosine op order as _pq_adc_cosine.
+_ANN_IVFPQ_SQL = f"""
     WITH corpus AS (
         SELECT vec_id AS id, embedding AS emb FROM embeddings
         WHERE vec_id >= {N_QUERIES}
+    ),
+    ivf_seeds AS (
+        SELECT vec_id - {N_QUERIES} AS cell, embedding AS centroid
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_CELLS}
+    ),
+    ivf_assign0 AS ({_duck_argmax_cell("corpus", "ivf_seeds", 1)}),
+    ivf_cent_tall AS (
+        SELECT cell, generate_subscripts(emb, 1) AS pos,
+               CAST(unnest(emb) AS DOUBLE) AS v
+        FROM ivf_assign0
+    ),
+    ivf_cent_agg AS (
+        SELECT cell, pos,
+               CAST(SUM(CAST(FLOOR(v * 1048576.0) AS BIGINT)) AS BIGINT) AS sq,
+               COUNT(*) AS n
+        FROM ivf_cent_tall GROUP BY 1, 2
+    ),
+    ivf_centroids AS (
+        SELECT cell, list(sq::DOUBLE / (1048576.0 * n) ORDER BY pos) AS centroid
+        FROM ivf_cent_agg GROUP BY cell
+    ),
+    ivf_assign AS ({_duck_argmax_cell("corpus", "ivf_centroids", 1)}),
+    ivf_queries AS (
+        SELECT vec_id AS id, embedding AS emb FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    ivf_probes AS (
+        {_duck_argmax_cell("ivf_queries", "ivf_centroids", IVF_NPROBE)}
     ),
     subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
     sub AS (
@@ -1557,22 +1682,20 @@ _ANN_PQ_SQL = f"""
         SELECT id AS candidate_id, flatten(list(centroid ORDER BY s)) AS recon
         FROM encoded GROUP BY id
     ),
-    pq_q AS (
-        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-        WHERE vec_id < {N_QUERIES}
-    ),
-    pq_scored AS (
-        SELECT q.query_id, r.candidate_id,
-               ({_DUCK_DOT.format(a="q.q_emb", b="r.recon")})
-               / (sqrt({_DUCK_NORM2.format(a="q.q_emb")})
+    ivfpq_scored AS (
+        SELECT p.id AS query_id, r.candidate_id,
+               ({_DUCK_DOT.format(a="p.emb", b="r.recon")})
+               / (sqrt({_DUCK_NORM2.format(a="p.emb")})
                   * sqrt({_DUCK_NORM2.format(a="r.recon")})) AS cosine
-        FROM recon r CROSS JOIN pq_q q
+        FROM recon r
+        JOIN ivf_assign a ON a.id = r.candidate_id
+        JOIN ivf_probes p ON p.cell = a.cell
     )
     SELECT query_id, candidate_id, cosine,
            CAST(row_number() OVER
                (PARTITION BY query_id ORDER BY cosine DESC, candidate_id)
                AS BIGINT) AS rank
-    FROM pq_scored
+    FROM ivfpq_scored
     QUALIFY rank <= {TOP_K}
 """
 
@@ -1584,7 +1707,7 @@ _ANN_PQ_SQL = f"""
     lsh AS ({_ANN_LSH_SQL}),
     ivf AS ({_ANN_IVF_SQL}),
     adc AS ({_ANN_ADC_SQL}),
-    pq AS ({_ANN_PQ_SQL})
+    ivfpq AS ({_ANN_IVFPQ_SQL})
     SELECT 'exact' AS method, query_id, candidate_id,
            {_COSQ_SQL} AS cosine_q, rank
     FROM exact
@@ -1598,7 +1721,7 @@ _ANN_PQ_SQL = f"""
     UNION ALL
     SELECT 'adc', query_id, candidate_id, {_COSQ_SQL}, rank FROM adc
     UNION ALL
-    SELECT 'pq', query_id, candidate_id, {_COSQ_SQL}, rank FROM pq
+    SELECT 'ivfpq', query_id, candidate_id, {_COSQ_SQL}, rank FROM ivfpq
     """,
 )
 def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1608,12 +1731,14 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation makes it BIT-identical to the exact branch, so its
     oracle is simply the exact CTE), 'lsh' (sign-bit bucketed, ~256× fewer
     scorings), 'ivf' (seeded one-iteration Lloyd, nprobe=4 of 16 —
-    fully SQL-mirrored thanks to fixed-point centroid means), and 'adc'
+    fully SQL-mirrored thanks to fixed-point centroid means), 'adc'
     (float query × int8-quantized corpus with per-vector scale — the
-    memory-bound serving layout; see ``_adc_topk``), and 'pq' (true
-    product quantization: per-subspace trained codebooks, 8 code bytes
-    per vector, query scored against the reconstruction — see
-    ``_pq_topk``). Ranks are computed over each branch's raw cosine
+    memory-bound serving layout; see ``_adc_topk``), and 'ivfpq' (the
+    COMPOSED serving tier, r6 verdict #1: per-subspace trained PQ
+    codebooks, 8 code bytes per vector, scored ONLY inside each
+    query's nprobe probed IVF cells — see ``_ivfpq_topk``; the
+    full-scan ``_pq_topk`` stays as the non-headline nprobe=K
+    exactness twin). Ranks are computed over each branch's raw cosine
     (ties broken by candidate_id); the quantized cosine is the shared
     value surface.
 
@@ -1621,8 +1746,10 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding + precomputed norm²): without it each branch re-reads the
     parquet scan and re-folds the norms — scans and re-folds per
     branch collapse to 1 cached scan (the ADC code columns derive
-    map-side from the same cache). The 10-row query side is rebuilt
-    per branch (broadcast, negligible)."""
+    map-side from the same cache). The 'ivf' and 'ivfpq' branches
+    additionally share ONE IVF index build (assigned + persisted
+    centroids), so the Lloyd pass runs once per suite, not twice. The
+    10-row query side is rebuilt per branch (broadcast, negligible)."""
 
     def q6(df: DataFrame, method: str) -> DataFrame:
         return df.select(
@@ -1638,11 +1765,22 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = _ann_corpus(emb).persist()
     queries = _ann_queries(emb)
+    index = _ivf_index_over(
+        corpus.select(
+            F.col("candidate_id").alias("id"),
+            F.col("c_emb").alias("emb"),
+            F.col("c_n2").alias("n2"),
+        )
+    )
     return (
         q6(_exact_topk(queries, corpus), "exact")
         .unionByName(q6(_vectorized_topk(queries, corpus), "vectorized"))
         .unionByName(q6(_lsh_topk(queries, corpus), "lsh"))
-        .unionByName(q6(_ivf_topk_over(queries, corpus, IVF_NPROBE), "ivf"))
+        .unionByName(
+            q6(_ivf_topk_over(queries, corpus, IVF_NPROBE, index=index), "ivf")
+        )
         .unionByName(q6(_adc_topk(queries, corpus), "adc"))
-        .unionByName(q6(_pq_topk(queries, corpus), "pq"))
+        .unionByName(
+            q6(_ivfpq_topk(queries, corpus, IVF_NPROBE, index=index), "ivfpq")
+        )
     )

@@ -1452,6 +1452,73 @@ def test_pq_reconstruction_and_planted_recall(spark, sf_correctness_dir):
     corpus.unpersist()
 
 
+def test_ivfpq_full_probe_equals_full_scan(spark, sf_correctness_dir):
+    """nprobe=K degrades the composed IVF×PQ path to the full ADC scan
+    row-for-row: IVF cells are a complete disjoint cover, so every
+    candidate is scored exactly once with the same reconstruction fold
+    — the same argument the stored-IVF full-probe test makes, now for
+    the PQ-coded form (r6 verdict #1's exactness fallback)."""
+    from retail_datawarehouse_spark.operators.similarity import (
+        IVF_CELLS,
+        _ann_corpus,
+        _ann_queries,
+        _ivfpq_topk,
+        _pq_topk,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    corpus = _ann_corpus(emb).persist()
+    queries = _ann_queries(emb)
+    full_scan = {
+        (r.query_id, r.rank): (r.candidate_id, r.cosine)
+        for r in _pq_topk(queries, corpus).collect()
+    }
+    full_probe = {
+        (r.query_id, r.rank): (r.candidate_id, r.cosine)
+        for r in _ivfpq_topk(queries, corpus, nprobe=IVF_CELLS).collect()
+    }
+    assert full_probe == full_scan
+    corpus.unpersist()
+
+
+def test_ivfpq_pruned_planted_recall(spark, sf_correctness_dir):
+    """Under the PRUNED serving configuration (nprobe=4 of 16), a
+    planted scale-invariant near-copy still retrieves its original at
+    rank 1: cosine cell routing is scale-invariant, so the copy probes
+    its original's cell first — pruning cannot lose a true near-dup.
+    This is the recall contract the candidate-generation use case
+    needs from the composed index."""
+    from pyspark.sql import functions as F
+
+    from retail_datawarehouse_spark.operators.similarity import (
+        _ann_corpus,
+        _ivfpq_topk,
+        norm2_col,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    corpus = _ann_corpus(emb).persist()
+    q = (
+        corpus.filter(F.col("candidate_id") % 100 == 0)
+        .select(
+            F.col("candidate_id").alias("query_id"),
+            F.expr("transform(c_emb, x -> x * 1.5f)").alias("q_emb"),
+        )
+        .withColumn("q_n2", norm2_col("q_emb"))
+    )
+    top = _ivfpq_topk(q, corpus).filter("rank = 1").collect()
+    assert top, "no planted queries"
+    misses = [
+        (r.query_id, r.candidate_id)
+        for r in top
+        if r.candidate_id != r.query_id
+    ]
+    assert not misses, misses
+    corpus.unpersist()
+
+
 def test_component_split_eliminates_leakage(spark, sf_correctness_dir):
     """The 'fixed' part of q_split_leakage_report is a real remediation:
     re-scoring the SAME near-dup pairs under the component-aware
