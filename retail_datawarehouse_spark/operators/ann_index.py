@@ -53,21 +53,25 @@ def _build_index(
     corpus: DataFrame, cells: int
 ) -> tuple[DataFrame, DataFrame]:
     """Generalized index build at an arbitrary cell count: seed the
-    ``cells`` smallest-id corpus vectors (orderBy+limit is a top-K
-    TakeOrdered, not a global sort; the row_number window then runs
-    over only ``cells`` rows), one Lloyd iteration, final assignment —
-    the `_ivf_index_over` recipe freed from the fixture-pinned
-    IVF_CELLS, so the build can follow the √N cell-count rule."""
+    ``cells`` smallest-HASH-RANK corpus vectors (r6 verdict #6: an
+    id-prefix is a biased sample on real data where ids correlate with
+    time/source; the salted LCG rank is equally deterministic and
+    id-layout-free). orderBy+limit is a top-K TakeOrdered, not a
+    global sort; the row_number window then runs over only ``cells``
+    rows. One Lloyd iteration, final assignment — the
+    `_ivf_index_over` recipe freed from the fixture-pinned IVF_CELLS,
+    so the build can follow the √N cell-count rule."""
     from pyspark.sql import Window
 
     from retail_datawarehouse_spark.operators.similarity import (
         _fixed_point_centroids,
+        _train_rank_col,
     )
 
-    w = Window.orderBy("id")
+    w = Window.orderBy("_hrank", "id")
     seeds = (
-        corpus.select("id", "emb")
-        .orderBy("id")
+        corpus.select("id", "emb", _train_rank_col(F.col("id")).alias("_hrank"))
+        .orderBy("_hrank", "id")
         .limit(cells)
         .withColumn("cell", F.row_number().over(w) - 1)
         .select("cell", F.col("emb").alias("centroid"))

@@ -1033,12 +1033,49 @@ def _adc_topk(q: DataFrame, c: DataFrame) -> DataFrame:
 PQ_M = 8  # subspaces (64 dims → 8 × 8)
 PQ_K = 16  # codes per subspace codebook
 _PQ_SUB = 64 // PQ_M
-# Codebooks train on a bounded deterministic sample (the first
-# PQ_TRAIN_N corpus vectors), not the full corpus — the FAISS/ScaNN
-# discipline: codebook quality saturates at a few hundred samples per
-# cell, so training cost is CONSTANT in corpus size while encode stays
-# the linear term. The oracle mirrors the same id bound.
+# Codebooks train on a bounded deterministic sample, not the full
+# corpus — the FAISS/ScaNN discipline: codebook quality saturates at a
+# few hundred samples per cell, so training cost is CONSTANT in corpus
+# size while encode stays the linear term.
 PQ_TRAIN_N = 256
+
+# The sample is the PQ_TRAIN_N smallest-HASH-RANK vectors, not the
+# smallest-ID ones (r6 verdict #6): an id-prefix is a biased sample on
+# real data (ids correlate with time/source). The rank is a salted LCG
+# over the id — equally deterministic, mirrorable in exact int64
+# arithmetic on any engine (DuckDB cannot reproduce Spark's xxhash64,
+# so a portable integer hash is the honest choice), and free of the
+# prefix bias. id·A+C stays < 2^52 for ids to ~4e9, far under int64.
+_TRAIN_A, _TRAIN_C, _TRAIN_M = 1103515245, 12345, 2**31
+
+
+def _train_rank_col(idcol: F.Column) -> F.Column:
+    return F.pmod(idcol * F.lit(_TRAIN_A) + F.lit(_TRAIN_C), F.lit(_TRAIN_M))
+
+
+_DUCK_TRAIN_RANK = f"(({{id}} * {_TRAIN_A} + {_TRAIN_C}) % {_TRAIN_M})"
+
+
+def _pq_train_sample(c: DataFrame) -> DataFrame:
+    """The bounded codebook-training sample: PQ_TRAIN_N smallest
+    (hash-rank, id) candidates, tagged with their dense ``trank``
+    (0-based; the first PQ_K double as per-subspace seed cells).
+    orderBy+limit is a TakeOrdered (top-K, not a global sort); the
+    row_number window then runs over only PQ_TRAIN_N rows."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_hrank", "candidate_id")
+    return (
+        c.select(
+            "candidate_id",
+            "c_emb",
+            _train_rank_col(F.col("candidate_id")).alias("_hrank"),
+        )
+        .orderBy("_hrank", "candidate_id")
+        .limit(PQ_TRAIN_N)
+        .withColumn("trank", F.row_number().over(w) - 1)
+        .select("candidate_id", "c_emb", "trank")
+    )
 
 # Ordered-fold squared-L2 distance — the canonical PQ assignment metric
 # (subvectors are not normalized, so cosine is wrong here; L2 also
@@ -1055,33 +1092,35 @@ _DUCK_L2 = (
 )
 
 
-def _pq_codebook(c: DataFrame) -> DataFrame:
+def _pq_codebook(c: DataFrame, train: DataFrame | None = None) -> DataFrame:
     """Train the PQ_M × PQ_K codebook over the bounded training sample
-    (first PQ_TRAIN_N corpus vectors) and pack it into ONE broadcast
-    row of (s, cell, centroid) structs.
+    (``_pq_train_sample``'s hash-ranked PQ_TRAIN_N rows, or a caller-
+    provided (candidate_id, c_emb, trank) frame) and pack it into ONE
+    broadcast row of (s, cell, centroid) structs.
 
     Training is one seeded Lloyd iteration per subspace, all in the
-    same plan: corpus × PQ_M subspace explode (map-side; slice() is a
+    same plan: sample × PQ_M subspace explode (map-side; slice() is a
     pointer copy, not a shuffle), nearest-seed assignment as a map-side
     argmin fold against the broadcast packed seeds (struct(d, cell) min
     reproduces the ORDER BY d, cell tie-break), then the fixed-point
     element-wise mean per (s, cell, pos) — ONE exchange over a domain
     bounded by PQ_M·PQ_K·sub_dim = 1024 rows regardless of corpus
     size, with map-side partial aggregation doing the heavy lifting.
-    Seeds are the first PQ_K corpus vectors' subvectors; every cell is
-    non-empty because a seed's own subvector is at distance 0 from
-    itself (ties broken toward the lower cell id, deterministic in
-    both engines)."""
+    Seeds are the trank < PQ_K sample vectors' subvectors (cell id =
+    trank); every cell is non-empty because a seed's own subvector is
+    at distance 0 from itself (ties broken toward the lower cell id,
+    deterministic in both engines)."""
+    if train is None:
+        train = _pq_train_sample(c)
     explode_s = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s")
     sub = (
-        c.filter(F.col("candidate_id") < N_QUERIES + PQ_TRAIN_N)
-        .select("candidate_id", "c_emb", explode_s)
+        train.select("candidate_id", "c_emb", explode_s)
         .withColumn("subvec", F.expr(f"slice(c_emb, s * {_PQ_SUB} + 1, {_PQ_SUB})"))
         .drop("c_emb")
     )
     seeds_sub = (
-        c.filter(F.col("candidate_id") < N_QUERIES + PQ_K)
-        .select((F.col("candidate_id") - N_QUERIES).alias("cell"), "c_emb", explode_s)
+        train.filter(F.col("trank") < PQ_K)
+        .select(F.col("trank").alias("cell"), "c_emb", explode_s)
         .withColumn("seedvec", F.expr(f"slice(c_emb, s * {_PQ_SUB} + 1, {_PQ_SUB})"))
         .drop("c_emb")
     )
@@ -1629,16 +1668,25 @@ _ANN_IVFPQ_SQL = f"""
         {_duck_argmax_cell("ivf_queries", "ivf_centroids", IVF_NPROBE)}
     ),
     subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+    pq_train AS (
+        SELECT id, trank FROM (
+            SELECT id,
+                   row_number() OVER (
+                       ORDER BY {_DUCK_TRAIN_RANK.format(id="id")}, id
+                   ) - 1 AS trank
+            FROM corpus
+        ) WHERE trank < {PQ_TRAIN_N}
+    ),
     sub AS (
         SELECT id, s,
                emb[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS subvec
         FROM corpus CROSS JOIN subsp
     ),
     pq_seeds AS (
-        SELECT s, id - {N_QUERIES} AS cell,
+        SELECT s, t.trank AS cell,
                emb[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS seedvec
-        FROM corpus CROSS JOIN subsp
-        WHERE id < {N_QUERIES + PQ_K}
+        FROM corpus c JOIN pq_train t USING (id) CROSS JOIN subsp
+        WHERE t.trank < {PQ_K}
     ),
     pq_assign0 AS (
         SELECT id, s, subvec, cell FROM (
@@ -1648,8 +1696,9 @@ _ANN_IVFPQ_SQL = f"""
                        ORDER BY {_DUCK_L2.format(a="v.subvec", b="sd.seedvec")},
                                 sd.cell
                    ) AS rk
-            FROM sub v JOIN pq_seeds sd ON sd.s = v.s
-            WHERE v.id < {N_QUERIES + PQ_TRAIN_N}
+            FROM sub v
+            JOIN pq_train t ON t.id = v.id
+            JOIN pq_seeds sd ON sd.s = v.s
         ) WHERE rk = 1
     ),
     pq_cent_tall AS (
