@@ -1,6 +1,6 @@
-"""Stored IVF index serving + incremental maintenance — the missing
-half of ANN at 100 TB: ``q_ann_topk_suite`` proves the SEARCH math;
-this module proves the index can live on disk as a table, answer
+"""Stored IVF / IVF×PQ index serving + incremental maintenance — the
+missing half of ANN at 100 TB: ``q_ann_topk_suite`` proves the SEARCH
+math; this module proves the index can live on disk as a table, answer
 queries without ever being rebuilt, and absorb arriving vectors
 without ever being rewritten.
 
@@ -11,28 +11,58 @@ cells are never opened (dynamic partition pruning from the broadcast
 probe side; the same mechanism the warehouse fact reads pin). The
 centroid table (K rows) rides alongside as the index metadata.
 
+With ``pq=True`` the layout is the full FAISS IVFPQ serving tier
+(Jégou et al.; r6 verdict #1): every vector ALSO carries its PQ codes
+(PQ_M small ints) and reconstruction norm² in the same cell-partitioned
+table, and the packed codebook rides as a second sidecar. A PQ query
+reads ONLY (id, codes, recon_n2, cell) from the probed cell
+directories — parquet column pruning never touches the float column,
+so the scan is the codes-sized ADC pass; reconstructions are rebuilt
+map-side from the broadcast codebook. At 100 TB the float column is
+what you DROP (or tier to cold storage for exact re-rank) — kept here
+so one table serves both tiers, which is precisely what columnar
+storage is for.
+
+Cell count defaults to the ``√N`` occupancy rule derived IN-PLAN from
+a 1-row broadcast count (r6 verdict #5) with hash-thresholded,
+id-layout-free seeding; ``cells="fixture"`` keeps the suite's
+oracle-mirrored 16-cell builder (byte-compatible with the in-memory
+``ivf_topk`` twin — requires the suite fixture's contiguous id layout,
+which is why it is no longer the default; ADVICE r6).
+
 Incremental add is the FAISS `add`-after-`train` discipline: arriving
-vectors are assigned against the STORED (frozen) centroids — a
-map-only broadcast pass over the batch — and appended to the
-partitioned table, which touches only the cells the batch lands in.
-The corpus is never re-read, the index never retrained; drift between
-the frozen quantizer and the data distribution is a REBUILD decision
-(the drift-monitor panel is the signal for it), not a per-batch cost.
-Serving correctness is probe-count-bounded exactly as for the built
-index: nprobe=K degrades gracefully to exact search, pinned by test
-against brute force over the grown corpus.
+vectors are assigned against the STORED (frozen) centroids — and, for
+a PQ index, encoded against the STORED (frozen) codebook — a map-only
+broadcast pass over the batch, appended to the partitioned table,
+touching only the cells the batch lands in. The corpus is never
+re-read, the index never retrained; drift between the frozen quantizer
+and the data distribution is a REBUILD decision (the drift-monitor
+panel is the signal for it — composed end-to-end in test_ann_index's
+drift-triggered-rebuild test), not a per-batch cost. Serving
+correctness is probe-count-bounded exactly as for the built index:
+nprobe=K degrades gracefully to exact search (float path) / the full
+ADC scan (PQ path), pinned by test against brute force / ``_pq_topk``
+over the grown corpus.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from retail_datawarehouse_spark.operators.similarity import (
+    PQ_M,
     _ivf_index_over,
     _nearest_cell,
     _norm2_expr,
     _per_query_topk,
+    _pq_adc_cosine,
+    _pq_codebook,
+    _pq_encode,
+    _pq_train_sample,
+    _train_rank_col,
     cosine_from_norms,
 )
 
@@ -65,7 +95,6 @@ def _build_index(
 
     from retail_datawarehouse_spark.operators.similarity import (
         _fixed_point_centroids,
-        _train_rank_col,
     )
 
     w = Window.orderBy("_hrank", "id")
@@ -81,65 +110,213 @@ def _build_index(
     return _nearest_cell(corpus, centroids, keep=1), centroids
 
 
+def _auto_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """√N-cell index build with the count derived IN-PLAN (1-row
+    broadcast aggregate — no driver action): k = max(4, ceil(√N)).
+    Seed selection must not depend on a plan-time literal (``limit``
+    needs one), so seeds come from a 2×-oversampled hash threshold —
+    expected 2k candidate rows — capped at exactly k by a row_number
+    window that therefore sorts only ~2√N rows, never the corpus.
+    Thresholding compares the full 31-bit LCG rank (low LCG bits have
+    short periods, so no modulus of it): ``rank · N < 2·2³¹·k`` stays
+    exact int64 for N up to ~4·10⁹. A binomial undershoot below k is
+    astronomically unlikely at real N and merely yields a coarser
+    index — full-probe exactness is cell-count-independent."""
+    from pyspark.sql import Window
+
+    from retail_datawarehouse_spark.operators.similarity import (
+        _TRAIN_M,
+        _fixed_point_centroids,
+    )
+
+    params = corpus.agg(F.count(F.lit(1)).cast("long").alias("_n")).select(
+        "_n",
+        F.greatest(F.lit(4), F.ceil(F.sqrt("_n")).cast("long")).alias(
+            "_cells"
+        ),
+    )
+    cand = (
+        corpus.crossJoin(F.broadcast(params))
+        .withColumn("_hrank", _train_rank_col(F.col("id")))
+        .filter(
+            F.col("_hrank") * F.col("_n")
+            < F.lit(2 * _TRAIN_M) * F.col("_cells")
+        )
+    )
+    w = Window.orderBy("_hrank", "id")
+    seeds = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_cells"))
+        .select((F.col("_rn") - 1).alias("cell"), F.col("emb").alias("centroid"))
+    )
+    assigned0 = _nearest_cell(corpus, seeds, keep=1)
+    centroids = _fixed_point_centroids(assigned0).persist()
+    return _nearest_cell(corpus, centroids, keep=1), centroids
+
+
+def _encode_assigned(
+    assigned: DataFrame, packed: DataFrame
+) -> DataFrame:
+    """(id, emb, n2, cell) → the stored-row shape (id, emb, n2, codes,
+    recon_n2, cell): PQ-encode against the (frozen or fresh) packed
+    codebook with emb/n2/cell riding the encode as passthrough, so
+    assignment + encode stay ONE map-side pass — never an id-keyed
+    shuffle join between the cell and the codes. ``recon`` itself is
+    NOT stored (it is a pure codebook lookup, rebuilt map-side at
+    query time); its norm² is, like every other norm in the suite."""
+    coded = _pq_encode(
+        assigned,  # unused when packed is given
+        assigned.select(
+            F.col("id").alias("candidate_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("emb").alias("emb"),
+            "n2",
+            "cell",
+        ),
+        packed=packed,
+    )
+    return coded.select(
+        F.col("candidate_id").alias("id"),
+        "emb",
+        "n2",
+        "codes",
+        "recon_n2",
+        "cell",
+    )
+
+
 def store_ivf_index(
-    corpus: DataFrame, index_dir: str, cells: int | None = None
+    corpus: DataFrame,
+    index_dir: str,
+    cells: int | str = "auto",
+    pq: bool = False,
 ) -> None:
     """Build the IVF index over (id, emb) and persist it as a
     cell-partitioned parquet table + a centroid sidecar. One-time
     train/assign cost; every later query and append reads only what it
-    touches. ``cells=None`` reuses the suite's fixture-pinned builder
-    (byte-compatible with the in-memory `ivf_topk` twin); an explicit
-    ``cells`` frees the count to follow the √N occupancy rule — probe
-    cost is nprobe/K of the corpus either way, and full-probe
-    exactness is cell-count-independent (pinned by test)."""
+    touches.
+
+    ``cells``: ``"auto"`` (default) derives k ≈ √N in-plan with
+    id-layout-free hash seeding; an explicit int uses the generalized
+    hash-seeded builder; ``"fixture"`` keeps the suite's
+    oracle-mirrored 16-cell builder (byte-compatible with the
+    in-memory ``ivf_topk`` twin — assumes the suite fixture's id
+    layout, so it is opt-in, not the default; ADVICE r6). Probe cost
+    is nprobe/K of the corpus in every mode, and full-probe exactness
+    is cell-count-independent (pinned by test).
+
+    ``pq=True`` additionally trains the hash-sampled PQ codebook,
+    persists it as a sidecar, and encodes every vector in the SAME
+    map-side pass as cell assignment, adding codes + recon_n2 columns
+    to the cell-partitioned table (column pruning makes the ADC scan
+    read codes, never floats)."""
     withn2 = _with_n2(corpus)
-    if cells is None:
+    if cells == "fixture":
         assigned, centroids = _ivf_index_over(withn2)
+    elif cells == "auto":
+        assigned, centroids = _auto_index(withn2)
     else:
         assigned, centroids = _build_index(withn2, cells)
-    assigned.select("id", "emb", "n2", "cell").write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{index_dir}/cells")
+    if pq:
+        as_cand = withn2.select(
+            F.col("id").alias("candidate_id"), F.col("emb").alias("c_emb")
+        )
+        packed = _pq_codebook(as_cand, train=_pq_train_sample(as_cand))
+        packed.write.mode("overwrite").parquet(f"{index_dir}/codebook")
+        rows = _encode_assigned(assigned, packed)
+    else:
+        rows = assigned.select("id", "emb", "n2", "cell")
+    rows.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/cells"
+    )
     centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def _is_pq_index(index_dir: str) -> bool:
+    return os.path.isdir(f"{index_dir}/codebook")
 
 
 def append_to_ivf_index(new_vectors: DataFrame, index_dir: str) -> None:
     """Assign arriving (id, emb) vectors against the STORED frozen
-    centroids (map-only broadcast pass over the BATCH) and append —
-    only the landed-in cells gain files; the stored corpus is never
-    read, never rewritten."""
+    centroids — and, for a PQ index (auto-detected from the codebook
+    sidecar), encode them against the STORED frozen codebook — one
+    map-only broadcast pass over the BATCH, then append: only the
+    landed-in cells gain files; the stored corpus is never read, never
+    rewritten, nothing retrains."""
     spark = new_vectors.sparkSession
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     assigned = _nearest_cell(_with_n2(new_vectors), centroids, keep=1)
-    assigned.select("id", "emb", "n2", "cell").write.mode(
-        "append"
-    ).partitionBy("cell").parquet(f"{index_dir}/cells")
+    if _is_pq_index(index_dir):
+        packed = spark.read.parquet(f"{index_dir}/codebook")
+        rows = _encode_assigned(assigned, packed)
+    else:
+        rows = assigned.select("id", "emb", "n2", "cell")
+    rows.write.mode("append").partitionBy("cell").parquet(
+        f"{index_dir}/cells"
+    )
 
 
-def query_ivf_index(
-    queries: DataFrame, index_dir: str, nprobe: int
+def _probes(
+    queries: DataFrame, centroids: DataFrame, nprobe: int
 ) -> DataFrame:
-    """Serve top-k from the stored index: route each query to its
-    nprobe nearest cells (broadcast centroid pass), then score exactly
-    ONLY inside the probed cells — the cell equi-join against the
-    partitioned table prunes unprobed cell directories at the source
-    (dynamic partition pruning; pinned by plan test). Returns
-    (query_id, candidate_id, cosine, rank)."""
-    spark = queries.sparkSession
-    centroids = spark.read.parquet(f"{index_dir}/centroids")
-    probes = _nearest_cell(_with_n2(queries), centroids, keep=nprobe).select(
+    return _nearest_cell(_with_n2(queries), centroids, keep=nprobe).select(
         F.col("id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("n2").alias("q_n2"),
         "cell",
     )
+
+
+def query_ivf_index(
+    queries: DataFrame, index_dir: str, nprobe: int, pq: bool = False
+) -> DataFrame:
+    """Serve top-k from the stored index: route each query to its
+    nprobe nearest cells (broadcast centroid pass), then score ONLY
+    inside the probed cells — the cell equi-join against the
+    partitioned table prunes unprobed cell directories at the source
+    (dynamic partition pruning; pinned by plan test). Returns
+    (query_id, candidate_id, cosine, rank).
+
+    ``pq=False`` scores the stored floats exactly. ``pq=True`` runs
+    the ADC tier: the probed-cell scan reads ONLY (id, codes,
+    recon_n2, cell) — column pruning never touches the float column —
+    and reconstructions are rebuilt map-side as pure lookups into the
+    one broadcast codebook row, then scored with the same pinned fold
+    as ``_ivfpq_topk`` (full-probe ≡ the in-memory ``_pq_topk``,
+    pinned by test)."""
+    spark = queries.sparkSession
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    probes = _probes(queries, centroids, nprobe)
+    if not pq:
+        stored = spark.read.parquet(f"{index_dir}/cells").select(
+            F.col("id").alias("candidate_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("n2").alias("c_n2"),
+            "cell",
+        )
+        scored = stored.join(F.broadcast(probes), "cell").withColumn(
+            "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
+        )
+        return _per_query_topk(scored)
+    if not _is_pq_index(index_dir):
+        raise ValueError(
+            f"{index_dir} was stored without pq=True — no codebook sidecar"
+        )
+    packed = spark.read.parquet(f"{index_dir}/codebook")
     stored = spark.read.parquet(f"{index_dir}/cells").select(
-        F.col("id").alias("candidate_id"),
-        F.col("emb").alias("c_emb"),
-        F.col("n2").alias("c_n2"),
-        "cell",
+        F.col("id").alias("candidate_id"), "codes", "recon_n2", "cell"
     )
-    scored = stored.join(F.broadcast(probes), "cell").withColumn(
-        "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
+    scored = (
+        stored.join(F.broadcast(probes), "cell")
+        .crossJoin(F.broadcast(packed))
+        .withColumn(
+            "recon",
+            F.expr(
+                f"flatten(transform(sequence(0, {PQ_M - 1}), s -> "
+                "element_at(filter(_cb, e -> e.s = s AND "
+                "e.cell = element_at(codes, s + 1)), 1).centroid))"
+            ),
+        )
+        .withColumn("cosine", _pq_adc_cosine())
     )
     return _per_query_topk(scored)

@@ -1155,11 +1155,18 @@ def _pq_codebook(c: DataFrame, train: DataFrame | None = None) -> DataFrame:
     return cent.agg(F.collect_list(F.struct("s", "cell", "centroid")).alias("_cb"))
 
 
-def _pq_encode(codebook_src: DataFrame, cand: DataFrame) -> DataFrame:
+def _pq_encode(
+    codebook_src: DataFrame,
+    cand: DataFrame,
+    packed: DataFrame | None = None,
+) -> DataFrame:
     """Encode ``cand`` (candidate_id, c_emb[, passthrough cols — e.g.
     the IVF ``cell``]) against the codebook trained on
-    ``codebook_src``'s bounded sample; returns the PERSISTED coded
-    frame (candidate_id, *passthrough, codes, recon, recon_n2).
+    ``codebook_src``'s bounded sample — or against a PREBUILT packed
+    codebook row (``packed``; the stored-index append path, where the
+    codebook is FROZEN at store time exactly like the IVF centroids).
+    Returns the PERSISTED coded frame
+    (candidate_id, *passthrough, codes, recon, recon_n2).
 
     One shared per-subspace argmin ("picked") carries BOTH the code
     and its centroid, so codes / recon / recon_n2 are cheap
@@ -1179,7 +1186,8 @@ def _pq_encode(codebook_src: DataFrame, cand: DataFrame) -> DataFrame:
     the STORED index — reading them materialized is the design (see
     ``ann_index.store_ivf_index(pq=True)``, which writes exactly this
     frame cell-partitioned)."""
-    packed = _pq_codebook(codebook_src)
+    if packed is None:
+        packed = _pq_codebook(codebook_src)
     l2 = _SPARK_L2.format(a="element_at(subs, s + 1)", b="e.centroid")
     extras = [c for c in cand.columns if c not in ("candidate_id", "c_emb")]
     return (

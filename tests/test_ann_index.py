@@ -43,12 +43,47 @@ def _rows(df):
     )
 
 
+def _brute_force(corpus, queries):
+    from pyspark.sql import Window
+
+    from retail_datawarehouse_spark.operators.similarity import (
+        TOP_K,
+        cosine_from_norms,
+        norm2_col,
+    )
+
+    scored = (
+        corpus.withColumnRenamed("id", "candidate_id")
+        .withColumnRenamed("emb", "c_emb")
+        .withColumn("c_n2", norm2_col("c_emb"))
+        .crossJoin(
+            F.broadcast(
+                queries.withColumnRenamed("id", "query_id")
+                .withColumnRenamed("emb", "q_emb")
+                .withColumn("q_n2", norm2_col("q_emb"))
+            )
+        )
+        .withColumn(
+            "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "candidate_id", "cosine", "rank")
+    )
+
+
 def test_stored_index_serving_equals_in_memory_ivf(
     spark, sf_correctness_dir, tmp_path
 ):
+    """cells='fixture' is the oracle-twin mode: byte-compatible with
+    the in-memory ivf_topk build (it is no longer the default — the
+    default is the √N auto rule; r6 verdict #5 / ADVICE r6)."""
     corpus, queries = _fixture(spark, sf_correctness_dir)
     idx = str(tmp_path / "ivf")
-    store_ivf_index(corpus, idx)
+    store_ivf_index(corpus, idx, cells="fixture")
     got = query_ivf_index(queries, idx, nprobe=IVF_NPROBE)
     want = ivf_topk(spark, sf_correctness_dir, nprobe=IVF_NPROBE)
     assert _rows(got) == _rows(want)
@@ -56,6 +91,26 @@ def test_stored_index_serving_equals_in_memory_ivf(
     # IS the partitioning
     cells = glob.glob(f"{idx}/cells/cell=*")
     assert len(cells) == IVF_CELLS
+
+
+def test_auto_cells_follow_sqrt_rule_and_full_probe_is_exact(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The DEFAULT build derives k = max(4, ceil(√N)) in-plan and
+    seeds id-layout-free (hash threshold + bounded window); full probe
+    over the auto index reproduces brute force exactly — exactness is
+    cell-count-independent."""
+    import math
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    n = corpus.count()
+    expect = max(4, math.isqrt(n - 1) + 1 if n > 1 else 4)
+    idx = str(tmp_path / "ivf_auto")
+    store_ivf_index(corpus, idx)
+    dirs = glob.glob(f"{idx}/cells/cell=*")
+    assert len(dirs) == expect, (len(dirs), expect, n)
+    got = query_ivf_index(queries, idx, nprobe=len(dirs))
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
 
 
 def test_probe_prunes_unprobed_cells_in_plan(
@@ -84,44 +139,14 @@ def test_frozen_centroid_append_full_probe_equals_brute_force(
     FROZEN centroids, serve at nprobe=K: must equal brute-force exact
     top-k over the WHOLE corpus — full probe is assignment-independent,
     so this passes iff the append lost/duplicated nothing."""
-    from retail_datawarehouse_spark.operators.similarity import TOP_K
-
     corpus, queries = _fixture(spark, sf_correctness_dir)
     holdout = corpus.filter(F.col("id") % 17 == 0)
     base = corpus.filter(F.col("id") % 17 != 0)
     idx = str(tmp_path / "ivf")
-    store_ivf_index(base, idx)
+    store_ivf_index(base, idx, cells=IVF_CELLS)
     append_to_ivf_index(holdout, idx)
     got = query_ivf_index(queries, idx, nprobe=IVF_CELLS)
-    from pyspark.sql import Window
-
-    from retail_datawarehouse_spark.operators.similarity import (
-        cosine_from_norms,
-        norm2_col,
-    )
-
-    scored = (
-        corpus.withColumnRenamed("id", "candidate_id")
-        .withColumnRenamed("emb", "c_emb")
-        .withColumn("c_n2", norm2_col("c_emb"))
-        .crossJoin(
-            F.broadcast(
-                queries.withColumnRenamed("id", "query_id")
-                .withColumnRenamed("emb", "q_emb")
-                .withColumn("q_n2", norm2_col("q_emb"))
-            )
-        )
-        .withColumn(
-            "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
-    want = (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "candidate_id", "cosine", "rank")
-    )
-    assert _rows(got) == _rows(want)
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
 
 
 def test_appended_vectors_are_retrievable_at_nprobe_one(
@@ -195,38 +220,186 @@ def test_custom_cell_count_full_probe_is_exact(
     must reproduce brute-force top-k exactly at nprobe=8 — cell
     partitions are a complete disjoint cover whatever their count —
     and the layout lands as exactly 8 directories."""
-    from pyspark.sql import Window
-
-    from retail_datawarehouse_spark.operators.similarity import (
-        TOP_K,
-        cosine_from_norms,
-        norm2_col,
-    )
-
     corpus, queries = _fixture(spark, sf_correctness_dir)
     idx = str(tmp_path / "ivf8")
     store_ivf_index(corpus, idx, cells=8)
     assert len(glob.glob(f"{idx}/cells/cell=*")) == 8
     got = query_ivf_index(queries, idx, nprobe=8)
-    scored = (
-        corpus.withColumnRenamed("id", "candidate_id")
-        .withColumnRenamed("emb", "c_emb")
-        .withColumn("c_n2", norm2_col("c_emb"))
-        .crossJoin(
-            F.broadcast(
-                queries.withColumnRenamed("id", "query_id")
-                .withColumnRenamed("emb", "q_emb")
-                .withColumn("q_n2", norm2_col("q_emb"))
-            )
-        )
-        .withColumn(
-            "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
-        )
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
+
+
+def test_stored_pq_full_probe_equals_in_memory_pq_scan(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The stored IVF×PQ tier, full probe: store with pq=True over the
+    suite corpus, query with pq=True at nprobe=K — must reproduce the
+    in-memory full ADC scan (_pq_topk) row-for-row: same hash-sampled
+    codebook, same encode, same reconstruction fold; the stored path
+    merely reads codes from disk and rebuilds reconstructions from the
+    broadcast codebook sidecar. Also pins COMPRESSION: the PQ query's
+    scan of the cells table must read codes/recon_n2, never the float
+    emb column (parquet column pruning — the 8-bytes-per-vector
+    contract)."""
+    from retail_datawarehouse_spark.operators.similarity import (
+        _ann_corpus,
+        _ann_queries,
+        _pq_topk,
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "candidate_id")
-    want = (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "candidate_id", "cosine", "rank")
-    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivfpq")
+    store_ivf_index(corpus, idx, cells="fixture", pq=True)
+    got = query_ivf_index(queries, idx, nprobe=IVF_CELLS, pq=True)
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+    want = _pq_topk(_ann_queries(emb), _ann_corpus(emb))
     assert _rows(got) == _rows(want)
+    # column pruning: the cells-table scan in the PQ plan carries no emb
+    plan = (
+        query_ivf_index(queries, idx, nprobe=2, pq=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    cells_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "codes" in ln
+    ]
+    assert cells_scans, plan
+    for ln in cells_scans:
+        read_schema = ln.split("ReadSchema")[-1]
+        assert "codes" in read_schema and "emb" not in read_schema, ln
+        assert "dynamicpruning" in ln.lower(), ln  # DPP on the PQ scan too
+
+
+def test_pq_append_encodes_against_frozen_codebook(
+    spark, sf_correctness_dir, tmp_path
+):
+    """FAISS add-after-train for the PQ half: appended vectors must be
+    encoded with the codebook FROZEN at store time (trained on the
+    base sample), not a retrained one — pinned by recomputing the
+    holdout's codes against the stored codebook and comparing
+    code-for-code with what the append wrote to disk."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _encode_assigned,
+        _with_n2,
+    )
+    from retail_datawarehouse_spark.operators.similarity import (
+        _nearest_cell,
+    )
+
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    holdout = corpus.filter(F.col("id") % 17 == 0)
+    base = corpus.filter(F.col("id") % 17 != 0)
+    idx = str(tmp_path / "ivfpq")
+    store_ivf_index(base, idx, cells=IVF_CELLS, pq=True)
+    append_to_ivf_index(holdout, idx)
+    holdout_ids = {r.id for r in holdout.select("id").collect()}
+    stored = {
+        r.id: (tuple(r.codes), int(r.cell), r.recon_n2)
+        for r in spark.read.parquet(f"{idx}/cells").collect()
+        if r.id in holdout_ids
+    }
+    assert set(stored) == holdout_ids
+    packed = spark.read.parquet(f"{idx}/codebook")
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    expect = {
+        r.id: (tuple(r.codes), int(r.cell), r.recon_n2)
+        for r in _encode_assigned(
+            _nearest_cell(_with_n2(holdout), centroids, keep=1), packed
+        ).collect()
+    }
+    assert stored == expect
+
+
+def test_drift_flag_triggers_rebuild_and_restores_quantizer_fit(
+    spark, sf_correctness_dir, tmp_path
+):
+    """r6 verdict #8 — compose the drift monitor with the rebuild
+    decision the index docstring advertises. The frozen quantizer
+    absorbs appends forever; WHEN to retrain is the drift panel's
+    call:
+
+    1. A distribution-shifted batch (every value +0.8) fires the
+       embedding centroid-shift flag against the stored corpus as
+       reference; a same-distribution batch does NOT (threshold 200‰ —
+       at a few-hundred-row batch the 50‰ default is within sampling
+       noise of the mean, which is a sensitivity choice, not a bug).
+    2. The measurable WHY: quantizer fit (cosine between a vector and
+       its assigned centroid). Under the frozen base centroids the
+       shifted batch fits at ~0.15 — its cells say nothing about it,
+       so probes near the drifted region scan junk. Rebuilding on the
+       grown corpus (read back from the index's own cells table) gives
+       the drifted cluster its own cells: fit ~0.99, while the base
+       corpus' fit is unchanged — retraining helped exactly the rows
+       the drift flag pointed at."""
+    from retail_datawarehouse_spark.operators.ann_index import _with_n2
+    from retail_datawarehouse_spark.operators.drift import (
+        embedding_centroid_drift,
+    )
+    from retail_datawarehouse_spark.operators.similarity import (
+        _cosine_expr,
+    )
+
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivf_live")
+    store_ivf_index(corpus, idx)
+    shifted = corpus.filter(F.col("id") % 13 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.expr("transform(emb, x -> x + 0.8f)").alias("emb"),
+    )
+    clean = corpus.filter(F.col("id") % 13 == 1).select(
+        (F.col("id") + 2_000_000).alias("id"), "emb"
+    )
+
+    def tall(df, side):
+        return df.select(
+            F.lit(side).alias("side"), F.posexplode("emb").alias("p0", "v")
+        ).select(
+            "side",
+            (F.col("p0") + 1).alias("pos"),
+            F.floor(F.col("v").cast("double") * 65536).cast("long").alias("q"),
+            F.floor(F.col("v").cast("double") * F.col("v").cast("double") * 65536)
+            .cast("long")
+            .alias("q2"),
+        )
+
+    def flag(batch):
+        rows = embedding_centroid_drift(
+            tall(corpus, 0).unionByName(tall(batch, 1)), thresh_permille=200
+        ).collect()
+        return {r.key_s: r for r in rows}["flag"].iv
+
+    assert flag(clean) == 0  # no signal -> keep absorbing appends
+    assert flag(shifted) == 1  # signal -> rebuild decision fires
+
+    def fit(vectors, index_dir):
+        cents = spark.read.parquet(f"{index_dir}/centroids")
+        from retail_datawarehouse_spark.operators.similarity import (
+            _nearest_cell,
+        )
+
+        assigned = _nearest_cell(_with_n2(vectors), cents, keep=1)
+        return (
+            assigned.join(cents, "cell")
+            .agg(
+                F.avg(_cosine_expr(F.col("emb"), F.col("centroid"))).alias("f")
+            )
+            .collect()[0]
+            .f
+        )
+
+    append_to_ivf_index(shifted, idx)
+    fit_batch_frozen = fit(shifted, idx)
+    fit_base_frozen = fit(corpus, idx)
+    # the flagged rebuild: retrain on the grown corpus, read back from
+    # the index's own storage — the float column is the rerank tier
+    grown = spark.read.parquet(f"{idx}/cells").select("id", "emb")
+    idx2 = str(tmp_path / "ivf_rebuilt")
+    store_ivf_index(grown, idx2)
+    fit_batch_rebuilt = fit(shifted, idx2)
+    fit_base_rebuilt = fit(corpus, idx2)
+    assert fit_batch_frozen < 0.4, fit_batch_frozen
+    assert fit_batch_rebuilt > 0.9, fit_batch_rebuilt
+    assert abs(fit_base_rebuilt - fit_base_frozen) < 0.1
