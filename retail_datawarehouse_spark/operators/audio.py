@@ -243,16 +243,156 @@ def _resample_batches(
 def resample_audio(df_with_payload: DataFrame) -> DataFrame:
     """Decode + decimate-by-``RESAMPLE_EVERY`` — the audio twin of the
     image resize normalization (every clip leaves at one target rate
-    before featurization/embedding). Plain decimation, deliberately: a
-    proper resampler low-pass-filters first, but an anti-alias FIR is
-    float convolution — not hash-gateable cross-engine — and on the
-    text-derived fixture the aliasing question is moot; the docstring
-    marks where scipy.signal.decimate would slot in. Map-only Arrow
+    before featurization/embedding). Plain decimation: kept as the
+    cheap path and the aliasing CONTRAST for ``fir_resample_audio``
+    below, which is the proper anti-aliased form (r6 verdict #3 —
+    integer taps make the FIR hash-gateable after all). Map-only Arrow
     pass, same shuffle story as the featurizer. rs_duration is exact:
     rs_n·1000/4000 = rs_n/4, a power-of-two division."""
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         _resample_batches, RESAMPLE_SCHEMA
     )
+
+
+# --- Anti-aliased resampling: integer half-band FIR + decimate ----------
+#
+# r6 verdict #3: the r6 resampler decimated without a low-pass because a
+# FLOAT FIR isn't hash-gateable cross-engine — but a FIXED-POINT one is.
+# Taps [-3, 0, 19, 32, 19, 0, -3] / 64 form a genuine half-band low-pass
+# with three exact properties (all integer, so exact in any engine):
+#   - DC gain EXACTLY 1:  -3+0+19+32+19+0-3 = 64 = the shift divisor;
+#   - Nyquist gain EXACTLY 0:  32 - 2·19 + 2·3 = 0 — the alias-carrying
+#     band that decimation folds onto DC is nulled, which is the whole
+#     point of anti-aliasing (test_fir_kills_nyquist_alias plants an
+#     alternating tone: plain decimation reads it as full-scale DC, the
+#     FIR reads the true mean);
+#   - half-band symmetry: even-index taps vanish (except center), the
+#     standard polyphase-cheap decimator shape (Crochiere & Rabiner).
+# Arithmetic contract: int64 accumulate, +32 bias, FLOOR-divide by 64
+# (mirrored as floor(x/64.0) in SQL — exact: |acc| < 2^15 and 64 is a
+# power of two), clamp to [0, 255]. Out-of-range neighbors read as 0
+# (zero-padded edges), mirrored with CASE bounds in the oracle.
+
+FIR_TAPS = (-3, 0, 19, 32, 19, 0, -3)  # offsets -3..+3, gain 64
+_FIR_GAIN = 64
+_FIR_HALF = len(FIR_TAPS) // 2
+
+FIR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rs_rate", T.LongType()),
+        T.StructField("rs_n", T.LongType()),
+        T.StructField("fir_amp_sum", T.LongType()),
+        T.StructField("fir_md5", T.StringType()),
+        T.StructField("rs_duration_ms", T.DoubleType()),
+    ]
+)
+
+_FIR_COLS = [f.name for f in FIR_SCHEMA.fields]
+
+
+def fir_decimate(a: "np.ndarray") -> "np.ndarray":
+    """The definitional kernel, shared by the operator and the tests'
+    pure-Python twin: zero-padded convolution with FIR_TAPS evaluated
+    at every RESAMPLE_EVERY-th input position, floor-rounded fixed
+    point, clamped to the 8-bit sample domain."""
+    n = len(a)
+    a = a.astype(np.int64)
+    idx = np.arange(0, n, RESAMPLE_EVERY)
+    acc = np.zeros(len(idx), dtype=np.int64)
+    for off, h in zip(range(-_FIR_HALF, _FIR_HALF + 1), FIR_TAPS):
+        if h == 0:
+            continue
+        pos = idx + off
+        valid = (pos >= 0) & (pos < n)
+        acc[valid] += h * a[pos[valid]]
+    return np.clip((acc + _FIR_GAIN // 2) // _FIR_GAIN, 0, 255)
+
+
+def _fir_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, samples = decode_wav(bytes(payload))
+            a = np.frombuffer(samples, dtype=np.uint8)
+            y = fir_decimate(a)
+            rs_rate = rate // RESAMPLE_EVERY
+            # the value surface is the comma-joined DECIMAL string (not
+            # raw bytes): filtered values can exceed 127, where a raw
+            # chr() round-trip diverges between a byte engine and a
+            # UTF-8 engine — digits are the encoding both agree on
+            joined = ",".join(str(int(v)) for v in y)
+            rows.append(
+                (
+                    int(doc_id),
+                    rs_rate,
+                    len(y),
+                    int(y.sum()),
+                    hashlib.md5(joined.encode()).hexdigest(),
+                    len(y) * 1000.0 / rs_rate,
+                )
+            )
+        yield pd.DataFrame(rows, columns=_FIR_COLS)
+
+
+def fir_resample_audio(df_with_payload: DataFrame) -> DataFrame:
+    """Anti-aliased decimate-by-``RESAMPLE_EVERY``: integer half-band
+    FIR low-pass fused with the downsample (only kept positions are
+    convolved — the polyphase identity). Map-only Arrow pass; at
+    100 TB this is one decode+filter kernel per payload row, zero
+    exchanges, exactly the featurizer's cost shape plus 5 multiplies
+    per output sample."""
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        _fir_batches, FIR_SCHEMA
+    )
+
+
+def _fir_tap_sql(center: str, n: str) -> str:
+    """The convolution at 1-based position ``center`` of sample list
+    ``a`` (bounds ``n``), as exact-integer SQL: zero-padded CASE per
+    non-zero tap, +32 bias, floor(x/64.0) (exact — small int over a
+    power of two), clamped to [0, 255]."""
+    terms = []
+    for off, h in zip(range(-_FIR_HALF, _FIR_HALF + 1), FIR_TAPS):
+        if h == 0:
+            continue
+        pos = f"({center} + {off})"
+        terms.append(
+            f"({h}) * (CASE WHEN {pos} >= 1 AND {pos} <= {n} "
+            f"THEN a[{pos}] ELSE 0 END)"
+        )
+    acc = " + ".join(terms)
+    return (
+        f"greatest(0, least(255, CAST(floor(({acc} + {_FIR_GAIN // 2}) "
+        f"/ {_FIR_GAIN}.0) AS BIGINT)))"
+    )
+
+
+AUDIO_FIR_ORACLE_SQL = f"""
+    SELECT doc_id,
+           CAST(len(y) AS BIGINT) AS rs_n,
+           CAST(coalesce(list_sum(y), 0) AS BIGINT) AS fir_amp_sum,
+           md5(array_to_string(list_transform(y,
+               v -> CAST(v AS VARCHAR)), ',')) AS fir_md5,
+           CAST(len(y) AS DOUBLE) / 4 AS rs_duration_ms
+    FROM (
+        SELECT doc_id,
+               list_transform(range(1, n + 1, {RESAMPLE_EVERY}),
+                              p -> {_fir_tap_sql("p", "n")}) AS y
+        FROM (
+            SELECT doc_id, n,
+                   list_transform(regexp_extract_all(s, '.'),
+                                  ch -> CAST(ascii(ch) AS BIGINT)) AS a
+            FROM (
+                SELECT doc_id, {_WAV_N} AS n,
+                       rpad(text, CAST({_WAV_N} AS INTEGER), 'x') AS s
+                FROM documents
+            )
+        )
+    )
+"""
 
 
 # Decimated-sample stats in SQL: positions 1, 1+k, 1+2k … of the rpad'd

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from retail_datawarehouse_spark.operators.audio import (
+    AUDIO_FIR_ORACLE_SQL,
     AUDIO_ORACLE_SQL,
     AUDIO_RESAMPLE_ORACLE_SQL,
     featurize_audio,
@@ -681,6 +682,7 @@ _TCHUNK_SQL = f"""
     rsz AS ({_RESIZE_SQL}),
     audio AS ({AUDIO_ORACLE_SQL}),
     resamp AS ({AUDIO_RESAMPLE_ORACLE_SQL}),
+    fir AS ({AUDIO_FIR_ORACLE_SQL}),
     video AS ({VIDEO_ORACLE_SQL}),
     media AS ({_MEDIA_SQL})
     SELECT 'meta' AS part, doc_id, payload_bytes AS i1,
@@ -712,6 +714,9 @@ _TCHUNK_SQL = f"""
     UNION ALL
     SELECT 'resample', doc_id, rs_n, rs_amp_sum, rs_md5, rs_duration_ms
     FROM resamp
+    UNION ALL
+    SELECT 'fir', doc_id, rs_n, fir_amp_sum, fir_md5, rs_duration_ms
+    FROM fir
     """,
 )
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,6 +830,21 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rs_md5").alias("s1"),
         F.col("rs_duration_ms").alias("d1"),
     )
+    # tenth part: the ANTI-ALIASED resampler (integer half-band FIR +
+    # decimate; r6 verdict #3) — 'resample' above stays as the cheap
+    # path and the aliasing contrast.
+    from retail_datawarehouse_spark.operators.audio import (
+        fir_resample_audio,
+    )
+
+    fir = fir_resample_audio(with_wav_payload(docs)).select(
+        F.lit("fir").alias("part"),
+        "doc_id",
+        F.col("rs_n").alias("i1"),
+        F.col("fir_amp_sum").alias("i2"),
+        F.col("fir_md5").alias("s1"),
+        F.col("rs_duration_ms").alias("d1"),
+    )
     return (
         meta.unionByName(chunks)
         .unionByName(feats)
@@ -834,4 +854,5 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(video)
         .unionByName(media)
         .unionByName(resamp)
+        .unionByName(fir)
     )
