@@ -39,9 +39,51 @@ HEADLINE = [
 ]
 
 # Timed reps per headline entry; the reported figure is the best (min).
-# Pinned by tests/test_bench_contract.py — lowering it back to 1 would
+# Pinned by tests/test_oracle_parity.py — lowering it back to 1 would
 # silently re-expose the driver BENCH rows to box noise.
 BENCH_REPS = 3
+
+# Per-entry driver-protocol budget (r6 verdict #2): the SHARE of the
+# headline total each row may spend. Shares, not seconds, because box
+# load inflates entries roughly uniformly (the r6 attribution analysis:
+# untouched kernels +14-27% across the board) — a share band detects
+# the one failure mode that actually bit (a single entry accreting
+# fixed latency: the r6 PQ branch grew one row +183% to 37% of the
+# headline) on ANY box, quiet or loaded. Bands sit ~2x above each
+# entry's widest observed share across r5/r7 profiles (BASELINE.md
+# budget table records the derivation); exceeding one means a
+# structural change landed in that entry's plan, not that the box got
+# slow. check_budgets is pure so the canary mechanism is unit-testable
+# red (tests/test_oracle_parity.py slows one entry synthetically).
+BENCH_SHARE_BUDGET = {
+    "q51_sales_by_hour": 0.10,
+    "q52_top10_products": 0.18,
+    "q53_sales_by_shipping_tier": 0.12,
+    "q54_rising_spend_customers": 0.13,
+    "q55_snapshot_lifetime_read": 0.10,
+    "q_etl_clean_staging": 0.28,
+    "q_fact_monthly_snapshot": 0.07,
+    "q_dedup_minhash_lsh": 0.30,
+    "q_ann_topk_suite": 0.45,
+    "q_text_metrics": 0.09,
+}
+
+
+def check_budgets(timings: dict[str, float]) -> list[str]:
+    """Entries whose share of the headline total exceeds their budget
+    band. Returns violation strings (empty = all within budget)."""
+    total = sum(timings.values())
+    if total <= 0:
+        return []
+    out = []
+    for name, sec in timings.items():
+        band = BENCH_SHARE_BUDGET.get(name)
+        if band is not None and sec / total > band:
+            out.append(
+                f"{name}: {sec / total:.0%} of headline exceeds its "
+                f"{band:.0%} budget ({sec:.2f}s of {total:.2f}s)"
+            )
+    return out
 
 
 def main() -> None:
@@ -77,6 +119,11 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    # budget canary: warn on stderr (stdout stays ONE JSON line for the
+    # driver); the pytest canary turns these into failures
+    for violation in check_budgets(timings):
+        print(f"# BUDGET EXCEEDED — {violation}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -6,6 +6,8 @@ exact-equality strictness, so mismatches surface before a round ends.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from retail_datawarehouse_spark.registry import catalog
@@ -161,6 +163,69 @@ def test_bench_times_best_of_three_reps():
     assert src.count("clearCache") >= 1 and "clearCache" in src.split(
         "range(BENCH_REPS)"
     )[1], "clearCache must run inside the rep loop (between reps)"
+
+
+def test_bench_budget_canary_mechanism_goes_red():
+    """r6 verdict #2's red test: the budget canary must flag a
+    deliberately slowed entry. Budgets are SHARES of the headline total
+    (box-factor-free — the r6 failure mode was one entry accreting
+    fixed latency to 37% of the headline while a loaded box inflated
+    everything else uniformly). Pins: (a) the recorded r7 quiet profile
+    passes, (b) the recorded r5 quiet profile passes (two box classes),
+    (c) a single slowed entry trips ITS band and names itself, (d) the
+    budget table covers exactly the headline set."""
+    import bench
+
+    r7_quiet = {
+        "q51_sales_by_hour": 0.78, "q52_top10_products": 1.62,
+        "q53_sales_by_shipping_tier": 1.06,
+        "q54_rising_spend_customers": 0.94,
+        "q55_snapshot_lifetime_read": 0.71, "q_etl_clean_staging": 2.40,
+        "q_fact_monthly_snapshot": 0.45, "q_dedup_minhash_lsh": 2.53,
+        "q_ann_topk_suite": 6.18, "q_text_metrics": 0.62,
+    }
+    r5_quiet = {
+        "q51_sales_by_hour": 0.42, "q52_top10_products": 1.10,
+        "q53_sales_by_shipping_tier": 0.67,
+        "q54_rising_spend_customers": 0.79,
+        "q55_snapshot_lifetime_read": 0.39, "q_etl_clean_staging": 2.22,
+        "q_fact_monthly_snapshot": 0.33, "q_dedup_minhash_lsh": 2.34,
+        "q_ann_topk_suite": 2.30, "q_text_metrics": 0.47,
+    }
+    assert bench.check_budgets(r7_quiet) == []
+    assert bench.check_budgets(r5_quiet) == []
+    slowed = dict(r7_quiet)
+    slowed["q_text_metrics"] = 8.0  # a fixed-latency accretion
+    violations = bench.check_budgets(slowed)
+    assert violations and "q_text_metrics" in violations[0], violations
+    assert set(bench.BENCH_SHARE_BUDGET) == set(bench.HEADLINE)
+
+
+@pytest.mark.skipif(
+    "SPARK_GRAFT_BENCH_CANARY" not in __import__("os").environ,
+    reason="live budget canary is opt-in (quiet box): "
+    "SPARK_GRAFT_BENCH_CANARY=1 pytest -k canary_live",
+)
+def test_bench_budget_canary_live():
+    """Run the real bench CLI and fail on any budget violation — the
+    quiet-box regression gate (r6 verdict #2)."""
+    import json
+    import subprocess
+    import sys
+
+    import bench
+
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    violations = bench.check_budgets(payload["queries"])
+    assert violations == [], violations
 
 
 @pytest.mark.skipif(
