@@ -268,7 +268,11 @@ def _probes(
 
 
 def query_ivf_index(
-    queries: DataFrame, index_dir: str, nprobe: int, pq: bool = False
+    queries: DataFrame,
+    index_dir: str,
+    nprobe: int,
+    pq: bool = False,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Serve top-k from the stored index: route each query to its
     nprobe nearest cells (broadcast centroid pass), then score ONLY
@@ -283,7 +287,20 @@ def query_ivf_index(
     and reconstructions are rebuilt map-side as pure lookups into the
     one broadcast codebook row, then scored with the same pinned fold
     as ``_ivfpq_topk`` (full-probe ≡ the in-memory ``_pq_topk``,
-    pinned by test)."""
+    pinned by test).
+
+    ``rerank=R`` (PQ path only) completes the serving story with the
+    standard two-tier refinement (FAISS ``IndexRefineFlat``): the ADC
+    pass nominates each query's top R candidates CHEAPLY (codes only),
+    then exactly those rows' floats are re-read and re-scored with the
+    exact cosine, and top-k is taken over the refined scores. The
+    float scan is driven by a BROADCAST Q×R shortlist joined on
+    (cell, id) — partition-pruned to the shortlisted cells, row-count
+    bounded by Q·R regardless of corpus size — so the expensive column
+    is touched for Q·R rows, not N. R ≥ the probed candidate count
+    degrades to the float path's exact ranking (pinned by test: full
+    probe + large R ≡ brute force row-for-row); small R trades recall
+    for float reads exactly as the two-tier literature describes."""
     spark = queries.sparkSession
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     probes = _probes(queries, centroids, nprobe)
@@ -319,4 +336,27 @@ def query_ivf_index(
         )
         .withColumn("cosine", _pq_adc_cosine())
     )
-    return _per_query_topk(scored)
+    if rerank is None:
+        return _per_query_topk(scored)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "candidate_id"
+    )
+    shortlist = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", "q_emb", "q_n2", "candidate_id", "cell")
+    )
+    floats = spark.read.parquet(f"{index_dir}/cells").select(
+        F.col("id").alias("candidate_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+        "cell",
+    )
+    refined = floats.join(
+        F.broadcast(shortlist), ["cell", "candidate_id"]
+    ).withColumn(
+        "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
+    )
+    return _per_query_topk(refined)

@@ -403,3 +403,62 @@ def test_drift_flag_triggers_rebuild_and_restores_quantizer_fit(
     assert fit_batch_frozen < 0.4, fit_batch_frozen
     assert fit_batch_rebuilt > 0.9, fit_batch_rebuilt
     assert abs(fit_base_rebuilt - fit_base_frozen) < 0.1
+
+
+def test_pq_rerank_full_probe_large_r_equals_brute_force(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The two-tier refinement degrades gracefully: full probe + R
+    larger than any cell population re-scores EVERY candidate with the
+    exact float cosine — must reproduce brute force row-for-row (the
+    ADC tier then only nominates, never excludes)."""
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivfpq_rr")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS, pq=True)
+    got = query_ivf_index(
+        queries, idx, nprobe=IVF_CELLS, pq=True, rerank=10**6
+    )
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
+
+
+def test_pq_rerank_recovers_exact_ranks_from_adc_shortlist(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Pruned serving shape (nprobe=4, R=64): the refined top-k must
+    (a) beat or equal the ADC-only ranking's agreement with the exact
+    float ranking over the same probed cells, and (b) agree with the
+    float path's top-k wherever the true top-k survives the shortlist
+    — on this fixture R=64 keeps every per-query true top-3 (asserted,
+    so the equality check is not vacuous)."""
+    from pyspark.sql import functions as F
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivfpq_rr2")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS, pq=True)
+    exact_in_cells = query_ivf_index(queries, idx, nprobe=IVF_NPROBE)
+    adc = query_ivf_index(queries, idx, nprobe=IVF_NPROBE, pq=True)
+    refined = query_ivf_index(
+        queries, idx, nprobe=IVF_NPROBE, pq=True, rerank=64
+    )
+    want = {
+        (r.query_id, r.rank): r.candidate_id for r in exact_in_cells.collect()
+    }
+    got_ref = {
+        (r.query_id, r.rank): r.candidate_id for r in refined.collect()
+    }
+    got_adc = {(r.query_id, r.rank): r.candidate_id for r in adc.collect()}
+
+    def agreement(got):
+        return sum(1 for k, v in want.items() if got.get(k) == v) / len(want)
+
+    # (b): every true top-3 candidate must sit in the R=64 ADC
+    # shortlist for the equality claim to be meaningful; we assert the
+    # refined ranking IS the exact ranking — i.e. the shortlist kept
+    # the true top-3 AND the float re-score restored their order
+    assert got_ref == want, {
+        k: (got_ref.get(k), v) for k, v in want.items() if got_ref.get(k) != v
+    }
+    # (a): ADC-only cannot do better than the refined tier (on this
+    # fixture the 32x reconstruction scrambles fine ranks, so it does
+    # strictly worse — documented recall honesty of the PQ branch)
+    assert agreement(got_adc) < 1.0

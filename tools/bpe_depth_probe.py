@@ -14,9 +14,16 @@ records:
 - the 1× vs 20× per-round ratio — flat-in-N evidence.
 
 The catalog entry stays at 8 rounds / cap 256 (the oracle unrolls all
-rounds as CTEs; 512 CTE triples is an oracle problem, not an engine
-one) — this probe raises the depth with cap=2048 so 512 merges don't
-run the vocab dry.
+rounds as CTEs; hundreds of CTE triples is an oracle problem, not an
+engine one) — this probe raises cap to 2048 and the depth to the
+FIXTURE'S ceiling: the documents generator uses a 31-word vocabulary,
+so merges run dry at 107 (at which point `train_bpe` keeps iterating
+on an empty vocab — harmless for the merge table, wasted rounds; a
+512-round ask measures 405 empty rounds). Probe at --rounds 104 for
+all-live windows. A real tokenizer corpus has a ~100k-word vocab and
+runs 32k merges; what this proves is the SHAPE — per-round cost flat
+in corpus size — which is vocabulary-independent because every round
+reads only the ≤cap-row vocab frame.
 
 Usage:  python tools/bpe_depth_probe.py [--rounds 512] [--scale-dir DIR]
         (generate the 20x dir first: tools/scale_probe.py --scale 20)
