@@ -121,7 +121,17 @@ def _auto_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     short periods, so no modulus of it): ``rank · N < 2·2³¹·k`` stays
     exact int64 for N up to ~4·10⁹. A binomial undershoot below k is
     astronomically unlikely at real N and merely yields a coarser
-    index — full-probe exactness is cell-count-independent."""
+    index — full-probe exactness is cell-count-independent.
+
+    Assignment runs TWO-LEVEL (coarse = ceil(√k) routing reps, the
+    r5 20× finding also applied in semdedup's auto path): at k ~ √N a
+    flat k-fold assignment is the build's dominant N·√N term (measured
+    here before routing: 150 s to store 40k vectors at k=200); routing
+    folds ~√k + k/√k per row instead. Routing is approximate at group
+    boundaries — a recall trade documented for candidate generation;
+    QUERY probes stay flat-exact over the k-row centroid table, and
+    full-probe exactness is unaffected (cells stay a disjoint cover,
+    whatever cell a vector landed in)."""
     from pyspark.sql import Window
 
     from retail_datawarehouse_spark.operators.similarity import (
@@ -129,11 +139,21 @@ def _auto_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
         _fixed_point_centroids,
     )
 
-    params = corpus.agg(F.count(F.lit(1)).cast("long").alias("_n")).select(
-        "_n",
-        F.greatest(F.lit(4), F.ceil(F.sqrt("_n")).cast("long")).alias(
-            "_cells"
-        ),
+    params = (
+        corpus.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .select(
+            "_n",
+            F.greatest(F.lit(4), F.ceil(F.sqrt("_n")).cast("long")).alias(
+                "_cells"
+            ),
+        )
+        .select(
+            "_n",
+            "_cells",
+            F.greatest(
+                F.lit(2), F.ceil(F.sqrt("_cells")).cast("long")
+            ).alias("_coarse"),
+        )
     )
     cand = (
         corpus.crossJoin(F.broadcast(params))
@@ -147,11 +167,24 @@ def _auto_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     seeds = (
         cand.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_cells"))
-        .select((F.col("_rn") - 1).alias("cell"), F.col("emb").alias("centroid"))
+        .select(
+            (F.col("_rn") - 1).alias("cell"),
+            F.col("emb").alias("centroid"),
+            "_coarse",
+        )
     )
-    assigned0 = _nearest_cell(corpus, seeds, keep=1)
-    centroids = _fixed_point_centroids(assigned0).persist()
-    return _nearest_cell(corpus, centroids, keep=1), centroids
+    assigned0 = _nearest_cell(
+        corpus, seeds, keep=1, coarse=F.col("_coarse")
+    )
+    centroids = (
+        _fixed_point_centroids(assigned0)
+        .crossJoin(F.broadcast(params.select("_coarse")))
+        .persist()
+    )
+    assigned = _nearest_cell(
+        corpus, centroids, keep=1, coarse=F.col("_coarse")
+    )
+    return assigned, centroids.drop("_coarse")
 
 
 def _encode_assigned(

@@ -424,41 +424,39 @@ def test_pq_rerank_full_probe_large_r_equals_brute_force(
 def test_pq_rerank_recovers_exact_ranks_from_adc_shortlist(
     spark, sf_correctness_dir, tmp_path
 ):
-    """Pruned serving shape (nprobe=4, R=64): the refined top-k must
-    (a) beat or equal the ADC-only ranking's agreement with the exact
-    float ranking over the same probed cells, and (b) agree with the
-    float path's top-k wherever the true top-k survives the shortlist
-    — on this fixture R=64 keeps every per-query true top-3 (asserted,
-    so the equality check is not vacuous)."""
-    from pyspark.sql import functions as F
+    """Pruned serving shape (nprobe=4): the refinement ladder.
 
+    - R ≥ the probed candidate set: refined ≡ the float path's exact
+      ranking over the same probed cells (the shortlist excludes
+      nothing; the float re-score restores every rank) — exact
+      equality, deterministic.
+    - R = 64 (shortlist smaller than the probed set): agreement with
+      the exact ranking is high but NOT total (on this fixture the 32×
+      reconstruction pushes a few true top-3 below ADC rank 64 — the
+      documented recall-honesty of PQ), and STRICTLY better than the
+      ADC-only ranking at the same probe depth.
+    """
     corpus, queries = _fixture(spark, sf_correctness_dir)
     idx = str(tmp_path / "ivfpq_rr2")
     store_ivf_index(corpus, idx, cells=IVF_CELLS, pq=True)
     exact_in_cells = query_ivf_index(queries, idx, nprobe=IVF_NPROBE)
     adc = query_ivf_index(queries, idx, nprobe=IVF_NPROBE, pq=True)
-    refined = query_ivf_index(
+    refined_full = query_ivf_index(
+        queries, idx, nprobe=IVF_NPROBE, pq=True, rerank=10**6
+    )
+    refined64 = query_ivf_index(
         queries, idx, nprobe=IVF_NPROBE, pq=True, rerank=64
     )
     want = {
         (r.query_id, r.rank): r.candidate_id for r in exact_in_cells.collect()
     }
-    got_ref = {
-        (r.query_id, r.rank): r.candidate_id for r in refined.collect()
-    }
-    got_adc = {(r.query_id, r.rank): r.candidate_id for r in adc.collect()}
 
-    def agreement(got):
+    def agreement(df):
+        got = {(r.query_id, r.rank): r.candidate_id for r in df.collect()}
         return sum(1 for k, v in want.items() if got.get(k) == v) / len(want)
 
-    # (b): every true top-3 candidate must sit in the R=64 ADC
-    # shortlist for the equality claim to be meaningful; we assert the
-    # refined ranking IS the exact ranking — i.e. the shortlist kept
-    # the true top-3 AND the float re-score restored their order
-    assert got_ref == want, {
-        k: (got_ref.get(k), v) for k, v in want.items() if got_ref.get(k) != v
-    }
-    # (a): ADC-only cannot do better than the refined tier (on this
-    # fixture the 32x reconstruction scrambles fine ranks, so it does
-    # strictly worse — documented recall honesty of the PQ branch)
-    assert agreement(got_adc) < 1.0
+    assert agreement(refined_full) == 1.0
+    a_adc, a_64 = agreement(adc), agreement(refined64)
+    assert a_64 > a_adc, (a_64, a_adc)
+    assert a_64 >= 0.7, a_64  # measured 0.833 at sf0.01
+    assert a_64 < 1.0  # the shortlist genuinely bites at R=64
