@@ -1,0 +1,184 @@
+"""Streaming ANN serving (streaming/ann_serve.py): query waves drained
+against the stored IVF(×PQ) index — drain ≡ batch query wave-for-wave,
+checkpointed restart answers only new waves, appends to the index are
+visible to the next wave without restart, replays dedupe at read, and
+a multi-wave landing file fails loudly."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.operators.ann_index import (
+    append_to_ivf_index,
+    query_ivf_index,
+    store_ivf_index,
+)
+from retail_datawarehouse_spark.operators.similarity import (
+    IVF_CELLS,
+    IVF_NPROBE,
+    N_QUERIES,
+)
+from retail_datawarehouse_spark.sources.readers import load_table
+from retail_datawarehouse_spark.streaming.ann_serve import (
+    read_ann_results,
+    run_ann_serve_available_now,
+)
+
+
+def _fixture(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    return corpus, queries
+
+
+def _land_wave(spark, root, landing, wave, qdf):
+    frame = qdf.select(
+        F.lit(wave).cast("long").alias("wave"), "id", "emb"
+    )
+    tmp = f"{root}/qw{wave}"
+    frame.coalesce(1).write.parquet(tmp)
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(
+        glob.glob(f"{tmp}/part-*.parquet")[0], f"{landing}/wave-{wave}.parquet"
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.rank, r.candidate_id, r.cosine) for r in df.collect()
+    )
+
+
+def test_drain_equals_batch_and_restart_is_incremental(
+    spark, sf_correctness_dir, tmp_path
+):
+    root = str(tmp_path)
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx, landing = f"{root}/idx", f"{root}/landing"
+    results, ckpt = f"{root}/results", f"{root}/ckpt"
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    q0 = queries.filter(F.col("id") < 5)
+    q1 = queries.filter(F.col("id") >= 5)
+    _land_wave(spark, root, landing, 0, q0)
+    _land_wave(spark, root, landing, 1, q1)
+    run_ann_serve_available_now(
+        spark, landing, idx, results, nprobe=IVF_NPROBE, checkpoint_dir=ckpt
+    )
+    got = read_ann_results(spark, results)
+    for wave, qdf in ((0, q0), (1, q1)):
+        batch = query_ivf_index(qdf, idx, nprobe=IVF_NPROBE)
+        assert _rows(got.filter(F.col("wave") == wave).drop("wave")) == _rows(
+            batch
+        )
+    # wave 2 lands; the checkpointed re-drain answers ONLY it
+    _land_wave(spark, root, landing, 2, q0.limit(2))
+    run_ann_serve_available_now(
+        spark, landing, idx, results, nprobe=IVF_NPROBE, checkpoint_dir=ckpt
+    )
+    raw = spark.read.parquet(results)
+    deduped = read_ann_results(spark, results)
+    assert raw.count() == deduped.count()  # no replay happened
+    assert deduped.filter(F.col("wave") == 2).count() == 2 * 3
+
+
+def test_index_appends_visible_to_next_wave_without_restart(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The drain reads the index table as-of each batch: a vector
+    appended BETWEEN waves is retrieved by the next wave's identical
+    query at rank 1 with self-cosine 1 — no restart, no
+    re-registration."""
+    root = str(tmp_path)
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    holdout = corpus.filter(F.col("id") % 17 == 0)
+    base = corpus.filter(F.col("id") % 17 != 0)
+    idx, landing = f"{root}/idx", f"{root}/landing"
+    results, ckpt = f"{root}/results", f"{root}/ckpt"
+    store_ivf_index(base, idx, cells=IVF_CELLS)
+    probe = holdout.limit(1)
+    probe_id = probe.collect()[0].id
+    _land_wave(spark, root, landing, 0, probe)
+    run_ann_serve_available_now(
+        spark, landing, idx, results, nprobe=1, checkpoint_dir=ckpt
+    )
+    append_to_ivf_index(holdout, idx)
+    _land_wave(spark, root, landing, 1, probe)
+    run_ann_serve_available_now(
+        spark, landing, idx, results, nprobe=1, checkpoint_dir=ckpt
+    )
+    got = read_ann_results(spark, results)
+    before = {
+        r.rank: r
+        for r in got.filter(
+            (F.col("wave") == 0) & (F.col("query_id") == probe_id)
+        ).collect()
+    }
+    after = {
+        r.rank: r
+        for r in got.filter(
+            (F.col("wave") == 1) & (F.col("query_id") == probe_id)
+        ).collect()
+    }
+    assert before[1].candidate_id != probe_id  # held out: not in index
+    assert after[1].candidate_id == probe_id  # appended: now rank 1
+    assert abs(after[1].cosine - 1.0) < 1e-12
+
+
+def test_pq_drain_matches_batch_pq_query_and_replay_dedupes(
+    spark, sf_correctness_dir, tmp_path
+):
+    root = str(tmp_path)
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx, landing = f"{root}/idx", f"{root}/landing"
+    results = f"{root}/results"
+    store_ivf_index(corpus, idx, cells=IVF_CELLS, pq=True)
+    _land_wave(spark, root, landing, 0, queries)
+    # two un-checkpointed drains = a full replay of wave 0
+    run_ann_serve_available_now(
+        spark, landing, idx, results, nprobe=IVF_NPROBE,
+        checkpoint_dir=f"{root}/c1", pq=True, rerank=64,
+    )
+    run_ann_serve_available_now(
+        spark, landing, idx, results, nprobe=IVF_NPROBE,
+        checkpoint_dir=f"{root}/c2", pq=True, rerank=64,
+    )
+    raw = spark.read.parquet(results)
+    deduped = read_ann_results(spark, results)
+    assert raw.count() == 2 * deduped.count()
+    batch = query_ivf_index(
+        queries, idx, nprobe=IVF_NPROBE, pq=True, rerank=64
+    )
+    assert _rows(deduped.drop("wave")) == _rows(batch)
+
+
+def test_multi_wave_query_file_fails_loudly(
+    spark, sf_correctness_dir, tmp_path
+):
+    root = str(tmp_path)
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx, landing = f"{root}/idx", f"{root}/landing"
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    mixed = queries.select(
+        (F.col("id") % 2).cast("long").alias("wave"), "id", "emb"
+    )
+    tmp = f"{root}/mixed"
+    mixed.coalesce(1).write.parquet(tmp)
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(
+        glob.glob(f"{tmp}/part-*.parquet")[0], f"{landing}/wave-x.parquet"
+    )
+    with pytest.raises(Exception, match="spans 2 waves"):
+        run_ann_serve_available_now(
+            spark, landing, idx, f"{root}/results", nprobe=IVF_NPROBE,
+            checkpoint_dir=f"{root}/ckpt",
+        )
