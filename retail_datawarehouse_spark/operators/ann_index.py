@@ -119,9 +119,13 @@ def _auto_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     window that therefore sorts only ~2√N rows, never the corpus.
     Thresholding compares the full 31-bit LCG rank (low LCG bits have
     short periods, so no modulus of it): ``rank · N < 2·2³¹·k`` stays
-    exact int64 for N up to ~4·10⁹. A binomial undershoot below k is
-    astronomically unlikely at real N and merely yields a coarser
-    index — full-probe exactness is cell-count-independent.
+    exact int64 for N up to 2³² — GUARDED in-plan (ADVICE r7): past
+    that bound the build raises instead of silently wrapping the
+    multiply and mis-sampling seeds. A binomial undershoot below k
+    needs no guard by construction: cell ids come from ``row_number``
+    over the ACTUAL candidate set, so an undershoot yields a
+    contiguous 0..m-1 cell cover with m < k — a coarser index, never a
+    gap — and full-probe exactness is cell-count-independent.
 
     Assignment runs TWO-LEVEL (coarse = ceil(√k) routing reps, the
     r5 20× finding also applied in semdedup's auto path): at k ~ √N a
@@ -141,6 +145,27 @@ def _auto_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     params = (
         corpus.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        # In-plan guard (ADVICE r7): the seed filter computes
+        # _hrank·_n in int64 with _hrank < 2³¹, so the product is
+        # exact only while _n < 2³² — past that a non-ANSI multiply
+        # would WRAP silently and the hash threshold would sample the
+        # wrong rows. Raise rather than mis-sample; a corpus beyond
+        # 4.3e9 vectors needs the threshold recast (e.g. compare
+        # _hrank against 2·2³¹·k/N precomputed as one scalar).
+        .select(
+            F.when(F.col("_n") < F.lit(1 << 32), F.col("_n"))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "auto-index corpus count %d exceeds the 2^32 "
+                        "bound of the exact int64 hash-threshold seed "
+                        "filter",
+                        F.col("_n"),
+                    )
+                ).cast("long")
+            )
+            .alias("_n")
+        )
         .select(
             "_n",
             F.greatest(F.lit(4), F.ceil(F.sqrt("_n")).cast("long")).alias(
@@ -196,7 +221,10 @@ def _encode_assigned(
     assignment + encode stay ONE map-side pass — never an id-keyed
     shuffle join between the cell and the codes. ``recon`` itself is
     NOT stored (it is a pure codebook lookup, rebuilt map-side at
-    query time); its norm² is, like every other norm in the suite."""
+    query time); its norm² is, like every other norm in the suite.
+    ``persist=False``: the coded frame is consumed exactly once by the
+    parquet write, so persisting it would leak a cached frame per
+    store/append for the session lifetime (ADVICE r7)."""
     coded = _pq_encode(
         assigned,  # unused when packed is given
         assigned.select(
@@ -207,6 +235,7 @@ def _encode_assigned(
             "cell",
         ),
         packed=packed,
+        persist=False,
     )
     return coded.select(
         F.col("candidate_id").alias("id"),
@@ -306,6 +335,8 @@ def query_ivf_index(
     nprobe: int,
     pq: bool = False,
     rerank: int | None = None,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from the stored index: route each query to its
     nprobe nearest cells (broadcast centroid pass), then score ONLY
@@ -333,9 +364,19 @@ def query_ivf_index(
     is touched for Q·R rows, not N. R ≥ the probed candidate count
     degrades to the float path's exact ranking (pinned by test: full
     probe + large R ≡ brute force row-for-row); small R trades recall
-    for float reads exactly as the two-tier literature describes."""
+    for float reads exactly as the two-tier literature describes.
+
+    ``centroids``/``codebook``: prebuilt sidecar frames. The sidecars
+    are FROZEN index metadata (appends never touch them — the
+    add-after-train discipline), so a long-running caller (the
+    streaming ANN drain) reads + persists them ONCE and passes them
+    here, instead of paying two parquet sidecar scans per micro-batch
+    (r7 verdict #4). Default ``None`` reads them from ``index_dir`` —
+    the one-shot batch path. The CELLS table is always read at call
+    time, so appends stay visible to the next wave either way."""
     spark = queries.sparkSession
-    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    if centroids is None:
+        centroids = spark.read.parquet(f"{index_dir}/centroids")
     probes = _probes(queries, centroids, nprobe)
     if not pq:
         stored = spark.read.parquet(f"{index_dir}/cells").select(
@@ -352,7 +393,11 @@ def query_ivf_index(
         raise ValueError(
             f"{index_dir} was stored without pq=True — no codebook sidecar"
         )
-    packed = spark.read.parquet(f"{index_dir}/codebook")
+    packed = (
+        spark.read.parquet(f"{index_dir}/codebook")
+        if codebook is None
+        else codebook
+    )
     stored = spark.read.parquet(f"{index_dir}/cells").select(
         F.col("id").alias("candidate_id"), "codes", "recon_n2", "cell"
     )

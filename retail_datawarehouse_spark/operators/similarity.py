@@ -1159,6 +1159,7 @@ def _pq_encode(
     codebook_src: DataFrame,
     cand: DataFrame,
     packed: DataFrame | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Encode ``cand`` (candidate_id, c_emb[, passthrough cols — e.g.
     the IVF ``cell``]) against the codebook trained on
@@ -1178,19 +1179,24 @@ def _pq_encode(
     into the pair-level cosine — once per (query, candidate) pair,
     91 s at sf0.1 vs ~2.6 s for this shape).
 
-    The persist is a CORRECTNESS-OF-SHAPE boundary, not a cache
-    nicety: without it the encode tree inlines into the pair-level
-    cosine and is re-evaluated once per (query, candidate) pair — and
-    the expression is big enough to knock the projection out of
-    whole-stage codegen. In production the codes/recon columns are
-    the STORED index — reading them materialized is the design (see
+    The persist is a CORRECTNESS-OF-SHAPE boundary for the IN-MEMORY
+    suite path, not a cache nicety: without it the encode tree inlines
+    into the pair-level cosine and is re-evaluated once per
+    (query, candidate) pair — and the expression is big enough to
+    knock the projection out of whole-stage codegen. In production the
+    codes/recon columns are the STORED index — reading them
+    materialized is the design (see
     ``ann_index.store_ivf_index(pq=True)``, which writes exactly this
-    frame cell-partitioned)."""
+    frame cell-partitioned). The STORE/APPEND paths pass
+    ``persist=False`` (ADVICE r7): there the frame is consumed exactly
+    once by a parquet write, so a persist would only leak a cached
+    frame for the session lifetime — accruing across incremental
+    appends in a long-lived serving session."""
     if packed is None:
         packed = _pq_codebook(codebook_src)
     l2 = _SPARK_L2.format(a="element_at(subs, s + 1)", b="e.centroid")
     extras = [c for c in cand.columns if c not in ("candidate_id", "c_emb")]
-    return (
+    coded = (
         cand.crossJoin(F.broadcast(packed))
         .withColumn(
             "subs",
@@ -1212,8 +1218,8 @@ def _pq_encode(
         .withColumn("recon", F.expr("flatten(transform(picked, x -> x.centroid))"))
         .withColumn("recon_n2", F.expr(_SPARK_NORM2.format(a="recon")))
         .select("candidate_id", *extras, "codes", "recon", "recon_n2")
-        .persist()
     )
+    return coded.persist() if persist else coded
 
 
 def _pq_adc_cosine() -> F.Column:

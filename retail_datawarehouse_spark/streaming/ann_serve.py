@@ -23,11 +23,23 @@ Shape at 100 TB:
   automatically — the query path reads the parquet table as-of
   execution; no restart, no re-registration (pinned by test: a wave
   served after an append retrieves the appended vector).
-- ``foreachBatch`` is at-least-once: a crash between the result append
-  and the checkpoint commit replays the wave, duplicating its
-  DETERMINISTIC rows — ``read_ann_results`` dedupes on
-  (wave, query_id, rank), the monitor-verdict idempotency-by-key
-  discipline.
+- ``foreachBatch`` is at-least-once: a crash between the result write
+  and the checkpoint commit replays the wave. Results are written
+  partitioned by wave with DYNAMIC partition overwrite, so a replay
+  REPLACES the wave's directory wholesale (ADVICE r7) — the stored
+  rows for a wave are always one consistent serving of it, even when
+  an ``append_to_ivf_index`` landed between the original write and
+  the replay (a (wave, query_id, rank) row-level dedupe could keep an
+  arbitrary MIX of old-index and new-index candidates in that case;
+  replays against a grown index legitimately re-answer with the
+  LATEST index, the same as-of-execution contract the wave path has).
+  ``read_ann_results`` keeps a defensive per-(wave, query_id, rank)
+  dedupe for partially-committed leftovers only.
+- The centroid and codebook sidecars are FROZEN between rebuilds
+  (add-after-train), so the drain reads + persists them ONCE per call
+  and serves every wave from the cached frames (r7 verdict #4) — only
+  the cells table is re-read per batch, which is what makes appends
+  visible to the next wave.
 - ``maxFilesPerTrigger=1``: one wave per micro-batch; the wave tag
   raises in-plan if a landing file ever spans >1 wave (ADVICE r6
   contract, same as media/monitor).
@@ -78,12 +90,20 @@ def run_ann_serve_available_now(
     timeout: float | None = None,
 ) -> None:
     """Drain every landed-and-unanswered query wave through the stored
-    index, appending (wave, query_id, candidate_id, cosine, rank)
-    rows. Timeout semantics mirror the CDC/monitor/media drains:
-    ``None`` blocks until the availableNow drain self-terminates;
-    expiry stops the query and raises (a silent return would let a
-    caller read a partial result sidecar as if the drain had
-    finished)."""
+    index, writing (wave, query_id, candidate_id, cosine, rank) rows
+    partitioned by wave (dynamic overwrite per wave — replay-safe,
+    module docstring). Timeout semantics mirror the CDC/monitor/media
+    drains: ``None`` blocks until the availableNow drain
+    self-terminates; expiry stops the query and raises (a silent
+    return would let a caller read a partial result sidecar as if the
+    drain had finished)."""
+    # Sidecars are frozen index metadata: read + persist once per
+    # drain, not twice per micro-batch (r7 verdict #4). Tiny frames
+    # (K centroid rows, 1 packed-codebook row); unpersisted on exit.
+    centroids = spark.read.parquet(f"{index_dir}/centroids").persist()
+    codebook = (
+        spark.read.parquet(f"{index_dir}/codebook").persist() if pq else None
+    )
 
     def serve_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # one wave per batch; the tag RAISES on a multi-wave file
@@ -111,11 +131,18 @@ def run_ann_serve_available_now(
             nprobe=nprobe,
             pq=pq,
             rerank=rerank,
+            centroids=centroids,
+            codebook=codebook,
         )
         out = topk.crossJoin(F.broadcast(wave)).select(
-            "wave", "query_id", "candidate_id", "cosine", "rank"
+            "query_id", "candidate_id", "cosine", "rank", "wave"
         )
-        out.write.mode("append").parquet(results_dir)
+        # Dynamic partition overwrite: a replayed wave REPLACES its
+        # wave=N directory wholesale — one consistent serving per
+        # wave, never a mix across an index append (ADVICE r7).
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("wave").parquet(results_dir)
 
     writer = (
         stream_query_landing(spark, landing_dir)
@@ -126,24 +153,35 @@ def run_ann_serve_available_now(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
-    if timeout is None:
-        q.awaitTermination()
-    elif not q.awaitTermination(timeout):
-        q.stop()
-        raise TimeoutError(
-            f"ann serve drain did not terminate within {timeout}s — "
-            f"results at {results_dir} may be partial; not returning "
-            "control"
-        )
+    try:
+        if timeout is None:
+            q.awaitTermination()
+        elif not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError(
+                f"ann serve drain did not terminate within {timeout}s — "
+                f"results at {results_dir} may be partial; not returning "
+                "control"
+            )
+    finally:
+        centroids.unpersist()
+        if codebook is not None:
+            codebook.unpersist()
 
 
 def read_ann_results(spark: SparkSession, results_dir: str) -> DataFrame:
-    """Result sidecar, deduped per (wave, query, rank) — at-least-once
-    replay duplicates a wave's deterministic rows (module docstring)."""
+    """Result table, wave-partitioned. Replay consistency comes from
+    the WRITE side (dynamic overwrite replaces a replayed wave's
+    directory — module docstring); the per-(wave, query_id, rank)
+    dedupe here is only a defensive screen against partially-committed
+    leftovers, not the idempotency mechanism."""
     if not os.path.isdir(results_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(results_dir)
+        d.startswith("wave=") for d in os.listdir(results_dir)
     ):
         return spark.createDataFrame([], _RESULTS_DDL)
-    return spark.read.parquet(results_dir).dropDuplicates(
-        ["wave", "query_id", "rank"]
+    return (
+        spark.read.parquet(results_dir)
+        .withColumn("wave", F.col("wave").cast("long"))
+        .select("wave", "query_id", "candidate_id", "cosine", "rank")
+        .dropDuplicates(["wave", "query_id", "rank"])
     )

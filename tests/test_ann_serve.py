@@ -1,8 +1,9 @@
 """Streaming ANN serving (streaming/ann_serve.py): query waves drained
 against the stored IVF(×PQ) index — drain ≡ batch query wave-for-wave,
 checkpointed restart answers only new waves, appends to the index are
-visible to the next wave without restart, replays dedupe at read, and
-a multi-wave landing file fails loudly."""
+visible to the next wave without restart, replays REPLACE their wave
+(dynamic partition overwrite — consistent even across an index
+append), and a multi-wave landing file fails loudly."""
 
 from __future__ import annotations
 
@@ -134,7 +135,7 @@ def test_index_appends_visible_to_next_wave_without_restart(
     assert abs(after[1].cosine - 1.0) < 1e-12
 
 
-def test_pq_drain_matches_batch_pq_query_and_replay_dedupes(
+def test_pq_drain_matches_batch_pq_query_and_replay_replaces(
     spark, sf_correctness_dir, tmp_path
 ):
     root = str(tmp_path)
@@ -143,7 +144,9 @@ def test_pq_drain_matches_batch_pq_query_and_replay_dedupes(
     results = f"{root}/results"
     store_ivf_index(corpus, idx, cells=IVF_CELLS, pq=True)
     _land_wave(spark, root, landing, 0, queries)
-    # two un-checkpointed drains = a full replay of wave 0
+    # two un-checkpointed drains = a full replay of wave 0; dynamic
+    # partition overwrite REPLACES the wave directory, so the raw
+    # table never accumulates replay duplicates (ADVICE r7)
     run_ann_serve_available_now(
         spark, landing, idx, results, nprobe=IVF_NPROBE,
         checkpoint_dir=f"{root}/c1", pq=True, rerank=64,
@@ -154,11 +157,50 @@ def test_pq_drain_matches_batch_pq_query_and_replay_dedupes(
     )
     raw = spark.read.parquet(results)
     deduped = read_ann_results(spark, results)
-    assert raw.count() == 2 * deduped.count()
+    assert raw.count() == deduped.count()
     batch = query_ivf_index(
         queries, idx, nprobe=IVF_NPROBE, pq=True, rerank=64
     )
     assert _rows(deduped.drop("wave")) == _rows(batch)
+
+
+def test_replay_after_index_append_is_consistent_not_mixed(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The ADVICE r7 scenario: an append_to_ivf_index lands BETWEEN a
+    wave's original serving and its replay. Overwrite-per-wave means
+    the stored rows for that wave are wholly the REPLAY's serving
+    (consistent against the grown index) — never an arbitrary mix of
+    old-index and new-index candidates, which a row-level
+    (wave, query_id, rank) dedupe over appended duplicates would
+    have kept."""
+    root = str(tmp_path)
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    holdout = corpus.filter(F.col("id") % 17 == 0)
+    base = corpus.filter(F.col("id") % 17 != 0)
+    idx, landing = f"{root}/idx", f"{root}/landing"
+    results = f"{root}/results"
+    store_ivf_index(base, idx, cells=IVF_CELLS)
+    probe = holdout.limit(1)
+    probe_id = probe.collect()[0].id
+    _land_wave(spark, root, landing, 0, probe)
+    run_ann_serve_available_now(
+        spark, landing, idx, results, nprobe=1, checkpoint_dir=f"{root}/c1"
+    )
+    append_to_ivf_index(holdout, idx)
+    # fresh checkpoint: full replay of wave 0 against the grown index
+    run_ann_serve_available_now(
+        spark, landing, idx, results, nprobe=1, checkpoint_dir=f"{root}/c2"
+    )
+    got = read_ann_results(spark, results).filter(
+        (F.col("wave") == 0) & (F.col("query_id") == probe_id)
+    )
+    batch = query_ivf_index(probe, idx, nprobe=1)
+    # row-for-row the grown-index serving — including the appended
+    # vector at rank 1 — and nothing left over from the pre-append one
+    assert _rows(got.drop("wave")) == _rows(batch)
+    by_rank = {r.rank: r for r in got.collect()}
+    assert by_rank[1].candidate_id == probe_id
 
 
 def test_multi_wave_query_file_fails_loudly(

@@ -253,5 +253,6 @@ def test_fir_kills_nyquist_alias_plain_decimation_does_not(spark):
     y = fir_decimate(np.frombuffer(tone, dtype=np.uint8))
     assert fir.fir_amp_sum == int(y.sum())
     assert all(int(v) == 120 for v in y[2:-2])
-    # edge samples differ only because of zero padding
-    assert abs(int(y[0]) - 120) > 0 or abs(int(y[-1]) - 120) >= 0
+    # edge samples differ from the interior mean only because of zero
+    # padding (ADVICE r7: the old disjunct form was vacuously true)
+    assert int(y[0]) != 120 and int(y[-1]) != 120
