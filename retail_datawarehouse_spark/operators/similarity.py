@@ -1328,28 +1328,72 @@ def _ivfpq_topk(
     return _per_query_topk(scored)
 
 
+# Session-scope memo for the suite's shared persisted frames (the
+# textual.py ``_TOKENIZED_CACHE`` pattern; r7 verdict #3 — ADVICE r5
+# cache-accrual class). Keyed by (applicationId, sf_dir) so a restarted
+# session never reuses a dead frame; the dict holds tiny plan objects,
+# the DATA lives in the Spark cache and is re-registered on demand
+# after an external ``spark.catalog.clearCache()`` (bench.py clears
+# between reps — every rep must measure full computation).
+_SUITE_SHARED_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _suite_shared(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The four persisted frames every ``q_ann_topk_suite`` invocation
+    needs: the corpus (one cached scan + norm fold for all six
+    branches), the IVF cell assignment + centroids (ONE Lloyd build
+    for the 'ivf' and 'ivfpq' branches — measured 6.7 s vs 9.0 s for
+    the pair built separately at sf0.1), and the PQ-coded corpus.
+    Memoized per (applicationId, sf_dir): repeat invocations in a
+    long-lived session reuse ONE registration instead of accruing dead
+    cached frames per call (r7 verdict #3 / the r5 ADVICE class)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    shared = _SUITE_SHARED_CACHE.get(key)
+    if shared is None:
+        corpus = _ann_corpus(load_table(spark, sf_dir, "embeddings")).persist()
+        corpus_ie = corpus.select(
+            F.col("candidate_id").alias("id"),
+            F.col("c_emb").alias("emb"),
+            F.col("c_n2").alias("n2"),
+        )
+        assigned, centroids = _ivf_index_over(corpus_ie)
+        assigned = assigned.persist()
+        coded = _pq_encode(
+            corpus,
+            assigned.select(
+                F.col("id").alias("candidate_id"),
+                F.col("emb").alias("c_emb"),
+                "cell",
+            ),
+        )
+        shared = {
+            "corpus": corpus,
+            "assigned": assigned,
+            "centroids": centroids,
+            "coded": coded,
+        }
+        _SUITE_SHARED_CACHE[key] = shared
+    else:
+        for df in shared.values():
+            if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+                df.persist()
+    return shared
+
+
 def _ivf_pair_branches(
-    q: DataFrame, c: DataFrame, nprobe: int
+    q: DataFrame, shared: dict[str, DataFrame], nprobe: int
 ) -> tuple[DataFrame, DataFrame]:
     """Both IVF-rooted suite branches — 'ivf' (exact float scoring
     inside probed cells) and 'ivfpq' (ADC scoring of PQ codes inside
-    probed cells) — from ONE index build, ONE PERSISTED corpus cell
-    assignment, and ONE query probe pass. Bit-identical to running
-    ``_ivf_topk_over`` and ``_ivfpq_topk`` separately (the shared
-    frames are the same expressions); what sharing buys is wall, not
-    values: the Lloyd build, the corpus assignment fold, and the probe
-    chain each run once instead of twice — measured 6.7 s vs 9.0 s for
-    the pair at sf0.1 on a loaded box (the suite cost there is almost
-    entirely job-chain latency, not data). The ``assigned`` persist is
-    a two-consumer boundary like the centroid one inside
+    probed cells) — over the memoized shared index frames
+    (``_suite_shared``) and ONE query probe pass. Bit-identical to
+    running ``_ivf_topk_over`` and ``_ivfpq_topk`` separately (the
+    shared frames are the same expressions); what sharing buys is
+    wall, not values: the Lloyd build, the corpus assignment fold, and
+    the probe chain each run once instead of twice. The ``assigned``
+    persist is a two-consumer boundary like the centroid one inside
     ``_ivf_index_over``."""
-    corpus_ie = c.select(
-        F.col("candidate_id").alias("id"),
-        F.col("c_emb").alias("emb"),
-        F.col("c_n2").alias("n2"),
-    )
-    assigned, centroids = _ivf_index_over(corpus_ie)
-    assigned = assigned.persist()
+    assigned, centroids = shared["assigned"], shared["centroids"]
     q_ie = q.select(
         F.col("query_id").alias("id"),
         F.col("q_emb").alias("emb"),
@@ -1372,16 +1416,8 @@ def _ivf_pair_branches(
             "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
         )
     )
-    coded = _pq_encode(
-        c,
-        assigned.select(
-            F.col("id").alias("candidate_id"),
-            F.col("emb").alias("c_emb"),
-            "cell",
-        ),
-    )
     ivfpq = _per_query_topk(
-        coded.join(F.broadcast(probes), "cell").withColumn(
+        shared["coded"].join(F.broadcast(probes), "cell").withColumn(
             "cosine", _pq_adc_cosine()
         )
     )
@@ -1872,7 +1908,10 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side from the same cache). The 'ivf' and 'ivfpq' branches
     additionally share ONE IVF index build (assigned + persisted
     centroids), so the Lloyd pass runs once per suite, not twice. The
-    10-row query side is rebuilt per branch (broadcast, negligible)."""
+    10-row query side is rebuilt per branch (broadcast, negligible).
+    All shared frames are memoized per (session, sf_dir) via
+    ``_suite_shared`` — repeat invocations reuse one registration
+    instead of accruing dead cached frames (r7 verdict #3)."""
 
     def q6(df: DataFrame, method: str) -> DataFrame:
         return df.select(
@@ -1886,9 +1925,10 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = _ann_corpus(emb).persist()
+    shared = _suite_shared(spark, sf_dir)
+    corpus = shared["corpus"]
     queries = _ann_queries(emb)
-    ivf_branch, ivfpq_branch = _ivf_pair_branches(queries, corpus, IVF_NPROBE)
+    ivf_branch, ivfpq_branch = _ivf_pair_branches(queries, shared, IVF_NPROBE)
     return (
         q6(_exact_topk(queries, corpus), "exact")
         .unionByName(q6(_vectorized_topk(queries, corpus), "vectorized"))

@@ -578,6 +578,38 @@ def test_adc_recall_floor_vs_exact(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_ann_suite_memoizes_persisted_frames(spark, sf_correctness_dir):
+    """r7 verdict #3 (the r5 ADVICE cache-accrual class): repeat
+    ``q_ann_topk_suite`` invocations in one session must reuse ONE
+    registration of the shared frames (corpus, IVF assignment,
+    centroids, PQ codes), not accrue a new persisted set per call —
+    and an external ``clearCache`` (bench.py does this between reps)
+    must be healed by re-persisting the SAME memo entry, still
+    correct."""
+    from retail_datawarehouse_spark.operators.similarity import (
+        _SUITE_SHARED_CACHE,
+        q_ann_topk_suite,
+    )
+
+    jsc_sc = spark.sparkContext._jsc.sc()
+    n0 = q_ann_topk_suite(spark, sf_correctness_dir).count()
+    persisted_after_first = jsc_sc.getPersistentRDDs().size()
+    cache_entries = len(_SUITE_SHARED_CACHE)
+    assert q_ann_topk_suite(spark, sf_correctness_dir).count() == n0
+    assert jsc_sc.getPersistentRDDs().size() == persisted_after_first
+    assert len(_SUITE_SHARED_CACHE) == cache_entries
+    # external clearCache unregisters the frames; the memo re-persists
+    # rather than running the suite uncached or rebuilding the entry
+    spark.catalog.clearCache()
+    assert q_ann_topk_suite(spark, sf_correctness_dir).count() == n0
+    key = (spark.sparkContext.applicationId, sf_correctness_dir)
+    shared = _SUITE_SHARED_CACHE[key]
+    for name, df in shared.items():
+        lvl = df.storageLevel
+        assert lvl.useMemory or lvl.useDisk, name
+    assert len(_SUITE_SHARED_CACHE) == cache_entries
+
+
 def test_lsh_dup_recall_floor(spark):
     """Recall gate for the embedding-LSH near-dup miner (round-3
     verdict #4): a near-dup pair whose tiny component straddles ONE
