@@ -2,6 +2,11 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timed action is a FULL-WIDTH checksum (``force_full``), not count():
+count() lets Catalyst prune computed columns out of the timed plan,
+under-measuring projection-shaped entries (r7 verdict #1 — rebaselined
+r8; the paired count/checksum run is in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -12,6 +17,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from retail_datawarehouse_spark.registry import catalog  # noqa: E402
 from retail_datawarehouse_spark.session import get_spark  # noqa: E402
@@ -69,6 +76,29 @@ BENCH_SHARE_BUDGET = {
 }
 
 
+def force_full(df) -> int:
+    """The timed action: materialize EVERY cell of the result via a
+    full-width xxhash64 checksum, returning the row count. A bare
+    ``count()`` lets Catalyst PRUNE every computed column the count
+    doesn't need — verified r7: q_text_metrics' optimized plan under
+    count() collapsed to ``Aggregate[count(1)] ← Project[] ← parquet``
+    (the five-panel computation never ran; the row measured a bare
+    scan) and q_fact_monthly_snapshot's Window node vanished entirely
+    (0.31 s counted vs 1.72 s full-width at the same sf — 5.5×
+    under-measured). The checksum keeps the whole value surface in the
+    measured plan while still returning one row to the driver — the
+    exact recipe tools/scale_probe.py adopted after the same
+    count()-pruning discovery in r6. BASELINE.md's round-8 table
+    records one paired count()/checksum run so the 2×-gate lineage
+    survives the rebaseline."""
+    row = (
+        df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_h").alias("chk"))
+        .collect()[0]
+    )
+    return row.n
+
+
 def check_budgets(timings: dict[str, float]) -> list[str]:
     """Entries whose share of the headline total exceeds their budget
     band. Returns violation strings (empty = all within budget)."""
@@ -101,7 +131,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         builder = cat[name].builder
-        builder(spark, sf_dir).count()  # warm: JVM/code paths, file listing
+        force_full(builder(spark, sf_dir))  # warm: JVM/code paths, listing
         # Best-of-N timed reps: on a shared box a single rep inherits
         # whatever scheduling jitter lands on it and a one-off slow rep
         # reads as a code regression (round-4 recorded minhash at 3.29 s
@@ -114,7 +144,7 @@ def main() -> None:
         for _ in range(BENCH_REPS):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            n = builder(spark, sf_dir).count()
+            n = force_full(builder(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 4)

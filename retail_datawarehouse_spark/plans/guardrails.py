@@ -25,10 +25,16 @@ references the measure, and require either
   (printed as Not(EqualTo)), IN-lists, ranges, column-to-column
   equality, and a pin hidden inside an OR disjunction (``month = X OR
   status = 'F'`` admits every month; ADVICE r6) all correctly fail to
-  qualify. The Filter must additionally sit on the branch that carries
-  the measure's lineage — a pin on an unrelated join branch (e.g. a
-  dimension filtered to one month, joined to unpinned fact rows) never
-  restricts the measure's rows and does not count (ADVICE r6).
+  qualify. The Filter must sit on the branch that carries the
+  measure's lineage, OR on the far side of an INNER/SEMI equi-join
+  whose join key is itself a grain column (the star-schema
+  single-month slice via a filtered date dimension — the reference
+  warehouse's standard read; ADVICE r7): there the join propagates
+  the pin to every surviving measure row. A pin on a branch joined on
+  a NON-grain key, or across an outer join, does not restrict the
+  measure's months and correctly does not count (ADVICE r6) — and any
+  shape this walk cannot prove is a deliberate fail-closed
+  over-approximation: a false ALARM, never a silent double-count.
 
 Attribute identity is tracked by ``exprId`` LINEAGE, not by name:
 every ``AttributeReference`` literally named a measure/grain seeds the
@@ -209,17 +215,119 @@ def _node_refs(node: dict, ids: set[int]) -> bool:
     return any(_node_refs(c, ids) for c in node["_kids"])
 
 
+def _attr_ids(node: dict) -> set[int]:
+    """All AttributeReference exprIds appearing anywhere in a plan
+    subtree's expression fields — a superset of the branch's output,
+    good enough to decide which child of a join an equality side
+    belongs to (exprIds are globally unique per attribute)."""
+    out: set[int] = set()
+
+    def visit(n: dict) -> None:
+        for tree in _expr_fields(n):
+            for e in _walk(tree):
+                if _simple(e) == "AttributeReference":
+                    out.add(e["exprId"]["id"])
+        for c in n["_kids"]:
+            visit(c)
+
+    visit(node)
+    return out
+
+
+def _grain_equi_conjunct(
+    e: dict, left_grain: set[int], right_grain: set[int]
+) -> bool:
+    """A conjunct (through And only — the `_pin_in_condition`
+    fail-closed recursion) equating a grain attribute of one join
+    child with a grain attribute of the other."""
+    k = _simple(e)
+    if k == "And":
+        return any(
+            _grain_equi_conjunct(c, left_grain, right_grain)
+            for c in e["_kids"]
+        )
+    if k in ("EqualTo", "EqualNullSafe") and len(e["_kids"]) == 2:
+        a, b = e["_kids"]
+        for x, y in ((a, b), (b, a)):
+            if _refs_any(x, left_grain) and _refs_any(y, right_grain):
+                return True
+    return False
+
+
+def _pin_filter_below(node: dict, grain_ids: set[int]) -> bool:
+    """A Filter at-or-below ``node`` whose condition carries a
+    single-grain equality pin as a conjunct (no measure-lineage
+    requirement — used only for the pinned side of a grain-key equi
+    join, where the join itself propagates the restriction)."""
+    if _simple(node) == "Filter":
+        for tree in _expr_fields(node):
+            if _pin_in_condition(tree, grain_ids):
+                return True
+    return any(_pin_filter_below(c, grain_ids) for c in node["_kids"])
+
+
+def _join_propagates_grain_pin(
+    node: dict, grain_ids: set[int], measure_ids: set[int]
+) -> bool:
+    """The canonical star-schema single-month slice (ADVICE r7): an
+    INNER (or LEFT SEMI) equi-join between the measure's branch and a
+    branch pinned to one grain value, where a join conjunct equates a
+    grain attribute on each side — every surviving measure row then
+    carries the pinned grain value, so the read is a single-month
+    slice exactly like a direct Filter on the fact. LEFT OUTER does
+    NOT qualify (unmatched measure rows survive unrestricted), a
+    non-grain join key does NOT qualify (a month-filtered dim joined
+    on customer_key never restricts the fact's months — the ADVICE r6
+    unrelated-branch case), and a pin under Or/Not never qualifies
+    (same `_pin_in_condition` rules as direct filters)."""
+    jt = (node.get("joinType") or {}).get("object", "")
+    if not jt.endswith(("Inner$", "LeftSemi$")):
+        return False
+    left, right = node["_kids"]
+    left_grain = _attr_ids(left) & grain_ids
+    right_grain = _attr_ids(right) & grain_ids
+    if not left_grain or not right_grain:
+        return False
+    if not any(
+        _grain_equi_conjunct(tree, left_grain, right_grain)
+        for tree in _expr_fields(node)
+    ):
+        return False
+    for measure_side, pinned_side in ((left, right), (right, left)):
+        if _node_refs(measure_side, measure_ids) and _pin_filter_below(
+            pinned_side, grain_ids
+        ):
+            return True
+    return False
+
+
 def _subtree_pins_grain(
     node: dict, grain_ids: set[int], measure_ids: set[int]
 ) -> bool:
-    """True if a Filter at-or-below carries a single-grain equality pin
-    AS A CONJUNCT, and that Filter sits on the branch that carries the
-    measure's lineage (see module docstring for what deliberately does
-    NOT count)."""
+    """True if the measure's rows are provably restricted to one grain
+    value below this node, by either accepted shape:
+
+    - a Filter at-or-below carrying a single-grain equality pin AS A
+      CONJUNCT, sitting on the branch that carries the measure's
+      lineage, or
+    - an inner/semi equi-join ON A GRAIN KEY whose other side is so
+      pinned — the reference warehouse's standard read (fact joined to
+      a single-month date-dimension slice; ADVICE r7).
+
+    Everything else is a deliberate fail-closed over-approximation:
+    shapes that MIGHT restrict the rows (a pin inside an OR that
+    happens to be exhaustive, an outer join whose null rows are later
+    dropped, a range that happens to cover one month) still raise —
+    an exotic-but-safe plan costs a false alarm, never a silent
+    double-count (see module docstring)."""
     if _simple(node) == "Filter" and _node_refs(node, measure_ids):
         for tree in _expr_fields(node):
             if _pin_in_condition(tree, grain_ids):
                 return True
+    if _simple(node) == "Join" and _join_propagates_grain_pin(
+        node, grain_ids, measure_ids
+    ):
+        return True
     return any(
         _subtree_pins_grain(c, grain_ids, measure_ids) for c in node["_kids"]
     )

@@ -266,6 +266,64 @@ def test_accepts_pin_on_measure_branch_of_join(spark, snap):
     assert out == {"gold": 15.0, "blue": 7.0}
 
 
+def test_accepts_star_schema_slice_via_pinned_date_dim(spark, snap):
+    """ADVICE r7: the reference warehouse's standard read — the fact
+    joined INNER on the grain key to a date dimension filtered to one
+    month. The join propagates the dim's pin to every surviving fact
+    row, so this is the q55 single-month slice in star-schema form and
+    must pass."""
+    dim_date = spark.createDataFrame(
+        [("1998-01-01", "Jan"), ("1998-02-01", "Feb"), ("1998-03-01", "Mar")],
+        "month_start string, month_name string",
+    )
+    ok = (
+        snap.join(
+            dim_date.filter(F.col("month_start") == "1998-02-01"),
+            "month_start",
+        )
+        .groupBy("month_name")
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    out = {r.month_name: r.s for r in assert_semi_additive_safe(ok).collect()}
+    assert out == {"Feb": 22.0}
+
+
+def test_rejects_outer_join_to_pinned_date_dim(spark, snap):
+    """LEFT OUTER to the pinned dim does NOT restrict the fact:
+    unmatched months survive with nulls and still reach the SUM —
+    the join-propagation rule must only accept inner/semi joins."""
+    dim_date = spark.createDataFrame(
+        [("1998-02-01", "Feb")], "month_start string, month_name string"
+    )
+    bad = (
+        snap.join(
+            dim_date.filter(F.col("month_start") == "1998-02-01"),
+            "month_start",
+            "left",
+        )
+        .groupBy()
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
+
+
+def test_rejects_grain_join_to_unpinned_dim(spark, snap):
+    """An inner grain-key join alone proves nothing: with no pin on
+    the dim side every month still flows through."""
+    dim_date = spark.createDataFrame(
+        [("1998-01-01", "Jan"), ("1998-02-01", "Feb"), ("1998-03-01", "Mar")],
+        "month_start string, month_name string",
+    )
+    bad = (
+        snap.join(dim_date, "month_start")
+        .groupBy()
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
+
+
 def test_accepts_pin_on_renamed_grain(snap):
     """Grain lineage follows renames too: pinning the RENAMED month
     column is still a single-month slice."""
