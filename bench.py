@@ -57,22 +57,28 @@ BENCH_REPS = 3
 # the one failure mode that actually bit (a single entry accreting
 # fixed latency: the r6 PQ branch grew one row +183% to 37% of the
 # headline) on ANY box, quiet or loaded. Bands sit ~2x above each
-# entry's widest observed share across r5/r7 profiles (BASELINE.md
-# budget table records the derivation); exceeding one means a
-# structural change landed in that entry's plan, not that the box got
-# slow. check_budgets is pure so the canary mechanism is unit-testable
-# red (tests/test_oracle_parity.py slows one entry synthetically).
+# entry's widest observed share across the TWO r8 quiet FULL-WIDTH
+# profiles (re-derived with the force_full rebaseline, r7 verdict #1;
+# BASELINE.md round-8 table records the derivation and the committed
+# profiles live in tools/bench_profile_r08.json); exceeding one means
+# a structural change landed in that entry's plan, not that the box
+# got slow. check_budgets is pure so the canary mechanism is
+# unit-testable red (tests/test_oracle_parity.py slows one entry
+# synthetically), and a standing test replays it over every committed
+# BENCH_r{N>=8}.json at HEAD. The ANN suite band is deliberately
+# tighter than 2x (observed 26%) — it is the dominant row and the one
+# that has actually accreted before.
 BENCH_SHARE_BUDGET = {
-    "q51_sales_by_hour": 0.10,
-    "q52_top10_products": 0.18,
-    "q53_sales_by_shipping_tier": 0.12,
-    "q54_rising_spend_customers": 0.13,
-    "q55_snapshot_lifetime_read": 0.10,
-    "q_etl_clean_staging": 0.28,
-    "q_fact_monthly_snapshot": 0.07,
-    "q_dedup_minhash_lsh": 0.30,
+    "q51_sales_by_hour": 0.07,
+    "q52_top10_products": 0.16,
+    "q53_sales_by_shipping_tier": 0.17,
+    "q54_rising_spend_customers": 0.09,
+    "q55_snapshot_lifetime_read": 0.17,
+    "q_etl_clean_staging": 0.32,
+    "q_fact_monthly_snapshot": 0.20,
+    "q_dedup_minhash_lsh": 0.24,
     "q_ann_topk_suite": 0.45,
-    "q_text_metrics": 0.09,
+    "q_text_metrics": 0.16,
 }
 
 

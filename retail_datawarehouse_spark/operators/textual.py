@@ -240,6 +240,22 @@ _FINGERPRINT_SQL = f"""
 """
 
 
+def _bind(arr: Column, f) -> Column:
+    """Evaluate ``arr`` ONCE per row and hand the result to ``f`` as a
+    lambda variable: ``transform`` over a one-element array is the
+    expression-level let-binding Spark SQL lacks. Why it matters:
+    higher-order functions are interpreted (CodegenFallback), so no
+    whole-stage-codegen subexpression elimination runs inside them — a
+    lambda body like ``slice(split(text), i, 3)`` re-evaluates the
+    SPLIT on every lambda iteration, turning an O(words) gram build
+    into O(words²) per document (measured: the repetition panel alone
+    cost 4.45 s of q_text_metrics' 5.5 s at sf0.1; binding the token
+    array first makes the whole five-panel projection ~3× cheaper).
+    Values are bit-identical — the bound expression is the same tree,
+    evaluated once."""
+    return F.transform(F.array(arr), f).getItem(0)
+
+
 def repetition_cols() -> list[Column]:
     """Repetition scoring — the duplicated-trigram ratio used to filter
     degenerate/looping text from training corpora. The trigram list is
@@ -247,16 +263,19 @@ def repetition_cols() -> list[Column]:
     JVM-side and SHUFFLE-FREE — at 100 TB this is a map-only pass like
     the rest of the quality stack, no explode+groupBy detour through an
     exchange. Integer counts + one IEEE division keep it engine-exact;
-    docs too short for a trigram report 0 counts and a NULL ratio."""
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    grams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.array_join(F.slice(toks, i, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    docs too short for a trigram report 0 counts and a NULL ratio.
+    The token array is let-bound (``_bind``) so the gram build is
+    O(words), not O(words²) — see ``_bind``."""
+    grams = _bind(
+        F.split("text", " "),
+        lambda toks: F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     n_tri = F.size(grams).cast("long")
     n_dis = F.size(F.array_distinct(grams)).cast("long")
     return [
@@ -294,14 +313,22 @@ def tile_dedup_cols() -> list[Column]:
     ``array_distinct`` preserves first-occurrence order, so the rewrite
     is deterministic. Like the rest of the quality stack this is pure
     array HOFs — map-only, shuffle-free at any corpus size (the
-    repetition panel SCORES duplication; this one REMOVES it)."""
-    toks = F.split("text", " ")
-    tiles = F.transform(
-        # `div` (not /): Column `/` promotes to DOUBLE and sequence()
-        # rejects a fractional bound.
-        F.expr(f"sequence(0, (size(split(text, ' ')) - 1) div {TILE_WORDS})"),
-        lambda j: F.array_join(
-            F.slice(toks, j * TILE_WORDS + 1, TILE_WORDS), " "
+    repetition panel SCORES duplication; this one REMOVES it). The
+    token array is let-bound (``_bind``) so the tiling is O(words),
+    not O(words²/TILE_WORDS)."""
+    tiles = _bind(
+        F.split("text", " "),
+        lambda toks: F.transform(
+            # floor() of the double division == integer `div` here
+            # (sizes are non-negative); sequence() wants an integral
+            # bound, hence the int cast.
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size(toks) - 1) / F.lit(TILE_WORDS)).cast("int"),
+            ),
+            lambda j: F.array_join(
+                F.slice(toks, j * TILE_WORDS + 1, TILE_WORDS), " "
+            ),
         ),
     )
     kept = F.array_distinct(tiles)
