@@ -209,7 +209,14 @@ def _auto_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     assigned = _nearest_cell(
         corpus, centroids, keep=1, coarse=F.col("_coarse")
     )
-    return assigned, centroids.drop("_coarse")
+    # _coarse stays ON the centroid table: the two-level routing is
+    # part of the quantizer, and the quantizer must be ONE function —
+    # appends and small-nprobe query probes route through it
+    # SYMMETRICALLY (the FAISS approximate-quantizer discipline), so a
+    # vector and its near-copy land/probe the same cells. Measured
+    # before symmetry (r8): flat probes against the routed assignment
+    # lost 15% planted rank-1 recall at nprobe=4/K=200.
+    return assigned, centroids
 
 
 def _encode_assigned(
@@ -304,10 +311,15 @@ def append_to_ivf_index(new_vectors: DataFrame, index_dir: str) -> None:
     sidecar), encode them against the STORED frozen codebook — one
     map-only broadcast pass over the BATCH, then append: only the
     landed-in cells gain files; the stored corpus is never read, never
-    rewritten, nothing retrains."""
+    rewritten, nothing retrains. A routed index (``_coarse`` on the
+    sidecar) assigns the batch through the SAME two-level quantizer
+    the base corpus used — one quantizer function across base,
+    appends, and probes (r8)."""
     spark = new_vectors.sparkSession
     centroids = spark.read.parquet(f"{index_dir}/centroids")
-    assigned = _nearest_cell(_with_n2(new_vectors), centroids, keep=1)
+    assigned = _nearest_cell(
+        _with_n2(new_vectors), centroids, keep=1, coarse=_routing(centroids)
+    )
     if _is_pq_index(index_dir):
         packed = spark.read.parquet(f"{index_dir}/codebook")
         rows = _encode_assigned(assigned, packed)
@@ -318,10 +330,39 @@ def append_to_ivf_index(new_vectors: DataFrame, index_dir: str) -> None:
     )
 
 
+def _routing(centroids: DataFrame, nprobe: int | None = None):
+    """The stored quantizer's routing column, or None for flat. A
+    routed index carries ``_coarse`` on its centroid sidecar
+    (``_auto_index``); reading the scalar is index-OPEN metadata (one
+    value off a K-row sidecar, the moral equivalent of a parquet
+    footer read), not a per-row driver action. Probes route only when
+    ``nprobe`` fits inside one routed group's scored set (nprobe ≤
+    coarse ≈ √K): past that the routed candidate set itself is the
+    recall bound, and wide probes — including the nprobe=K exactness
+    degenerate — must scan cells flat."""
+    if "_coarse" not in centroids.columns:
+        return None
+    coarse_val = centroids.select("_coarse").first()[0]
+    if nprobe is not None and nprobe > coarse_val:
+        return None
+    return F.col("_coarse")
+
+
 def _probes(
     queries: DataFrame, centroids: DataFrame, nprobe: int
 ) -> DataFrame:
-    return _nearest_cell(_with_n2(queries), centroids, keep=nprobe).select(
+    """Query→cell routing. SYMMETRIC with the stored assignment
+    (ADVICE-class r8 finding): when the index was built with two-level
+    routed assignment, small-nprobe probes route through the SAME
+    quantizer function, so a query lands exactly where its
+    scale-invariant near-copy was assigned — flat probes against a
+    routed assignment measured 15% planted rank-1 recall loss at
+    nprobe=4/K=200 (BASELINE.md round-8). Wide probes (nprobe >
+    coarse) fall back to flat so full probe stays exact."""
+    coarse = _routing(centroids, nprobe)
+    return _nearest_cell(
+        _with_n2(queries), centroids, keep=nprobe, coarse=coarse
+    ).select(
         F.col("id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("n2").alias("q_n2"),

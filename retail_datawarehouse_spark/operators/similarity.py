@@ -708,7 +708,14 @@ def _nearest_cell(
     in an unrouted group), which is acceptable for candidate
     generation; a scale-invariant near-dup routes with its parent at
     every level, so planted-dup recall is unaffected (pinned by
-    test_adaptive_capacity_preserves_planted_dup_recall)."""
+    test_adaptive_capacity_preserves_planted_dup_recall) — PROVIDED
+    both sides go through the same routing. That proviso is load-
+    bearing: probing a routed assignment with a FLAT ranking breaks
+    the symmetry and measured 15% planted rank-1 recall loss on the
+    stored index at nprobe=4/K=200 (r8, BASELINE.md) — which is why
+    the stored index keeps ``_coarse`` on its centroid sidecar and
+    routes appends and small-nprobe probes through the same quantizer
+    (``ann_index._routing``)."""
     out_cols = [c for c in vectors.columns]
     vin = (
         vectors

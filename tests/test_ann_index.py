@@ -113,6 +113,66 @@ def test_auto_cells_follow_sqrt_rule_and_full_probe_is_exact(
     assert _rows(got) == _rows(_brute_force(corpus, queries))
 
 
+def test_routed_probe_symmetry_restores_planted_rank1_recall(
+    spark, sf_correctness_dir, tmp_path
+):
+    """r8 (closing the r7 verdict-#5 measurement): the auto build's
+    two-level ROUTED assignment must be probed through the SAME
+    quantizer. A scale-invariant copy (0.5× a corpus vector — cosine
+    exactly 1) has the identical cosine preference order as its
+    parent, so under symmetric routing the parent's assigned cell IS
+    the copy's top-1 probe — rank-1 self-retrieval at nprobe=1 must be
+    PERFECT on every planted probe. Probing the same routed assignment
+    with a flat ranking breaks this (measured 0.85 at 20×/K=200 before
+    the fix). Also pins that the centroid sidecar actually carries the
+    routing (``_coarse``) and that appends route through it too (an
+    appended copy is retrievable exactly like a base one)."""
+    from pyspark.sql import functions as F
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        append_to_ivf_index,
+    )
+
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivf_auto_sym")
+    store_ivf_index(corpus, idx)
+    cents = spark.read.parquet(f"{idx}/centroids")
+    assert "_coarse" in cents.columns  # the quantizer ships its routing
+    parents = corpus.filter(F.col("id") % 7 == 0)
+    n_planted = parents.count()
+    assert n_planted >= 10
+    probes = parents.select(
+        "id", F.transform("emb", lambda x: x * F.lit(0.5)).alias("emb")
+    )
+    got = query_ivf_index(probes, idx, nprobe=1)
+    hits = got.filter(
+        (F.col("rank") == 1) & (F.col("candidate_id") == F.col("query_id"))
+    ).count()
+    assert hits == n_planted, (hits, n_planted)
+    # appended vectors go through the same routed quantizer: a copy of
+    # an APPENDED vector is retrievable at rank 1 the same way
+    appended = parents.select(
+        (F.col("id") + 10_000_000).alias("id"),
+        F.transform("emb", lambda x: x * F.lit(2.0)).alias("emb"),
+    )
+    append_to_ivf_index(appended, idx)
+    probe2 = appended.select(
+        "id", F.transform("emb", lambda x: x * F.lit(0.25)).alias("emb")
+    )
+    got2 = query_ivf_index(probe2, idx, nprobe=1)
+    # rank-1 may be the appended vector OR its equally-directed base
+    # parent (cosine 1 with both); accept either id of the colinear
+    # pair — what must NOT happen is a miss into an unrouted cell
+    hits2 = got2.filter(
+        (F.col("rank") == 1)
+        & (
+            (F.col("candidate_id") == F.col("query_id"))
+            | (F.col("candidate_id") == F.col("query_id") - 10_000_000)
+        )
+    ).count()
+    assert hits2 == n_planted, (hits2, n_planted)
+
+
 def test_probe_prunes_unprobed_cells_in_plan(
     spark, sf_correctness_dir, tmp_path
 ):
@@ -188,6 +248,10 @@ def test_append_touches_only_landed_cells(
         for d in glob.glob(f"{idx}/cells/cell=*")
     }
     centroids = spark.read.parquet(f"{idx}/centroids")
+    from retail_datawarehouse_spark.operators.ann_index import _routing
+
+    # the expected landing set must come from the SAME quantizer the
+    # append uses — the auto index routes (r8 symmetric routing)
     landed = {
         r.cell
         for r in _nearest_cell(
@@ -199,6 +263,7 @@ def test_append_touches_only_landed_cells(
             ),
             centroids,
             keep=1,
+            coarse=_routing(centroids),
         ).collect()
     }
     grown = {
