@@ -314,8 +314,25 @@ def append_to_ivf_index(new_vectors: DataFrame, index_dir: str) -> None:
     rewritten, nothing retrains. A routed index (``_coarse`` on the
     sidecar) assigns the batch through the SAME two-level quantizer
     the base corpus used — one quantizer function across base,
-    appends, and probes (r8)."""
+    appends, and probes (r8).
+
+    The index has ONE vector dtype (the FAISS contract): the batch's
+    ``emb`` is cast to the STORED table's element type before
+    anything touches it. Without this, a batch whose arithmetic
+    promoted float→double would WRITE the wider type into the
+    cell-partitioned table and every later read of a touched cell
+    fails with a parquet column-type mismatch — an append must never
+    be able to corrupt the table it extends (found by the r8 symmetry
+    test: a ×2.0-scaled float batch arrives as array<double>)."""
     spark = new_vectors.sparkSession
+    stored_emb_type = spark.read.parquet(f"{index_dir}/cells").schema[
+        "emb"
+    ].dataType
+    # (id, emb) only, emb in the stored type — any caller-supplied n2
+    # is dropped so the norm refolds on the exact stored values
+    new_vectors = new_vectors.select(
+        "id", F.col("emb").cast(stored_emb_type).alias("emb")
+    )
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     assigned = _nearest_cell(
         _with_n2(new_vectors), centroids, keep=1, coarse=_routing(centroids)
