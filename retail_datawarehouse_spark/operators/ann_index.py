@@ -30,6 +30,17 @@ oracle-mirrored 16-cell builder (byte-compatible with the in-memory
 ``ivf_topk`` twin — requires the suite fixture's contiguous id layout,
 which is why it is no longer the default; ADVICE r6).
 
+Index MAINTENANCE (r8): every append leaves ≥1 file per landed cell,
+so a long-lived serving index accretes small files — probe cost at
+fixed nprobe grows with per-cell file count, not data.
+``ivf_index_stats`` reads the health panel (per-cell occupancy + file
+count — occupancy skew is the quantizer-staleness signal the drift
+monitor can't see) and ``compact_ivf_index`` rewrites the table at one
+file per cell, committed by the CDC one-pointer-swap protocol so a
+crash mid-compaction leaves the old generation serving. All reads and
+appends resolve the pointer (``_cells_path``), so serving, appending,
+and compaction compose in any order.
+
 Incremental add is the FAISS `add`-after-`train` discipline: arriving
 vectors are assigned against the STORED (frozen) centroids — and, for
 a PQ index, encoded against the STORED (frozen) codebook — a map-only
@@ -132,8 +143,9 @@ def _auto_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     flat k-fold assignment is the build's dominant N·√N term (measured
     here before routing: 150 s to store 40k vectors at k=200); routing
     folds ~√k + k/√k per row instead. Routing is approximate at group
-    boundaries — a recall trade documented for candidate generation;
-    QUERY probes stay flat-exact over the k-row centroid table, and
+    boundaries, and the approximation is only sound when applied
+    SYMMETRICALLY (r8): appends and small-nprobe probes go through the
+    same routing (``_routing``), wide probes fall back flat, and
     full-probe exactness is unaffected (cells stay a disjoint cover,
     whatever cell a vector landed in)."""
     from pyspark.sql import Window
@@ -305,6 +317,91 @@ def _is_pq_index(index_dir: str) -> bool:
     return os.path.isdir(f"{index_dir}/codebook")
 
 
+def _cells_generation(index_dir: str) -> int:
+    """Committed cells-table generation. 0 = the original
+    ``cells`` directory from ``store_ivf_index``; N>0 = the compacted
+    ``cells-gen-N`` (the CDC one-pointer-swap protocol — see
+    ``compact_ivf_index``)."""
+    try:
+        with open(f"{index_dir}/CURRENT", "r", encoding="ascii") as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def _cells_path(index_dir: str) -> str:
+    gen = _cells_generation(index_dir)
+    return (
+        f"{index_dir}/cells" if gen == 0 else f"{index_dir}/cells-gen-{gen}"
+    )
+
+
+def ivf_index_stats(spark, index_dir: str) -> DataFrame:
+    """Serving-health panel: one row per cell — (cell, n_rows,
+    n_files). Occupancy skew is the quantizer-staleness signal the
+    drift monitor can't see (a distribution can drift WITHIN the same
+    TVD bins yet pile into few cells, turning nprobe pruning into a
+    near-full scan), and n_files is the small-files signal incremental
+    appends accrue (every append writes ≥1 file per landed cell — a
+    long-lived index degrades until compaction). Both derive from ONE
+    scan that decodes ZERO data columns: ``cell`` is the partition
+    column and the file name is split metadata
+    (``F.input_file_name``), so the pass reads footers + row
+    iteration, never vectors or codes. The file name is projected
+    BELOW the aggregate: Spark (correctly) rejects a non-deterministic
+    expression as an aggregate argument, but a Project may hold one —
+    and per-row it IS well-defined (the split the row came from)."""
+    cells = spark.read.parquet(_cells_path(index_dir)).select(
+        "cell", F.input_file_name().alias("_file")
+    )
+    return cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_file").alias("n_files"),
+    )
+
+
+def compact_ivf_index(spark, index_dir: str) -> None:
+    """Rewrite the cell-partitioned table at ONE file per cell and
+    commit it with a single atomic pointer rename — the serving-tier
+    twin of the warehouse compaction (S4) and the standard maintenance
+    op every appendable index needs (Delta OPTIMIZE / Lucene segment
+    merge / FAISS index merging): incremental adds leave one file per
+    (append, landed cell), and probe cost at fixed nprobe grows with
+    per-cell file count (open/footer/seek per file), not data.
+
+    Crash-safe by the CDC generation protocol (``streaming/cdc.py``):
+    the compacted table is FULLY written to ``cells-gen-{N}`` first,
+    then ``CURRENT`` flips to N via one POSIX ``os.rename`` — a crash
+    anywhere before the flip leaves the old generation serving,
+    intact. The previous generation's directory is left on disk for
+    in-flight readers (object-store reality: deleting under a reader
+    breaks it); reap it out-of-band once no reader can hold it.
+
+    Values are untouched by construction: the rewrite is
+    read → repartition("cell") → write of the SAME rows; one shuffle
+    by the partition key, each cell lands wholly in one task, one
+    file per cell directory. Sidecars (centroids/codebook) are index
+    METADATA and never move. Appends and queries resolve the pointer,
+    so they compose with compaction in any order."""
+    gen = _cells_generation(index_dir) + 1
+    src = _cells_path(index_dir)
+    dst = f"{index_dir}/cells-gen-{gen}"
+    spark.catalog.refreshByPath(src)
+    (
+        spark.read.parquet(src)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(dst)
+    )
+    tmp = f"{index_dir}/CURRENT.tmp-{gen}"
+    with open(tmp, "w", encoding="ascii") as f:
+        f.write(str(gen))
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, f"{index_dir}/CURRENT")
+
+
 def append_to_ivf_index(new_vectors: DataFrame, index_dir: str) -> None:
     """Assign arriving (id, emb) vectors against the STORED frozen
     centroids — and, for a PQ index (auto-detected from the codebook
@@ -325,7 +422,7 @@ def append_to_ivf_index(new_vectors: DataFrame, index_dir: str) -> None:
     be able to corrupt the table it extends (found by the r8 symmetry
     test: a ×2.0-scaled float batch arrives as array<double>)."""
     spark = new_vectors.sparkSession
-    stored_emb_type = spark.read.parquet(f"{index_dir}/cells").schema[
+    stored_emb_type = spark.read.parquet(_cells_path(index_dir)).schema[
         "emb"
     ].dataType
     # (id, emb) only, emb in the stored type — any caller-supplied n2
@@ -343,7 +440,7 @@ def append_to_ivf_index(new_vectors: DataFrame, index_dir: str) -> None:
     else:
         rows = assigned.select("id", "emb", "n2", "cell")
     rows.write.mode("append").partitionBy("cell").parquet(
-        f"{index_dir}/cells"
+        _cells_path(index_dir)
     )
 
 
@@ -437,7 +534,7 @@ def query_ivf_index(
         centroids = spark.read.parquet(f"{index_dir}/centroids")
     probes = _probes(queries, centroids, nprobe)
     if not pq:
-        stored = spark.read.parquet(f"{index_dir}/cells").select(
+        stored = spark.read.parquet(_cells_path(index_dir)).select(
             F.col("id").alias("candidate_id"),
             F.col("emb").alias("c_emb"),
             F.col("n2").alias("c_n2"),
@@ -456,7 +553,7 @@ def query_ivf_index(
         if codebook is None
         else codebook
     )
-    stored = spark.read.parquet(f"{index_dir}/cells").select(
+    stored = spark.read.parquet(_cells_path(index_dir)).select(
         F.col("id").alias("candidate_id"), "codes", "recon_n2", "cell"
     )
     scored = (
@@ -484,7 +581,7 @@ def query_ivf_index(
         .filter(F.col("_r") <= rerank)
         .select("query_id", "q_emb", "q_n2", "candidate_id", "cell")
     )
-    floats = spark.read.parquet(f"{index_dir}/cells").select(
+    floats = spark.read.parquet(_cells_path(index_dir)).select(
         F.col("id").alias("candidate_id"),
         F.col("emb").alias("c_emb"),
         F.col("n2").alias("c_n2"),
