@@ -203,6 +203,54 @@ def test_replay_after_index_append_is_consistent_not_mixed(
     assert by_rank[1].candidate_id == probe_id
 
 
+def test_compaction_between_waves_serves_next_wave_from_new_generation(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Maintenance composes with serving (r8): a compaction landing
+    BETWEEN waves is picked up by the next wave without restart — the
+    per-batch query path resolves the generation pointer at execution,
+    exactly like appends. Wave 0 serves gen-0; then compact + append;
+    wave 1 must serve the compacted gen-1 INCLUDING the post-compaction
+    append, row-for-row equal to the batch query at HEAD."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _cells_generation,
+        compact_ivf_index,
+    )
+
+    root = str(tmp_path)
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    holdout = corpus.filter(F.col("id") % 13 == 0)
+    base = corpus.filter(F.col("id") % 13 != 0)
+    idx, landing = f"{root}/idx", f"{root}/landing"
+    results, ckpt = f"{root}/results", f"{root}/ckpt"
+    store_ivf_index(base, idx, cells=IVF_CELLS)
+    append_to_ivf_index(holdout.limit(3), idx)  # accrete some files
+    q = queries.limit(4)
+    _land_wave(spark, root, landing, 0, q)
+    run_ann_serve_available_now(
+        spark, landing, idx, results, nprobe=IVF_NPROBE, checkpoint_dir=ckpt
+    )
+    wave0 = read_ann_results(spark, results).filter(F.col("wave") == 0)
+    compact_ivf_index(spark, idx)
+    assert _cells_generation(idx) == 1
+    probe = holdout.filter(~F.col("id").isin(
+        [r.id for r in holdout.limit(3).collect()]
+    )).limit(1)
+    append_to_ivf_index(probe, idx)  # lands in gen-1
+    _land_wave(spark, root, landing, 1, q)
+    run_ann_serve_available_now(
+        spark, landing, idx, results, nprobe=IVF_NPROBE, checkpoint_dir=ckpt
+    )
+    got = read_ann_results(spark, results)
+    wave1 = got.filter(F.col("wave") == 1)
+    batch = query_ivf_index(q, idx, nprobe=IVF_NPROBE)
+    assert _rows(wave1.drop("wave")) == _rows(batch)
+    # wave 0's stored rows are untouched by the compaction
+    assert _rows(got.filter(F.col("wave") == 0).drop("wave")) == _rows(
+        wave0.drop("wave")
+    )
+
+
 def test_multi_wave_query_file_fails_loudly(
     spark, sf_correctness_dir, tmp_path
 ):
