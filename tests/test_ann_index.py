@@ -417,6 +417,43 @@ def test_compaction_collapses_append_files_and_preserves_serving(
     )
 
 
+def test_compaction_preserves_pq_layout_and_rerank(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Compaction on the IVF×PQ layout: the rewrite carries the codes
+    and recon_n2 columns byte-for-byte, the codebook sidecar never
+    moves, and both serving tiers — ADC-only and the rerank float
+    re-read (which joins the shortlist against the CELLS table, i.e.
+    the compacted generation) — return identical rows pre/post."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        ivf_index_stats,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    halves = [corpus.filter(F.col("id") % 2 == r) for r in range(2)]
+    idx = str(tmp_path / "ivf_pq_compact")
+    store_ivf_index(halves[0], idx, cells=IVF_CELLS, pq=True)
+    append_to_ivf_index(halves[1], idx)
+    before_adc = _rows(
+        query_ivf_index(queries, idx, nprobe=IVF_NPROBE, pq=True)
+    )
+    before_rr = _rows(
+        query_ivf_index(queries, idx, nprobe=IVF_NPROBE, pq=True, rerank=16)
+    )
+    compact_ivf_index(spark, idx)
+    assert all(
+        r.n_files == 1 for r in ivf_index_stats(spark, idx).collect()
+    )
+    assert _rows(
+        query_ivf_index(queries, idx, nprobe=IVF_NPROBE, pq=True)
+    ) == before_adc
+    assert _rows(
+        query_ivf_index(queries, idx, nprobe=IVF_NPROBE, pq=True, rerank=16)
+    ) == before_rr
+
+
 def test_compaction_crash_before_pointer_flip_leaves_old_serving(
     spark, sf_correctness_dir, tmp_path, monkeypatch
 ):
