@@ -1,8 +1,18 @@
 """Stored IVF / IVF×PQ index serving + incremental maintenance — the
 missing half of ANN at 100 TB: ``q_ann_topk_suite`` proves the SEARCH
 math; this module proves the index can live on disk as a table, answer
-queries without ever being rebuilt, and absorb arriving vectors
-without ever being rewritten.
+queries without ever being rebuilt, absorb arriving vectors without
+rewriting the corpus, and be compacted in place behind an atomic
+pointer while it serves.
+
+The quantizer is ONE function (r8): the auto build's two-level routed
+assignment ships its ``_coarse`` config on the centroid sidecar, and
+appends + small-nprobe probes route through it SYMMETRICALLY — the
+FAISS approximate-quantizer discipline. Probing a routed assignment
+flat measured 15% planted rank-1 recall loss at nprobe=4/K=200
+(BASELINE.md round-8); under symmetry a scale-invariant near-copy's
+top-1 probe is exactly its parent's assigned cell. Wide probes
+(nprobe > coarse) fall back flat, so nprobe=K stays exact.
 
 Layout decision: the inverted file IS a partitioning key. The assigned
 corpus is written ``partitionBy("cell")``, so a probe at nprobe cells
