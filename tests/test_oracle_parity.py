@@ -101,22 +101,38 @@ def test_oracle_parity(name, spark, sf_correctness_dir, con):
     assert res.spark_rows > 0, f"{name}: empty result — not exercising anything"
 
 
-def test_wall_budget(request):
+def test_wall_budget(request, spark, sf_correctness_dir):
     """Runtime-creep canary (runs after the parametrized sweep above):
     every entry measured in this session must come in under its recorded
     ceiling. Entries not measured (partial -k run) are skipped, so this
-    only bites when the sweep actually ran."""
+    only bites when the sweep actually ran.
+
+    A breaching entry is RE-MEASURED once before failing (the r4 bench
+    lesson applied here: a single rep inherits whatever scheduler
+    jitter lands on it — observed r8: q_etl_stages_suite, untouched
+    code, measured-baseline 0.94 s, read 20.2 s inside a full-suite
+    run and 2 s alone moments later). A real regression breaches
+    twice; a one-off spike doesn't survive the retry."""
     if not _wall_seen:
         pytest.skip("no parity entries ran in this session")
     assert set(WALL_BUDGET_S) == set(_oracle_names()), (
         "catalog changed — re-record WALL_BUDGET_S deliberately"
     )
-    over = {
-        n: (round(t, 2), WALL_BUDGET_S[n])
-        for n, t in _wall_seen.items()
-        if t > WALL_BUDGET_S[n]
-    }
-    assert not over, f"wall budget exceeded (got, ceiling s): {over}"
+    import time
+
+    over = {}
+    for n, t in _wall_seen.items():
+        if t <= WALL_BUDGET_S[n]:
+            continue
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        catalog()[n].builder(spark, sf_correctness_dir).toPandas()
+        retry = time.perf_counter() - t0
+        if retry > WALL_BUDGET_S[n]:
+            over[n] = (round(t, 2), round(retry, 2), WALL_BUDGET_S[n])
+    assert not over, (
+        f"wall budget exceeded TWICE (first, retry, ceiling s): {over}"
+    )
 
 
 def test_catalog_fits_driver_window():
