@@ -40,16 +40,33 @@ oracle-mirrored 16-cell builder (byte-compatible with the in-memory
 ``ivf_topk`` twin — requires the suite fixture's contiguous id layout,
 which is why it is no longer the default; ADVICE r6).
 
-Index MAINTENANCE (r8): every append leaves ≥1 file per landed cell,
-so a long-lived serving index accretes small files — probe cost at
-fixed nprobe grows with per-cell file count, not data.
-``ivf_index_stats`` reads the health panel (per-cell occupancy + file
-count — occupancy skew is the quantizer-staleness signal the drift
-monitor can't see) and ``compact_ivf_index`` rewrites the table at one
-file per cell, committed by the CDC one-pointer-swap protocol so a
-crash mid-compaction leaves the old generation serving. All reads and
-appends resolve the pointer (``_cells_path``), so serving, appending,
-and compaction compose in any order.
+Index MAINTENANCE (r8, generation-unified r9): every append leaves ≥1
+file per landed cell, so a long-lived serving index accretes small
+files — probe cost at fixed nprobe grows with per-cell file count, not
+data. ``ivf_index_stats`` reads the health panel (per-cell occupancy +
+file count — occupancy skew is the quantizer-staleness signal the
+drift monitor can't see) and ``compact_ivf_index`` rewrites the table
+at one file per cell. A GENERATION is the whole index (r9, closing the
+r8 verdict's rebuild-atomicity gap): cells + centroid sidecar +
+codebook sidecar live under one generation root and ONE ``CURRENT``
+pointer covers all three, so a reader can never pair one generation's
+cells with another's quantizer. ``store_ivf_index`` over an existing
+index is therefore an ATOMIC REBUILD — the drift-triggered retrain
+writes the next generation in full and flips the pointer; a crash
+anywhere before the flip leaves the old index serving, and a live
+drain picks up the new generation at its next wave boundary
+(``open_ivf_index``/``IvfIndexHandle.refresh``).
+
+Writer concurrency (r8 verdict "what's wrong" #1): maintenance ops
+hold a POSIX ``O_EXCL`` lock file for their commit window, and the
+compactor/rebuilder re-lists the superseded generation's cell files
+UNDER the lock before flipping — an append that landed after the
+snapshot read is folded forward into the new generation instead of
+being stranded. Appends hold the same lock across their write, so the
+fold-or-flip decision is race-free on a POSIX filesystem (appends
+serialize with each other — the honest cost; multi-writer appends on
+an object store need a table format or an external coordinator, which
+is exactly what Delta/Iceberg are for, and is out of scope here).
 
 Incremental add is the FAISS `add`-after-`train` discipline: arriving
 vectors are assigned against the STORED (frozen) centroids — and, for
@@ -68,9 +85,14 @@ over the grown corpus.
 
 from __future__ import annotations
 
+import glob
 import os
+import time
+import weakref
+from contextlib import contextmanager
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from retail_datawarehouse_spark.operators.similarity import (
@@ -300,7 +322,52 @@ def store_ivf_index(
     persists it as a sidecar, and encodes every vector in the SAME
     map-side pass as cell assignment, adding codes + recon_n2 columns
     to the cell-partitioned table (column pruning makes the ADC scan
-    read codes, never floats)."""
+    read codes, never floats).
+
+    Storing over an EXISTING index is the ATOMIC REBUILD (r9; closes
+    the ADVICE-r8 stale-pointer bug where a rebuild into a compacted
+    dir overwrote sidecars in place while reads kept resolving the old
+    cells generation): the whole new index — cells, centroids,
+    codebook — is written to the NEXT generation directory and
+    committed with the one-pointer flip; a crash before the flip
+    leaves the previous generation serving, intact, and appends that
+    landed in the superseded generation during the build are folded
+    forward (re-assigned against the NEW quantizer) before the flip."""
+    existing = os.path.isdir(
+        f"{_gen_root(index_dir, _cells_generation(index_dir))}/centroids"
+    )
+    if not existing:
+        _write_index(corpus, index_dir, cells, pq)
+        return
+    src_gen = _cells_generation(index_dir)
+    src_cells = f"{_gen_root(index_dir, src_gen)}/cells"
+    snapshot = _list_cell_files(src_cells)
+    gen = src_gen + 1
+    root = f"{index_dir}/gen-{gen}"
+    _write_index(corpus, root, cells, pq)
+    spark = corpus.sparkSession
+    with _maintenance_lock(index_dir):
+        late = sorted(_list_cell_files(src_cells) - snapshot)
+        if late:
+            # Appends that raced the rebuild: their (id, emb) rows are
+            # re-assigned/re-encoded against the NEW generation's
+            # quantizer — copying rows wholesale would pair old cell
+            # ids with new centroids.
+            rows = (
+                spark.read.option("basePath", src_cells)
+                .parquet(*late)
+                .select("id", "emb")
+            )
+            _append_rows(rows, root)
+        _commit_generation(index_dir, gen)
+
+
+def _write_index(
+    corpus: DataFrame, root: str, cells: int | str, pq: bool
+) -> None:
+    """One full index generation under ``root``: the cell-partitioned
+    table plus the centroid (and, with ``pq``, codebook) sidecars —
+    the build body shared by the fresh store and the rebuild path."""
     withn2 = _with_n2(corpus)
     if cells == "fixture":
         assigned, centroids = _ivf_index_over(withn2)
@@ -313,25 +380,19 @@ def store_ivf_index(
             F.col("id").alias("candidate_id"), F.col("emb").alias("c_emb")
         )
         packed = _pq_codebook(as_cand, train=_pq_train_sample(as_cand))
-        packed.write.mode("overwrite").parquet(f"{index_dir}/codebook")
+        packed.write.mode("overwrite").parquet(f"{root}/codebook")
         rows = _encode_assigned(assigned, packed)
     else:
         rows = assigned.select("id", "emb", "n2", "cell")
-    rows.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{index_dir}/cells"
-    )
-    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
-
-
-def _is_pq_index(index_dir: str) -> bool:
-    return os.path.isdir(f"{index_dir}/codebook")
+    rows.write.mode("overwrite").partitionBy("cell").parquet(f"{root}/cells")
+    centroids.write.mode("overwrite").parquet(f"{root}/centroids")
 
 
 def _cells_generation(index_dir: str) -> int:
-    """Committed cells-table generation. 0 = the original
-    ``cells`` directory from ``store_ivf_index``; N>0 = the compacted
-    ``cells-gen-N`` (the CDC one-pointer-swap protocol — see
-    ``compact_ivf_index``)."""
+    """Committed index generation. 0 = the original flat layout from a
+    fresh ``store_ivf_index`` (``{index_dir}/{cells,centroids,
+    codebook}``); N>0 = ``{index_dir}/gen-N/...`` written by a
+    compaction or rebuild (the CDC one-pointer-swap protocol)."""
     try:
         with open(f"{index_dir}/CURRENT", "r", encoding="ascii") as f:
             return int(f.read().strip())
@@ -339,11 +400,64 @@ def _cells_generation(index_dir: str) -> int:
         return 0
 
 
+def _gen_root(index_dir: str, gen: int) -> str:
+    return index_dir if gen == 0 else f"{index_dir}/gen-{gen}"
+
+
 def _cells_path(index_dir: str) -> str:
-    gen = _cells_generation(index_dir)
-    return (
-        f"{index_dir}/cells" if gen == 0 else f"{index_dir}/cells-gen-{gen}"
+    return f"{_gen_root(index_dir, _cells_generation(index_dir))}/cells"
+
+
+def _is_pq_index(index_dir: str) -> bool:
+    return os.path.isdir(
+        f"{_gen_root(index_dir, _cells_generation(index_dir))}/codebook"
     )
+
+
+def _list_cell_files(cells_dir: str) -> set[str]:
+    return set(glob.glob(f"{cells_dir}/cell=*/*.parquet"))
+
+
+@contextmanager
+def _maintenance_lock(index_dir: str, timeout: float = 120.0):
+    """POSIX ``O_EXCL`` mutual exclusion between index writers: an
+    append holds it across its write; compaction/rebuild hold it only
+    for the commit window (late-file fold + pointer flip) so the bulk
+    rewrite never blocks appends. Local-filesystem semantics only — an
+    object-store deployment gets no atomic create-exclusive and needs
+    a table format or external coordinator instead (module
+    docstring)."""
+    path = f"{index_dir}/MAINTENANCE.lock"
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not acquire {path} within {timeout}s — a "
+                    "crashed maintainer may have leaked it; remove the "
+                    "file once no writer is live"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        os.close(fd)
+        os.unlink(path)
+
+
+def _commit_generation(index_dir: str, gen: int) -> None:
+    """The one atomic commit: fsync a tmp pointer file, POSIX-rename
+    it over ``CURRENT``. Everything before this is invisible to
+    readers; a crash before it leaves the old generation serving."""
+    tmp = f"{index_dir}/CURRENT.tmp-{gen}"
+    with open(tmp, "w", encoding="ascii") as f:
+        f.write(str(gen))
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, f"{index_dir}/CURRENT")
 
 
 def ivf_index_stats(spark, index_dir: str) -> DataFrame:
@@ -370,7 +484,7 @@ def ivf_index_stats(spark, index_dir: str) -> DataFrame:
     )
 
 
-def compact_ivf_index(spark, index_dir: str) -> None:
+def compact_ivf_index(spark, index_dir: str, _before_commit=None) -> None:
     """Rewrite the cell-partitioned table at ONE file per cell and
     commit it with a single atomic pointer rename — the serving-tier
     twin of the warehouse compaction (S4) and the standard maintenance
@@ -380,36 +494,70 @@ def compact_ivf_index(spark, index_dir: str) -> None:
     per-cell file count (open/footer/seek per file), not data.
 
     Crash-safe by the CDC generation protocol (``streaming/cdc.py``):
-    the compacted table is FULLY written to ``cells-gen-{N}`` first,
-    then ``CURRENT`` flips to N via one POSIX ``os.rename`` — a crash
-    anywhere before the flip leaves the old generation serving,
-    intact. The previous generation's directory is left on disk for
-    in-flight readers (object-store reality: deleting under a reader
-    breaks it); reap it out-of-band once no reader can hold it.
+    the new generation — compacted cells AND the (tiny, K-row)
+    sidecars, so one pointer covers the WHOLE index (r9) — is fully
+    written first, then ``CURRENT`` flips via one POSIX ``os.rename``;
+    a crash anywhere before the flip leaves the old generation
+    serving, intact. The previous generation's directory is left on
+    disk for in-flight readers (object-store reality: deleting under a
+    reader breaks it); reap it out-of-band once no reader can hold it.
+
+    Race-safe against appends (r8 verdict "what's wrong" #1 — the old
+    protocol snapshot-read then flipped, silently stranding an append
+    that landed in between): the commit window holds the maintenance
+    lock and RE-LISTS the source generation's cell files; any file not
+    in the pre-rewrite snapshot is folded forward into the new
+    generation before the flip. Appends hold the same lock across
+    their write, so a fold-or-flip decision can never miss a write in
+    flight. Late-folded cells briefly hold >1 file — compaction's
+    one-file-per-cell result is best-effort under concurrency, its
+    no-row-loss commit is not.
 
     Values are untouched by construction: the rewrite is
     read → repartition("cell") → write of the SAME rows; one shuffle
-    by the partition key, each cell lands wholly in one task, one
-    file per cell directory. Sidecars (centroids/codebook) are index
-    METADATA and never move. Appends and queries resolve the pointer,
-    so they compose with compaction in any order."""
-    gen = _cells_generation(index_dir) + 1
-    src = _cells_path(index_dir)
-    dst = f"{index_dir}/cells-gen-{gen}"
-    spark.catalog.refreshByPath(src)
+    by the partition key, each cell lands wholly in one task, one file
+    per cell directory. ``_before_commit`` is a test seam (invoked
+    after the bulk rewrite, before the locked commit window) used to
+    interleave an append at the exact race point."""
+    src_gen = _cells_generation(index_dir)
+    src_root = _gen_root(index_dir, src_gen)
+    src_cells = f"{src_root}/cells"
+    snapshot = _list_cell_files(src_cells)
+    gen = src_gen + 1
+    dst_root = f"{index_dir}/gen-{gen}"
+    spark.catalog.refreshByPath(src_cells)
     (
-        spark.read.parquet(src)
+        spark.read.parquet(src_cells)
         .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(dst)
+        .parquet(f"{dst_root}/cells")
     )
-    tmp = f"{index_dir}/CURRENT.tmp-{gen}"
-    with open(tmp, "w", encoding="ascii") as f:
-        f.write(str(gen))
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, f"{index_dir}/CURRENT")
+    # Sidecars ride the generation: a parquet roundtrip of the K-row
+    # centroid table (and 1-row codebook) is lossless and negligible
+    # next to the cells rewrite, and it buys the whole-index pointer.
+    spark.read.parquet(f"{src_root}/centroids").write.mode(
+        "overwrite"
+    ).parquet(f"{dst_root}/centroids")
+    if os.path.isdir(f"{src_root}/codebook"):
+        spark.read.parquet(f"{src_root}/codebook").write.mode(
+            "overwrite"
+        ).parquet(f"{dst_root}/codebook")
+    if _before_commit is not None:
+        _before_commit()
+    with _maintenance_lock(index_dir):
+        late = sorted(_list_cell_files(src_cells) - snapshot)
+        if late:
+            # Same quantizer generation -> the rows' cell assignments
+            # and codes are already correct; fold them forward as-is.
+            (
+                spark.read.option("basePath", src_cells)
+                .parquet(*late)
+                .write.mode("append")
+                .partitionBy("cell")
+                .parquet(f"{dst_root}/cells")
+            )
+        _commit_generation(index_dir, gen)
 
 
 def append_to_ivf_index(new_vectors: DataFrame, index_dir: str) -> None:
@@ -423,16 +571,31 @@ def append_to_ivf_index(new_vectors: DataFrame, index_dir: str) -> None:
     the base corpus used — one quantizer function across base,
     appends, and probes (r8).
 
+    The write happens under the maintenance lock (r9): a compaction or
+    rebuild committing concurrently either sees this append's files in
+    its locked re-list (and folds them into the new generation) or
+    waits for the lock — either way the appended rows are served by
+    whatever generation is current after both commit. Appends
+    serialize with each other; see the module docstring for the
+    multi-writer story."""
+    with _maintenance_lock(index_dir):
+        gen = _cells_generation(index_dir)
+        _append_rows(new_vectors, _gen_root(index_dir, gen))
+
+
+def _append_rows(new_vectors: DataFrame, root: str) -> None:
+    """The append body against one resolved generation ``root``.
+
     The index has ONE vector dtype (the FAISS contract): the batch's
-    ``emb`` is cast to the STORED table's element type before
-    anything touches it. Without this, a batch whose arithmetic
-    promoted float→double would WRITE the wider type into the
-    cell-partitioned table and every later read of a touched cell
-    fails with a parquet column-type mismatch — an append must never
-    be able to corrupt the table it extends (found by the r8 symmetry
-    test: a ×2.0-scaled float batch arrives as array<double>)."""
+    ``emb`` is cast to the STORED table's element type before anything
+    touches it. Without this, a batch whose arithmetic promoted
+    float→double would WRITE the wider type into the cell-partitioned
+    table and every later read of a touched cell fails with a parquet
+    column-type mismatch — an append must never be able to corrupt
+    the table it extends (found by the r8 symmetry test: a ×2.0-scaled
+    float batch arrives as array<double>)."""
     spark = new_vectors.sparkSession
-    stored_emb_type = spark.read.parquet(_cells_path(index_dir)).schema[
+    stored_emb_type = spark.read.parquet(f"{root}/cells").schema[
         "emb"
     ].dataType
     # (id, emb) only, emb in the stored type — any caller-supplied n2
@@ -440,18 +603,21 @@ def append_to_ivf_index(new_vectors: DataFrame, index_dir: str) -> None:
     new_vectors = new_vectors.select(
         "id", F.col("emb").cast(stored_emb_type).alias("emb")
     )
-    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    centroids = spark.read.parquet(f"{root}/centroids")
     assigned = _nearest_cell(
         _with_n2(new_vectors), centroids, keep=1, coarse=_routing(centroids)
     )
-    if _is_pq_index(index_dir):
-        packed = spark.read.parquet(f"{index_dir}/codebook")
+    if os.path.isdir(f"{root}/codebook"):
+        packed = spark.read.parquet(f"{root}/codebook")
         rows = _encode_assigned(assigned, packed)
     else:
         rows = assigned.select("id", "emb", "n2", "cell")
-    rows.write.mode("append").partitionBy("cell").parquet(
-        _cells_path(index_dir)
-    )
+    rows.write.mode("append").partitionBy("cell").parquet(f"{root}/cells")
+
+
+_COARSE_MEMO: "weakref.WeakKeyDictionary[DataFrame, int]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _routing(centroids: DataFrame, nprobe: int | None = None):
@@ -465,35 +631,129 @@ def _routing(centroids: DataFrame, nprobe: int | None = None):
     recall bound, and wide probes — including the nprobe=K exactness
     degenerate — must scan cells flat.
 
-    The scalar is memoized on the frame INSTANCE: the streaming drain
-    holds one persisted centroid frame across every wave, so the
-    1-row read runs once per drain, not once per micro-batch (the
-    r7-verdict per-wave-fixed-cost class); the per-call batch path
-    re-reads it, which is the unavoidable open cost of an un-opened
-    index."""
+    Weaker-bound note (ADVICE r8): routed group sizes VARY (each
+    centroid groups under its nearest of ~√K reps), so a routed probe
+    scores min(nprobe, |routed group|) cells — a group smaller than
+    nprobe yields fewer scored cells than the flat-nprobe contract.
+    This is documented rather than gated on the actual minimum group
+    size deliberately: falling back to flat for nprobe in
+    (min_group, coarse] would silently re-open the r8 asymmetry
+    (routed assignment + flat probe lost 15% planted rank-1 recall),
+    trading the contract that matters for near-dup probing (symmetry)
+    for one that doesn't (breadth). A caller who needs the strict
+    breadth contract at small nprobe uses ``route="flat"`` on
+    ``query_ivf_index`` — the broad-retrieval knob (r8 verdict #3).
+
+    The scalar is memoized per centroid-frame OBJECT in a module-level
+    WeakKeyDictionary (r8 verdict #6 — the previous cut mutated an
+    attribute onto the foreign DataFrame instance): the streaming
+    drain's handle holds one persisted centroid frame across every
+    wave, so the 1-row read runs once per drain; the per-call batch
+    path re-reads it, which is the unavoidable open cost of an
+    un-opened index."""
     if "_coarse" not in centroids.columns:
         return None
-    coarse_val = getattr(centroids, "_spark_graft_coarse", None)
+    coarse_val = _COARSE_MEMO.get(centroids)
     if coarse_val is None:
         coarse_val = centroids.select("_coarse").first()[0]
-        centroids._spark_graft_coarse = coarse_val
+        _COARSE_MEMO[centroids] = coarse_val
     if nprobe is not None and nprobe > coarse_val:
         return None
     return F.col("_coarse")
 
 
+@dataclass
+class IvfIndexHandle:
+    """One OPENED index generation: the resolved paths plus the (tiny,
+    persisted when ``persisted``) sidecar frames — everything a serving
+    call needs, all from the SAME generation, so a reader can never
+    pair one generation's cells with another's quantizer (r9 rebuild
+    atomicity). A long-running caller (the streaming ANN drain) opens
+    once and calls ``refresh`` at each wave boundary: the pointer
+    re-read is one tiny file stat; sidecars are re-read and re-cached
+    only when a rebuild/compaction actually moved the generation."""
+
+    index_dir: str
+    gen: int
+    cells_path: str
+    centroids: DataFrame
+    codebook: DataFrame | None
+    persisted: bool
+
+    def refresh(self, spark: SparkSession) -> "IvfIndexHandle":
+        """Current handle for this index: ``self`` while the committed
+        generation is unchanged; otherwise closes this handle's caches
+        and opens the new generation."""
+        if _cells_generation(self.index_dir) == self.gen:
+            return self
+        self.close()
+        return open_ivf_index(
+            spark, self.index_dir, persist=self.persisted
+        )
+
+    def close(self) -> None:
+        if self.persisted:
+            self.centroids.unpersist()
+            if self.codebook is not None:
+                self.codebook.unpersist()
+
+
+def open_ivf_index(
+    spark: SparkSession, index_dir: str, persist: bool = True
+) -> IvfIndexHandle:
+    """Resolve the committed generation ONCE and load its sidecars.
+    ``persist=True`` caches the K-row centroid table (and the 1-row
+    codebook, when present) for a multi-wave caller; ``persist=False``
+    is the one-shot batch path (plain frames, no cache entry to
+    leak)."""
+    gen = _cells_generation(index_dir)
+    root = _gen_root(index_dir, gen)
+    centroids = spark.read.parquet(f"{root}/centroids")
+    codebook = (
+        spark.read.parquet(f"{root}/codebook")
+        if os.path.isdir(f"{root}/codebook")
+        else None
+    )
+    if persist:
+        centroids = centroids.persist()
+        if codebook is not None:
+            codebook = codebook.persist()
+    return IvfIndexHandle(
+        index_dir=index_dir,
+        gen=gen,
+        cells_path=f"{root}/cells",
+        centroids=centroids,
+        codebook=codebook,
+        persisted=persist,
+    )
+
+
 def _probes(
-    queries: DataFrame, centroids: DataFrame, nprobe: int
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    route: str = "symmetric",
 ) -> DataFrame:
-    """Query→cell routing. SYMMETRIC with the stored assignment
-    (ADVICE-class r8 finding): when the index was built with two-level
-    routed assignment, small-nprobe probes route through the SAME
-    quantizer function, so a query lands exactly where its
-    scale-invariant near-copy was assigned — flat probes against a
-    routed assignment measured 15% planted rank-1 recall loss at
-    nprobe=4/K=200 (BASELINE.md round-8). Wide probes (nprobe >
-    coarse) fall back to flat so full probe stays exact."""
-    coarse = _routing(centroids, nprobe)
+    """Query→cell routing. ``route="symmetric"`` (default) probes
+    through the SAME quantizer the stored assignment used (the r8
+    finding: when the index was built with two-level routed
+    assignment, a flat probe against it measured 15% planted rank-1
+    recall loss at nprobe=4/K=200 — symmetry makes a query land
+    exactly where its scale-invariant near-copy was assigned); wide
+    probes (nprobe > coarse) fall back to flat so full probe stays
+    exact. ``route="flat"`` ranks ALL cells for every query even at
+    small nprobe — the broad-retrieval regime (r8 verdict #3): the
+    recorded operating curve shows flat probing beats routed for
+    general queries below √K (0.73 vs 0.47 recall@3 at nprobe=K/16,
+    R=256 at 20×), because a general query's true neighbors are not
+    constrained to its routed group the way a near-copy's parent is.
+    Regime rule: symmetric for dedup/near-copy probing, flat for broad
+    retrieval at nprobe ≤ √K; above √K the two coincide."""
+    if route not in ("symmetric", "flat"):
+        raise ValueError(f"route must be 'symmetric' or 'flat': {route!r}")
+    coarse = (
+        _routing(centroids, nprobe) if route == "symmetric" else None
+    )
     return _nearest_cell(
         _with_n2(queries), centroids, keep=nprobe, coarse=coarse
     ).select(
@@ -510,8 +770,8 @@ def query_ivf_index(
     nprobe: int,
     pq: bool = False,
     rerank: int | None = None,
-    centroids: DataFrame | None = None,
-    codebook: DataFrame | None = None,
+    handle: IvfIndexHandle | None = None,
+    route: str = "symmetric",
 ) -> DataFrame:
     """Serve top-k from the stored index: route each query to its
     nprobe nearest cells (broadcast centroid pass), then score ONLY
@@ -541,20 +801,25 @@ def query_ivf_index(
     probe + large R ≡ brute force row-for-row); small R trades recall
     for float reads exactly as the two-tier literature describes.
 
-    ``centroids``/``codebook``: prebuilt sidecar frames. The sidecars
-    are FROZEN index metadata (appends never touch them — the
-    add-after-train discipline), so a long-running caller (the
-    streaming ANN drain) reads + persists them ONCE and passes them
-    here, instead of paying two parquet sidecar scans per micro-batch
-    (r7 verdict #4). Default ``None`` reads them from ``index_dir`` —
-    the one-shot batch path. The CELLS table is always read at call
-    time, so appends stay visible to the next wave either way."""
+    ``handle``: an opened ``IvfIndexHandle`` (the streaming drain's
+    once-per-drain sidecar cache — r7 verdict #4). Every path in one
+    call resolves through ONE generation: the handle's if given (the
+    drain refreshes at wave boundaries), else the generation committed
+    at call time — so a rebuild flipping mid-call can never mix one
+    generation's cells with another's quantizer (r9).
+
+    ``route``: ``"symmetric"`` (default — the dedup/near-copy
+    contract) or ``"flat"`` (broad retrieval at small nprobe); see
+    ``_probes`` for the regime rule."""
     spark = queries.sparkSession
-    if centroids is None:
-        centroids = spark.read.parquet(f"{index_dir}/centroids")
-    probes = _probes(queries, centroids, nprobe)
+    h = (
+        handle
+        if handle is not None
+        else open_ivf_index(spark, index_dir, persist=False)
+    )
+    probes = _probes(queries, h.centroids, nprobe, route=route)
     if not pq:
-        stored = spark.read.parquet(_cells_path(index_dir)).select(
+        stored = spark.read.parquet(h.cells_path).select(
             F.col("id").alias("candidate_id"),
             F.col("emb").alias("c_emb"),
             F.col("n2").alias("c_n2"),
@@ -564,21 +829,16 @@ def query_ivf_index(
             "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
         )
         return _per_query_topk(scored)
-    if not _is_pq_index(index_dir):
+    if h.codebook is None:
         raise ValueError(
             f"{index_dir} was stored without pq=True — no codebook sidecar"
         )
-    packed = (
-        spark.read.parquet(f"{index_dir}/codebook")
-        if codebook is None
-        else codebook
-    )
-    stored = spark.read.parquet(_cells_path(index_dir)).select(
+    stored = spark.read.parquet(h.cells_path).select(
         F.col("id").alias("candidate_id"), "codes", "recon_n2", "cell"
     )
     scored = (
         stored.join(F.broadcast(probes), "cell")
-        .crossJoin(F.broadcast(packed))
+        .crossJoin(F.broadcast(h.codebook))
         .withColumn(
             "recon",
             F.expr(
@@ -601,7 +861,7 @@ def query_ivf_index(
         .filter(F.col("_r") <= rerank)
         .select("query_id", "q_emb", "q_n2", "candidate_id", "cell")
     )
-    floats = spark.read.parquet(_cells_path(index_dir)).select(
+    floats = spark.read.parquet(h.cells_path).select(
         F.col("id").alias("candidate_id"),
         F.col("emb").alias("c_emb"),
         F.col("n2").alias("c_n2"),

@@ -1335,6 +1335,96 @@ def _ivfpq_topk(
     return _per_query_topk(scored)
 
 
+# --- Residual PQ (true IVFADC; Jégou et al., PAMI 2011 §IVFADC) --------
+#
+# Raw-vector PQ quantizes the whole vector against 256 codebook
+# entries; the r8 operating curve measured its honest limit on
+# near-isotropic vectors: raw ADC recall@3 ~0.2 everywhere, with the
+# exact-rerank tier doing ALL the recall work (R=64-256 to reach
+# 0.83-0.93). The public-standard fix is to encode the RESIDUAL
+# v − centroid(cell(v)) instead of v: within a cell the residuals are
+# centered near zero with a fraction of the vector's spread, so the
+# same PQ_M × PQ_K budget quantizes far more finely, and the
+# reconstruction centroid(cell) + decode(codes) recovers most of the
+# vector before the codes contribute at all. Reconstruction then needs
+# the K-row centroid sidecar at scoring time — already broadcast for
+# probing, so the scan cost is unchanged: codes + recon_n2 only.
+
+
+def _residualize(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, emb[, n2], cell) → + res = emb − centroid(cell), via ONE
+    broadcast join against the K-row centroid table — map-side, the
+    same shape as the assignment pass itself. The subtraction is the
+    pinned float→double op order (CAST(x) − y with y already double),
+    mirrored verbatim in the DuckDB oracle."""
+    cents = centroids.select("cell", "centroid")
+    return assigned.join(F.broadcast(cents), "cell").withColumn(
+        "res",
+        F.zip_with(
+            "emb", "centroid", lambda x, y: x.cast("double") - y
+        ),
+    )
+
+
+def _residual_codebook(resframe: DataFrame) -> DataFrame:
+    """PQ codebook trained on the RESIDUALS of the standard
+    hash-ranked sample (same sampled ids as the raw-PQ codebook — the
+    rank is over ids, not values), packed into one broadcast row and
+    TAGGED ``_residual`` so a stored codebook sidecar self-describes
+    its encoding (the query/append paths dispatch on the tag)."""
+    cand = resframe.select(
+        F.col("id").alias("candidate_id"), F.col("res").alias("c_emb")
+    )
+    packed = _pq_codebook(cand, train=_pq_train_sample(cand))
+    return packed.withColumn("_residual", F.lit(True))
+
+
+def _residual_coded(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    packed: DataFrame | None = None,
+) -> DataFrame:
+    """The stored-row shape of the residual-PQ tier: (candidate_id,
+    cell, codes, recon, recon_n2) where codes quantize the residual,
+    ``recon`` is the FULL reconstruction centroid(cell) +
+    decode(codes), and recon_n2 its norm² — one map-side pass
+    (residualize → encode → add-back), no id-keyed shuffle. ``packed``
+    defaults to training on this corpus' residual sample (the build
+    path); the append path passes the FROZEN stored codebook."""
+    resf = _residualize(assigned, centroids)
+    if packed is None:
+        packed = _residual_codebook(resf)
+    coded = _pq_encode(
+        resf,  # unused when packed is given
+        resf.select(
+            F.col("id").alias("candidate_id"),
+            F.col("res").alias("c_emb"),
+            "cell",
+            "centroid",
+        ),
+        packed=packed,
+        persist=False,
+    )
+    return coded.select(
+        "candidate_id",
+        "cell",
+        "codes",
+        F.zip_with("centroid", "recon", lambda a, b: a + b).alias("recon"),
+    ).withColumn("recon_n2", F.expr(_SPARK_NORM2.format(a="recon")))
+
+
+def _ivfpq_residual_branch(
+    probes: DataFrame, coded_res: DataFrame
+) -> DataFrame:
+    """Score the residual-reconstructions inside each query's probed
+    cells — identical join/score shape to the raw-PQ branch, only the
+    reconstruction differs (and carries most of the vector back)."""
+    scored = coded_res.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", _pq_adc_cosine()
+    )
+    return _per_query_topk(scored)
+
+
 # Session-scope memo for the suite's shared persisted frames (the
 # textual.py ``_TOKENIZED_CACHE`` pattern; r7 verdict #3 — ADVICE r5
 # cache-accrual class). Keyed by (applicationId, sf_dir) so a restarted

@@ -36,10 +36,16 @@ Shape at 100 TB:
   ``read_ann_results`` keeps a defensive per-(wave, query_id, rank)
   dedupe for partially-committed leftovers only.
 - The centroid and codebook sidecars are FROZEN between rebuilds
-  (add-after-train), so the drain reads + persists them ONCE per call
-  and serves every wave from the cached frames (r7 verdict #4) — only
-  the cells table is re-read per batch, which is what makes appends
-  visible to the next wave.
+  (add-after-train), so the drain opens the index ONCE
+  (``open_ivf_index`` — persisted sidecar frames; r7 verdict #4) and
+  serves every wave from the cached handle — only the cells table is
+  re-read per batch, which is what makes appends visible to the next
+  wave. At each wave boundary the handle is ``refresh``ed (r9): one
+  pointer stat per wave; when a REBUILD or compaction committed a new
+  generation between waves, the handle re-opens so the wave is served
+  entirely by the new generation — never old centroids against new
+  cells (the rebuild-atomicity contract, pinned by the mid-drain
+  rebuild test).
 - ``maxFilesPerTrigger=1``: one wave per micro-batch; the wave tag
   raises in-plan if a landing file ever spans >1 wave (ADVICE r6
   contract, same as media/monitor).
@@ -53,7 +59,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from retail_datawarehouse_spark.operators.ann_index import query_ivf_index
+from retail_datawarehouse_spark.operators.ann_index import (
+    open_ivf_index,
+    query_ivf_index,
+)
 
 QUERY_LANDING_SCHEMA = T.StructType(
     [
@@ -97,15 +106,15 @@ def run_ann_serve_available_now(
     self-terminates; expiry stops the query and raises (a silent
     return would let a caller read a partial result sidecar as if the
     drain had finished)."""
-    # Sidecars are frozen index metadata: read + persist once per
-    # drain, not twice per micro-batch (r7 verdict #4). Tiny frames
-    # (K centroid rows, 1 packed-codebook row); unpersisted on exit.
-    centroids = spark.read.parquet(f"{index_dir}/centroids").persist()
-    codebook = (
-        spark.read.parquet(f"{index_dir}/codebook").persist() if pq else None
-    )
+    # Sidecars are frozen index metadata between rebuilds: open the
+    # index once per drain (persisted K-row frames; r7 verdict #4) and
+    # refresh the handle per wave — sidecars re-read only when a
+    # rebuild/compaction actually moved the generation (r9).
+    handle = open_ivf_index(spark, index_dir, persist=True)
 
     def serve_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal handle
+        handle = handle.refresh(spark)
         # one wave per batch; the tag RAISES on a multi-wave file
         # (ADVICE r6 — min() would mis-attribute results and the
         # (wave, query_id, rank) dedupe could collapse distinct waves)
@@ -131,8 +140,7 @@ def run_ann_serve_available_now(
             nprobe=nprobe,
             pq=pq,
             rerank=rerank,
-            centroids=centroids,
-            codebook=codebook,
+            handle=handle,
         )
         out = topk.crossJoin(F.broadcast(wave)).select(
             "query_id", "candidate_id", "cosine", "rank", "wave"
@@ -164,9 +172,7 @@ def run_ann_serve_available_now(
                 "control"
             )
     finally:
-        centroids.unpersist()
-        if codebook is not None:
-            codebook.unpersist()
+        handle.close()
 
 
 def read_ann_results(spark: SparkSession, results_dir: str) -> DataFrame:

@@ -374,7 +374,7 @@ def test_compaction_collapses_append_files_and_preserves_serving(
     before_rows = _rows(query_ivf_index(queries, idx, nprobe=IVF_NPROBE))
     old_path = _cells_path(idx)
     compact_ivf_index(spark, idx)
-    assert _cells_path(idx) == f"{idx}/cells-gen-1"
+    assert _cells_path(idx) == f"{idx}/gen-1/cells"
     after_stats = {
         r.cell: (r.n_rows, r.n_files)
         for r in ivf_index_stats(spark, idx).collect()
@@ -399,7 +399,7 @@ def test_compaction_collapses_append_files_and_preserves_serving(
         (F.col("id") + 5_000_000).alias("id"), "emb"
     )
     append_to_ivf_index(extra, idx)
-    assert spark.read.parquet(f"{idx}/cells-gen-1").count() == 1 + sum(
+    assert spark.read.parquet(f"{idx}/gen-1/cells").count() == 1 + sum(
         n for (n, _) in before_stats.values()
     )
     probe = extra.select("id", "emb")
@@ -736,3 +736,142 @@ def test_pq_rerank_recovers_exact_ranks_from_adc_shortlist(
     assert a_64 > a_adc, (a_64, a_adc)
     assert a_64 >= 0.7, a_64  # measured 0.833 at sf0.01
     assert a_64 < 1.0  # the shortlist genuinely bites at R=64
+
+
+def test_append_racing_compaction_is_folded_forward(
+    spark, sf_correctness_dir, tmp_path
+):
+    """r8 verdict "what's wrong" #1: an append that lands AFTER the
+    compactor's snapshot read but BEFORE its pointer flip must not be
+    stranded in the superseded generation. The ``_before_commit`` seam
+    fires an append at exactly that window; the locked commit re-lists
+    the old generation and folds the late files into gen-1 — pinned by
+    full-probe equality against brute force over base+batch, served
+    from the NEW generation."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _cells_path,
+        compact_ivf_index,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    batch = corpus.filter(F.col("id") % 17 == 0)
+    base = corpus.filter(F.col("id") % 17 != 0)
+    idx = str(tmp_path / "ivf_race")
+    store_ivf_index(base, idx, cells=IVF_CELLS)
+
+    compact_ivf_index(
+        spark, idx, _before_commit=lambda: append_to_ivf_index(batch, idx)
+    )
+    assert _cells_path(idx) == f"{idx}/gen-1/cells"
+    batch_ids = {r.id for r in batch.select("id").collect()}
+    served_ids = {
+        r.id for r in spark.read.parquet(f"{idx}/gen-1/cells").collect()
+    }
+    assert batch_ids <= served_ids  # late append folded into gen-1
+    got = query_ivf_index(queries, idx, nprobe=IVF_CELLS)
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
+
+
+def test_store_over_existing_is_atomic_rebuild(
+    spark, sf_correctness_dir, tmp_path
+):
+    """ADVICE r8 (medium): rebuilding into a dir whose CURRENT pointed
+    at a compacted generation used to overwrite the flat sidecars while
+    reads kept resolving the stale cells generation — silently wrong
+    results. Now a store over an existing index writes the NEXT full
+    generation (cells + centroids + codebook under one root) and flips
+    the pointer: after compaction (gen-1), a rebuild on a GROWN corpus
+    lands as gen-2 and serving reflects exactly the new corpus."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _cells_generation,
+        _cells_path,
+        compact_ivf_index,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    base = corpus.filter(F.col("id") % 3 != 0)
+    idx = str(tmp_path / "ivf_rebuild")
+    store_ivf_index(base, idx, cells=IVF_CELLS)
+    compact_ivf_index(spark, idx)
+    assert _cells_generation(idx) == 1
+    # the rebuild: full corpus (base + the held-out third), new cell
+    # count — quantizer AND cells must move together
+    store_ivf_index(corpus, idx, cells=8)
+    assert _cells_generation(idx) == 2
+    assert _cells_path(idx) == f"{idx}/gen-2/cells"
+    got = query_ivf_index(queries, idx, nprobe=8)
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
+
+
+def test_rebuild_crash_before_flip_leaves_old_serving(
+    spark, sf_correctness_dir, tmp_path, monkeypatch
+):
+    """The rebuild's commit is the pointer rename and nothing else: a
+    crash after the new generation is fully written but before the
+    flip leaves the OLD index serving byte-for-byte (same contract as
+    the compaction crash test, now covering the whole-index swap)."""
+    import os as _os
+
+    from retail_datawarehouse_spark.operators import ann_index as ai
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    base = corpus.filter(F.col("id") % 3 != 0)
+    idx = str(tmp_path / "ivf_rebuild_crash")
+    store_ivf_index(base, idx, cells=IVF_CELLS)
+    before = _rows(query_ivf_index(queries, idx, nprobe=IVF_CELLS))
+
+    real_rename = _os.rename
+
+    def boom(src, dst):
+        if dst.endswith("/CURRENT"):
+            raise OSError("injected crash before pointer flip")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(ai.os, "rename", boom)
+    with pytest.raises(OSError, match="injected crash"):
+        store_ivf_index(corpus, idx, cells=8)
+    monkeypatch.undo()
+    assert ai._cells_generation(idx) == 0
+    assert _rows(query_ivf_index(queries, idx, nprobe=IVF_CELLS)) == before
+    # retry commits cleanly over the debris
+    store_ivf_index(corpus, idx, cells=8)
+    assert ai._cells_generation(idx) in (1, 2)
+    assert _rows(query_ivf_index(queries, idx, nprobe=8)) == _rows(
+        _brute_force(corpus, queries)
+    )
+
+
+def test_flat_route_knob_changes_small_nprobe_probes_only(
+    spark, sf_correctness_dir, tmp_path
+):
+    """r8 verdict #3: ``route="flat"`` ranks all cells at small nprobe
+    (the broad-retrieval regime) while ``route="symmetric"`` keeps the
+    near-dup contract. Pins: (a) on a routed auto index the two modes
+    genuinely probe different cells for at least one query (the r8
+    measurement found 43.5% cell disagreement), (b) full probe is
+    identical under both (the regimes coincide above √K), (c) an
+    unknown mode raises."""
+    from retail_datawarehouse_spark.operators.ann_index import _probes
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivf_route")
+    store_ivf_index(corpus, idx)  # auto build → routed quantizer
+    cents = spark.read.parquet(f"{idx}/centroids")
+    assert "_coarse" in cents.columns
+
+    def probe_sets(route):
+        rows = _probes(queries, cents, nprobe=2, route=route).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.cell)
+        return out
+
+    sym, flat = probe_sets("symmetric"), probe_sets("flat")
+    assert sym.keys() == flat.keys()
+    assert any(sym[q] != flat[q] for q in sym)  # the knob is real
+    k = len(glob.glob(f"{idx}/cells/cell=*"))
+    full_sym = _rows(query_ivf_index(queries, idx, nprobe=k))
+    full_flat = _rows(query_ivf_index(queries, idx, nprobe=k, route="flat"))
+    assert full_sym == full_flat == _rows(_brute_force(corpus, queries))
+    with pytest.raises(ValueError, match="route"):
+        query_ivf_index(queries, idx, nprobe=2, route="bogus").collect()

@@ -272,3 +272,58 @@ def test_multi_wave_query_file_fails_loudly(
             spark, landing, idx, f"{root}/results", nprobe=IVF_NPROBE,
             checkpoint_dir=f"{root}/ckpt",
         )
+
+
+def test_mid_drain_rebuild_serves_next_wave_wholly_from_new_generation(
+    spark, sf_correctness_dir, tmp_path, monkeypatch
+):
+    """r8 verdict #4 (whole-index rebuild atomicity under a live
+    drain): a REBUILD — new corpus, new cell count, i.e. new quantizer
+    AND new cells — committing at a wave boundary must be picked up by
+    the handle refresh so the wave is served ENTIRELY by the new
+    generation. Mixing would pair the old 16-centroid sidecar with the
+    new 8-cell table: a full probe would then open at most a lucky
+    subset of the new cells and miss candidates — so equality with
+    brute force over the grown corpus at nprobe=8 pins no-mixing. The
+    rebuild is injected at the second wave's refresh boundary via
+    monkeypatch — exactly the moment a drift-triggered retrain would
+    land."""
+    from pyspark.sql import Window  # noqa: F401 (parity with peers)
+
+    from retail_datawarehouse_spark.operators import ann_index as ai
+
+    root = str(tmp_path)
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    holdout = corpus.filter(F.col("id") % 17 == 0)
+    base = corpus.filter(F.col("id") % 17 != 0)
+    idx, landing = f"{root}/idx", f"{root}/landing"
+    results, ckpt = f"{root}/results", f"{root}/ckpt"
+    store_ivf_index(base, idx, cells=IVF_CELLS)
+    q = queries.limit(4)
+    _land_wave(spark, root, landing, 0, q)
+    _land_wave(spark, root, landing, 1, q)
+
+    real_refresh = ai.IvfIndexHandle.refresh
+    calls = {"n": 0}
+
+    def refresh_with_rebuild(self, sp):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the second wave's boundary
+            store_ivf_index(corpus, idx, cells=8)
+        return real_refresh(self, sp)
+
+    monkeypatch.setattr(ai.IvfIndexHandle, "refresh", refresh_with_rebuild)
+    run_ann_serve_available_now(
+        spark, landing, idx, results, nprobe=8, checkpoint_dir=ckpt
+    )
+    monkeypatch.undo()
+    assert ai._cells_generation(idx) == 1
+    got = read_ann_results(spark, results)
+    # wave 0 served the old generation (holdout absent from base)
+    from tests.test_ann_index import _brute_force
+
+    w0 = got.filter(F.col("wave") == 0).drop("wave")
+    w1 = got.filter(F.col("wave") == 1).drop("wave")
+    assert _rows(w1) == _rows(_brute_force(corpus, q))
+    assert _rows(w0) == _rows(_brute_force(base, q))
+    assert _rows(w0) != _rows(w1)  # the rebuild is observable
