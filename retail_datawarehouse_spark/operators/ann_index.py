@@ -97,6 +97,7 @@ from pyspark.sql import functions as F
 
 from retail_datawarehouse_spark.operators.similarity import (
     PQ_M,
+    _SPARK_NORM2,
     _ivf_index_over,
     _nearest_cell,
     _norm2_expr,
@@ -105,6 +106,8 @@ from retail_datawarehouse_spark.operators.similarity import (
     _pq_codebook,
     _pq_encode,
     _pq_train_sample,
+    _residual_codebook,
+    _residualize,
     _train_rank_col,
     cosine_from_norms,
 )
@@ -264,7 +267,7 @@ def _auto_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _encode_assigned(
-    assigned: DataFrame, packed: DataFrame
+    assigned: DataFrame, packed: DataFrame, centroids: DataFrame | None = None
 ) -> DataFrame:
     """(id, emb, n2, cell) → the stored-row shape (id, emb, n2, codes,
     recon_n2, cell): PQ-encode against the (frozen or fresh) packed
@@ -275,7 +278,44 @@ def _encode_assigned(
     query time); its norm² is, like every other norm in the suite.
     ``persist=False``: the coded frame is consumed exactly once by the
     parquet write, so persisting it would leak a cached frame per
-    store/append for the session lifetime (ADVICE r7)."""
+    store/append for the session lifetime (ADVICE r7).
+
+    A ``_residual``-tagged codebook (the r9 IVFADC tier) encodes the
+    residual v − centroid(cell) instead of v — ``centroids`` is then
+    required (one extra broadcast join against the K-row sidecar) and
+    the stored recon_n2 is the norm² of the FULL reconstruction
+    centroid + decode(codes), so the serving scan still reads only
+    (id, codes, recon_n2, cell). The stored-row SCHEMA is identical
+    either way; the codebook tag is what dispatches the decode."""
+    if "_residual" in packed.columns:
+        if centroids is None:
+            raise ValueError(
+                "residual-tagged codebook needs the centroid sidecar"
+            )
+        resf = _residualize(assigned, centroids)
+        coded = _pq_encode(
+            resf,  # unused when packed is given
+            resf.select(
+                F.col("id").alias("candidate_id"),
+                F.col("res").alias("c_emb"),
+                "emb",
+                "n2",
+                "cell",
+                "centroid",
+            ),
+            packed=packed,
+            persist=False,
+        )
+        return coded.select(
+            F.col("candidate_id").alias("id"),
+            "emb",
+            "n2",
+            "codes",
+            F.expr(
+                _SPARK_NORM2.format(a="zip_with(centroid, recon, (a, b) -> a + b)")
+            ).alias("recon_n2"),
+            "cell",
+        )
     coded = _pq_encode(
         assigned,  # unused when packed is given
         assigned.select(
@@ -303,6 +343,7 @@ def store_ivf_index(
     index_dir: str,
     cells: int | str = "auto",
     pq: bool = False,
+    pq_mode: str = "residual",
 ) -> None:
     """Build the IVF index over (id, emb) and persist it as a
     cell-partitioned parquet table + a centroid sidecar. One-time
@@ -322,7 +363,18 @@ def store_ivf_index(
     persists it as a sidecar, and encodes every vector in the SAME
     map-side pass as cell assignment, adding codes + recon_n2 columns
     to the cell-partitioned table (column pruning makes the ADC scan
-    read codes, never floats).
+    read codes, never floats). ``pq_mode="residual"`` (default; r9 —
+    the true IVFADC of Jégou et al., PAMI 2011 §IVFADC) trains and
+    encodes over residuals v − centroid(cell(v)): within a cell the
+    residuals are centered with a fraction of the vector's spread, so
+    the same code budget quantizes far more finely — the r8 operating
+    curve measured raw ADC recall@3 ~0.2 on near-isotropic vectors
+    with the exact-rerank tier doing all the recall work, which is
+    precisely the failure residual encoding addresses.
+    ``pq_mode="raw"`` keeps whole-vector encoding (the ``_pq_topk``
+    exactness twin's layout). The codebook sidecar self-describes its
+    mode (``_residual`` tag), so appends and queries dispatch without
+    caller coordination.
 
     Storing over an EXISTING index is the ATOMIC REBUILD (r9; closes
     the ADVICE-r8 stale-pointer bug where a rebuild into a compacted
@@ -337,14 +389,14 @@ def store_ivf_index(
         f"{_gen_root(index_dir, _cells_generation(index_dir))}/centroids"
     )
     if not existing:
-        _write_index(corpus, index_dir, cells, pq)
+        _write_index(corpus, index_dir, cells, pq, pq_mode)
         return
     src_gen = _cells_generation(index_dir)
     src_cells = f"{_gen_root(index_dir, src_gen)}/cells"
     snapshot = _list_cell_files(src_cells)
     gen = src_gen + 1
     root = f"{index_dir}/gen-{gen}"
-    _write_index(corpus, root, cells, pq)
+    _write_index(corpus, root, cells, pq, pq_mode)
     spark = corpus.sparkSession
     with _maintenance_lock(index_dir):
         late = sorted(_list_cell_files(src_cells) - snapshot)
@@ -363,11 +415,17 @@ def store_ivf_index(
 
 
 def _write_index(
-    corpus: DataFrame, root: str, cells: int | str, pq: bool
+    corpus: DataFrame,
+    root: str,
+    cells: int | str,
+    pq: bool,
+    pq_mode: str = "residual",
 ) -> None:
     """One full index generation under ``root``: the cell-partitioned
     table plus the centroid (and, with ``pq``, codebook) sidecars —
     the build body shared by the fresh store and the rebuild path."""
+    if pq_mode not in ("residual", "raw"):
+        raise ValueError(f"pq_mode must be 'residual' or 'raw': {pq_mode!r}")
     withn2 = _with_n2(corpus)
     if cells == "fixture":
         assigned, centroids = _ivf_index_over(withn2)
@@ -375,7 +433,11 @@ def _write_index(
         assigned, centroids = _auto_index(withn2)
     else:
         assigned, centroids = _build_index(withn2, cells)
-    if pq:
+    if pq and pq_mode == "residual":
+        packed = _residual_codebook(_residualize(assigned, centroids))
+        packed.write.mode("overwrite").parquet(f"{root}/codebook")
+        rows = _encode_assigned(assigned, packed, centroids)
+    elif pq:
         as_cand = withn2.select(
             F.col("id").alias("candidate_id"), F.col("emb").alias("c_emb")
         )
@@ -609,7 +671,9 @@ def _append_rows(new_vectors: DataFrame, root: str) -> None:
     )
     if os.path.isdir(f"{root}/codebook"):
         packed = spark.read.parquet(f"{root}/codebook")
-        rows = _encode_assigned(assigned, packed)
+        # centroids double as the residual base when the codebook is
+        # _residual-tagged; _encode_assigned ignores them otherwise
+        rows = _encode_assigned(assigned, packed, centroids)
     else:
         rows = assigned.select("id", "emb", "n2", "cell")
     rows.write.mode("append").partitionBy("cell").parquet(f"{root}/cells")
@@ -836,19 +900,28 @@ def query_ivf_index(
     stored = spark.read.parquet(h.cells_path).select(
         F.col("id").alias("candidate_id"), "codes", "recon_n2", "cell"
     )
-    scored = (
-        stored.join(F.broadcast(probes), "cell")
-        .crossJoin(F.broadcast(h.codebook))
-        .withColumn(
-            "recon",
-            F.expr(
-                f"flatten(transform(sequence(0, {PQ_M - 1}), s -> "
-                "element_at(filter(_cb, e -> e.s = s AND "
-                "e.cell = element_at(codes, s + 1)), 1).centroid))"
-            ),
-        )
-        .withColumn("cosine", _pq_adc_cosine())
+    decode = F.expr(
+        f"flatten(transform(sequence(0, {PQ_M - 1}), s -> "
+        "element_at(filter(_cb, e -> e.s = s AND "
+        "e.cell = element_at(codes, s + 1)), 1).centroid))"
     )
+    joined = stored.join(F.broadcast(probes), "cell").crossJoin(
+        F.broadcast(h.codebook)
+    )
+    if "_residual" in h.codebook.columns:
+        # IVFADC (r9): reconstruction = centroid(cell) + decode(codes).
+        # The centroid arrives by ONE more broadcast join on the cell —
+        # the K-row sidecar is already in memory for probing, so the
+        # probed-cell scan still reads only (id, codes, recon_n2, cell).
+        joined = joined.join(
+            F.broadcast(h.centroids.select("cell", "centroid")), "cell"
+        ).withColumn(
+            "recon",
+            F.zip_with("centroid", decode, lambda a, b: a + b),
+        )
+    else:
+        joined = joined.withColumn("recon", decode)
+    scored = joined.withColumn("cosine", _pq_adc_cosine())
     if rerank is None:
         return _per_query_topk(scored)
     from pyspark.sql import Window

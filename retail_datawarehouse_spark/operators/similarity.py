@@ -1463,11 +1463,16 @@ def _suite_shared(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 "cell",
             ),
         )
+        # Residual-PQ stored rows (r9 IVFADC): same persist rationale
+        # as ``coded`` — the encode tree must not re-inline into the
+        # pair-level cosine (see _pq_encode's shape note).
+        coded_res = _residual_coded(assigned, centroids).persist()
         shared = {
             "corpus": corpus,
             "assigned": assigned,
             "centroids": centroids,
             "coded": coded,
+            "coded_res": coded_res,
         }
         _SUITE_SHARED_CACHE[key] = shared
     else:
@@ -1479,17 +1484,18 @@ def _suite_shared(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def _ivf_pair_branches(
     q: DataFrame, shared: dict[str, DataFrame], nprobe: int
-) -> tuple[DataFrame, DataFrame]:
-    """Both IVF-rooted suite branches — 'ivf' (exact float scoring
-    inside probed cells) and 'ivfpq' (ADC scoring of PQ codes inside
-    probed cells) — over the memoized shared index frames
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three IVF-rooted suite branches — 'ivf' (exact float
+    scoring inside probed cells), 'ivfpq' (raw-vector ADC scoring of
+    PQ codes inside probed cells), and 'ivfpq_res' (residual-encoded
+    ADC, the r9 IVFADC tier) — over the memoized shared index frames
     (``_suite_shared``) and ONE query probe pass. Bit-identical to
     running ``_ivf_topk_over`` and ``_ivfpq_topk`` separately (the
     shared frames are the same expressions); what sharing buys is
     wall, not values: the Lloyd build, the corpus assignment fold, and
-    the probe chain each run once instead of twice. The ``assigned``
-    persist is a two-consumer boundary like the centroid one inside
-    ``_ivf_index_over``."""
+    the probe chain each run once instead of three times. The
+    ``assigned`` persist is a two-consumer boundary like the centroid
+    one inside ``_ivf_index_over``."""
     assigned, centroids = shared["assigned"], shared["centroids"]
     q_ie = q.select(
         F.col("query_id").alias("id"),
@@ -1518,7 +1524,8 @@ def _ivf_pair_branches(
             "cosine", _pq_adc_cosine()
         )
     )
-    return ivf, ivfpq
+    ivfpq_res = _ivfpq_residual_branch(probes, shared["coded_res"])
+    return ivf, ivfpq, ivfpq_res
 
 
 def q_ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1956,6 +1963,141 @@ _ANN_IVFPQ_SQL = f"""
 """
 
 
+# The residual-IVFADC branch mirrored (r9; Jegou et al. IVFADC): the
+# SAME IVF chain, then residuals r = emb - centroid(cell) feed the PQ
+# chain (training sample, seeds, codebooks, encode all over residuals
+# - same hash-ranked sample IDS as the raw branch since the rank is
+# over ids), and the scored reconstruction is centroid + decode(codes).
+# Subtraction/addition are the pinned double ops, mirrored exactly.
+_ANN_IVFPQ_RES_SQL = f"""
+    WITH corpus AS (
+        SELECT vec_id AS id, embedding AS emb FROM embeddings
+        WHERE vec_id >= {N_QUERIES}
+    ),
+    ivf_seeds AS (
+        SELECT vec_id - {N_QUERIES} AS cell, embedding AS centroid
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_CELLS}
+    ),
+    ivf_assign0 AS ({_duck_argmax_cell("corpus", "ivf_seeds", 1)}),
+    ivf_cent_tall AS (
+        SELECT cell, generate_subscripts(emb, 1) AS pos,
+               CAST(unnest(emb) AS DOUBLE) AS v
+        FROM ivf_assign0
+    ),
+    ivf_cent_agg AS (
+        SELECT cell, pos,
+               CAST(SUM(CAST(FLOOR(v * 1048576.0) AS BIGINT)) AS BIGINT) AS sq,
+               COUNT(*) AS n
+        FROM ivf_cent_tall GROUP BY 1, 2
+    ),
+    ivf_centroids AS (
+        SELECT cell, list(sq::DOUBLE / (1048576.0 * n) ORDER BY pos) AS centroid
+        FROM ivf_cent_agg GROUP BY cell
+    ),
+    ivf_assign AS ({_duck_argmax_cell("corpus", "ivf_centroids", 1)}),
+    ivf_queries AS (
+        SELECT vec_id AS id, embedding AS emb FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    ivf_probes AS (
+        {_duck_argmax_cell("ivf_queries", "ivf_centroids", IVF_NPROBE)}
+    ),
+    resc AS (
+        SELECT a.id, a.cell,
+               list_transform(list_zip(a.emb, c.centroid),
+                   p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS emb
+        FROM ivf_assign a JOIN ivf_centroids c USING (cell)
+    ),
+    subsp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+    pq_train AS (
+        SELECT id, trank FROM (
+            SELECT id,
+                   row_number() OVER (
+                       ORDER BY {_DUCK_TRAIN_RANK.format(id="id")}, id
+                   ) - 1 AS trank
+            FROM corpus
+        ) WHERE trank < {PQ_TRAIN_N}
+    ),
+    sub AS (
+        SELECT id, s,
+               emb[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS subvec
+        FROM resc CROSS JOIN subsp
+    ),
+    pq_seeds AS (
+        SELECT s, t.trank AS cell,
+               emb[s * {_PQ_SUB} + 1 : s * {_PQ_SUB} + {_PQ_SUB}] AS seedvec
+        FROM resc c JOIN pq_train t USING (id) CROSS JOIN subsp
+        WHERE t.trank < {PQ_K}
+    ),
+    pq_assign0 AS (
+        SELECT id, s, subvec, cell FROM (
+            SELECT v.id, v.s, v.subvec, sd.cell,
+                   row_number() OVER (
+                       PARTITION BY v.id, v.s
+                       ORDER BY {_DUCK_L2.format(a="v.subvec", b="sd.seedvec")},
+                                sd.cell
+                   ) AS rk
+            FROM sub v
+            JOIN pq_train t ON t.id = v.id
+            JOIN pq_seeds sd ON sd.s = v.s
+        ) WHERE rk = 1
+    ),
+    pq_cent_tall AS (
+        SELECT s, cell, generate_subscripts(subvec, 1) AS pos,
+               CAST(unnest(subvec) AS DOUBLE) AS v
+        FROM pq_assign0
+    ),
+    pq_cent_agg AS (
+        SELECT s, cell, pos,
+               CAST(SUM(CAST(FLOOR(v * 1048576.0) AS BIGINT)) AS BIGINT) AS sq,
+               COUNT(*) AS n
+        FROM pq_cent_tall GROUP BY 1, 2, 3
+    ),
+    codebook AS (
+        SELECT s, cell, list(sq::DOUBLE / (1048576.0 * n) ORDER BY pos) AS centroid
+        FROM pq_cent_agg GROUP BY s, cell
+    ),
+    encoded AS (
+        SELECT id, s, centroid FROM (
+            SELECT v.id, v.s, cb.centroid,
+                   row_number() OVER (
+                       PARTITION BY v.id, v.s
+                       ORDER BY {_DUCK_L2.format(a="v.subvec", b="cb.centroid")},
+                                cb.cell
+                   ) AS rk
+            FROM sub v JOIN codebook cb ON cb.s = v.s
+        ) WHERE rk = 1
+    ),
+    rrecon AS (
+        SELECT id AS candidate_id, flatten(list(centroid ORDER BY s)) AS rrec
+        FROM encoded GROUP BY id
+    ),
+    full_recon AS (
+        SELECT r.candidate_id, a.cell,
+               list_transform(list_zip(c.centroid, r.rrec),
+                   p -> CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE)) AS recon
+        FROM rrecon r
+        JOIN ivf_assign a ON a.id = r.candidate_id
+        JOIN ivf_centroids c ON c.cell = a.cell
+    ),
+    ivfpqres_scored AS (
+        SELECT p.id AS query_id, r.candidate_id,
+               ({_DUCK_DOT.format(a="p.emb", b="r.recon")})
+               / (sqrt({_DUCK_NORM2.format(a="p.emb")})
+                  * sqrt({_DUCK_NORM2.format(a="r.recon")})) AS cosine
+        FROM full_recon r
+        JOIN ivf_probes p ON p.cell = r.cell
+    )
+    SELECT query_id, candidate_id, cosine,
+           CAST(row_number() OVER
+               (PARTITION BY query_id ORDER BY cosine DESC, candidate_id)
+               AS BIGINT) AS rank
+    FROM ivfpqres_scored
+    QUALIFY rank <= {TOP_K}
+"""
+
+
 @register(
     "q_ann_topk_suite",
     oracle=f"""
@@ -1963,7 +2105,8 @@ _ANN_IVFPQ_SQL = f"""
     lsh AS ({_ANN_LSH_SQL}),
     ivf AS ({_ANN_IVF_SQL}),
     adc AS ({_ANN_ADC_SQL}),
-    ivfpq AS ({_ANN_IVFPQ_SQL})
+    ivfpq AS ({_ANN_IVFPQ_SQL}),
+    ivfpq_res AS ({_ANN_IVFPQ_RES_SQL})
     SELECT 'exact' AS method, query_id, candidate_id,
            {_COSQ_SQL} AS cosine_q, rank
     FROM exact
@@ -1978,10 +2121,13 @@ _ANN_IVFPQ_SQL = f"""
     SELECT 'adc', query_id, candidate_id, {_COSQ_SQL}, rank FROM adc
     UNION ALL
     SELECT 'ivfpq', query_id, candidate_id, {_COSQ_SQL}, rank FROM ivfpq
+    UNION ALL
+    SELECT 'ivfpq_res', query_id, candidate_id, {_COSQ_SQL}, rank
+    FROM ivfpq_res
     """,
 )
 def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k, all six strategies under one hash gate: 'exact'
+    """ANN top-k, all seven strategies under one hash gate: 'exact'
     (fold-cosine brute force — the recall baseline), 'vectorized' (the
     SAME plan with the Arrow pandas-UDF kernel — cumsum-fold
     accumulation makes it BIT-identical to the exact branch, so its
@@ -1994,9 +2140,14 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks, 8 code bytes per vector, scored ONLY inside each
     query's nprobe probed IVF cells — see ``_ivfpq_topk``; the
     full-scan ``_pq_topk`` stays as the non-headline nprobe=K
-    exactness twin). Ranks are computed over each branch's raw cosine
-    (ties broken by candidate_id); the quantized cosine is the shared
-    value surface.
+    exactness twin), and 'ivfpq_res' (r9 — the TRUE IVFADC tier:
+    identical layout to 'ivfpq' but the codes quantize the residual
+    v − centroid(cell) and scoring reconstructs centroid +
+    decode(codes); same cell assignments, same probe pass, finer
+    reconstruction — the public-standard fix for raw-PQ's recall
+    floor, measured on the stored index's operating curve). Ranks are
+    computed over each branch's raw cosine (ties broken by
+    candidate_id); the quantized cosine is the shared value surface.
 
     The six branches share ONE persisted corpus frame (candidate id +
     embedding + precomputed norm²): without it each branch re-reads the
@@ -2025,7 +2176,9 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = _suite_shared(spark, sf_dir)
     corpus = shared["corpus"]
     queries = _ann_queries(emb)
-    ivf_branch, ivfpq_branch = _ivf_pair_branches(queries, shared, IVF_NPROBE)
+    ivf_branch, ivfpq_branch, ivfpq_res_branch = _ivf_pair_branches(
+        queries, shared, IVF_NPROBE
+    )
     return (
         q6(_exact_topk(queries, corpus), "exact")
         .unionByName(q6(_vectorized_topk(queries, corpus), "vectorized"))
@@ -2033,4 +2186,5 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q6(ivf_branch, "ivf"))
         .unionByName(q6(_adc_topk(queries, corpus), "adc"))
         .unionByName(q6(ivfpq_branch, "ivfpq"))
+        .unionByName(q6(ivfpq_res_branch, "ivfpq_res"))
     )

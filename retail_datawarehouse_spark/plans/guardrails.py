@@ -216,16 +216,19 @@ def _node_refs(node: dict, ids: set[int]) -> bool:
 
 
 def _attr_ids(node: dict) -> set[int]:
-    """All AttributeReference exprIds appearing anywhere in a plan
-    subtree's expression fields — a superset of the branch's output,
-    good enough to decide which child of a join an equality side
-    belongs to (exprIds are globally unique per attribute)."""
+    """All attribute exprIds a plan subtree references OR DEFINES —
+    AttributeReference ids plus Alias ids (an ``AS`` defines a new
+    attribute that is only ever referenced ABOVE its Project, so a
+    branch's renamed outputs would otherwise not count as the
+    branch's). A superset of the branch's output, good enough to
+    decide which child of a join an equality side belongs to (exprIds
+    are globally unique per attribute)."""
     out: set[int] = set()
 
     def visit(n: dict) -> None:
         for tree in _expr_fields(n):
             for e in _walk(tree):
-                if _simple(e) == "AttributeReference":
+                if _simple(e) in ("AttributeReference", "Alias"):
                     out.add(e["exprId"]["id"])
         for c in n["_kids"]:
             visit(c)
@@ -234,69 +237,171 @@ def _attr_ids(node: dict) -> set[int]:
     return out
 
 
-def _grain_equi_conjunct(
-    e: dict, left_grain: set[int], right_grain: set[int]
-) -> bool:
-    """A conjunct (through And only — the `_pin_in_condition`
-    fail-closed recursion) equating a grain attribute of one join
-    child with a grain attribute of the other."""
+def _bare_attr_id(e: dict) -> int | None:
+    """The exprId if ``e`` is a BARE AttributeReference, else None —
+    the join-propagation rule only trusts attribute-to-attribute
+    equality (ADVICE r8): an equality over a DERIVED expression of a
+    grain attribute (``month + 1 = dim.month``, ``substr(month, ..)``)
+    equates the derived VALUE, so a pin on the underlying attribute
+    says nothing about the value actually joined on."""
+    if _simple(e) == "AttributeReference" and not e["_kids"]:
+        return e["exprId"]["id"]
+    return None
+
+
+def _grain_equi_pairs(
+    e: dict,
+    grain_ids: set[int],
+    left_ids: set[int],
+    right_ids: set[int],
+) -> list[tuple[int, int]]:
+    """(left_attr_id, right_attr_id) pairs for every conjunct (through
+    And only — the `_pin_in_condition` fail-closed recursion) that
+    equates a BARE grain attribute of one join child with a BARE grain
+    attribute of the other. EqualTo ONLY, deliberately excluding
+    EqualNullSafe (ADVICE r8 tightening): ``<=>`` matches NULL with
+    NULL, so a null-filled row produced by an outer join INSIDE the
+    pinned branch could survive the top join un-pinned — plain
+    equality is null-rejecting, which is exactly what makes
+    through-the-branch propagation sound (see `_pin_filter_tied`)."""
     k = _simple(e)
     if k == "And":
-        return any(
-            _grain_equi_conjunct(c, left_grain, right_grain)
+        return [
+            p
             for c in e["_kids"]
-        )
-    if k in ("EqualTo", "EqualNullSafe") and len(e["_kids"]) == 2:
-        a, b = e["_kids"]
-        for x, y in ((a, b), (b, a)):
-            if _refs_any(x, left_grain) and _refs_any(y, right_grain):
-                return True
-    return False
+            for p in _grain_equi_pairs(c, grain_ids, left_ids, right_ids)
+        ]
+    if k == "EqualTo" and len(e["_kids"]) == 2:
+        a, b = (_bare_attr_id(c) for c in e["_kids"])
+        if a in grain_ids and b in grain_ids and a is not None:
+            if a in left_ids and b in right_ids:
+                return [(a, b)]
+            if b in left_ids and a in right_ids:
+                return [(b, a)]
+    return []
 
 
-def _pin_filter_below(node: dict, grain_ids: set[int]) -> bool:
+def _alias_closure(node: dict, seed: set[int]) -> set[int]:
+    """Downward rename-lineage within one plan branch: starting from
+    the join-equated attribute ids, add the id of any attribute that a
+    PURE-RENAME Alias (child is a bare AttributeReference — nothing
+    computed) maps onto a member. Only pure renames are followed: an
+    Alias over an expression (concat, arithmetic) changes the VALUE,
+    so a pin on its input would not pin the aliased output
+    (fail-closed; ADVICE r8)."""
+    renames: list[tuple[int, int]] = []  # (alias_id, source_id)
+
+    def visit(n: dict) -> None:
+        for tree in _expr_fields(n):
+            for e in _walk(tree):
+                if _simple(e) == "Alias" and len(e["_kids"]) == 1:
+                    src = _bare_attr_id(e["_kids"][0])
+                    if src is not None:
+                        renames.append((e["exprId"]["id"], src))
+        for c in n["_kids"]:
+            visit(c)
+
+    visit(node)
+    out = set(seed)
+    changed = True
+    while changed:
+        changed = False
+        for alias_id, src in renames:
+            if alias_id in out and src not in out:
+                out.add(src)
+                changed = True
+    return out
+
+
+# Plan nodes through which a pinned attribute's VALUES provably flow
+# unchanged from the pin Filter to the join child's output (its exprId
+# is preserved and no other branch can smuggle values under the same
+# id). Join is safe here because exprIds are globally unique per
+# producing branch and the top-level equi-conjunct is null-rejecting
+# EqualTo, so outer-join null-fill inside the branch cannot survive
+# the propagation join. Union-like nodes are deliberately ABSENT:
+# Union reuses its FIRST child's exprIds for values merged from every
+# child, so a pin on one child does not pin the union output —
+# stopping descent there keeps the fail-closed direction.
+_SAFE_PIN_PATH = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Join",
+        "SubqueryAlias",
+        "Sort",
+        "GlobalLimit",
+        "LocalLimit",
+        "Repartition",
+        "RepartitionByExpression",
+        "Sample",
+        "Window",
+        "Aggregate",
+        "Deduplicate",
+        "Hint",
+        "ResolvedHint",
+    }
+)
+
+
+def _pin_filter_tied(node: dict, tied_ids: set[int]) -> bool:
     """A Filter at-or-below ``node`` whose condition carries a
-    single-grain equality pin as a conjunct (no measure-lineage
-    requirement — used only for the pinned side of a grain-key equi
-    join, where the join itself propagates the restriction)."""
+    single-grain equality pin AS A CONJUNCT on one of the TIED
+    attribute ids — the attributes actually equated by the join
+    conjunct (plus their pure-rename lineage), not just any
+    grain-named column on the branch (ADVICE r8: a pin on dimB.month
+    under ``dimA LEFT JOIN dimB`` proves nothing about the dimA.month
+    the fact is joined on). Descent from the join child to the Filter
+    is restricted to ``_SAFE_PIN_PATH`` node classes; anything exotic
+    (Union, Expand, Generate, ...) stops the search — a false alarm,
+    never a silent pass."""
     if _simple(node) == "Filter":
         for tree in _expr_fields(node):
-            if _pin_in_condition(tree, grain_ids):
+            if _pin_in_condition(tree, tied_ids):
                 return True
-    return any(_pin_filter_below(c, grain_ids) for c in node["_kids"])
+    if _simple(node) not in _SAFE_PIN_PATH:
+        return False
+    return any(_pin_filter_tied(c, tied_ids) for c in node["_kids"])
 
 
 def _join_propagates_grain_pin(
     node: dict, grain_ids: set[int], measure_ids: set[int]
 ) -> bool:
-    """The canonical star-schema single-month slice (ADVICE r7): an
-    INNER (or LEFT SEMI) equi-join between the measure's branch and a
-    branch pinned to one grain value, where a join conjunct equates a
-    grain attribute on each side — every surviving measure row then
-    carries the pinned grain value, so the read is a single-month
-    slice exactly like a direct Filter on the fact. LEFT OUTER does
-    NOT qualify (unmatched measure rows survive unrestricted), a
-    non-grain join key does NOT qualify (a month-filtered dim joined
-    on customer_key never restricts the fact's months — the ADVICE r6
-    unrelated-branch case), and a pin under Or/Not never qualifies
-    (same `_pin_in_condition` rules as direct filters)."""
+    """The canonical star-schema single-month slice (ADVICE r7,
+    tightened per ADVICE r8): an INNER (or LEFT SEMI) equi-join
+    between the measure's branch and a branch pinned to one grain
+    value, where a join conjunct equates a BARE grain attribute on
+    each side and the pinned side's Filter pins ONE OF THE EQUATED
+    attributes (or a pure rename of one) along an id-preserving path —
+    every surviving measure row then carries the pinned grain value,
+    so the read is a single-month slice exactly like a direct Filter
+    on the fact. Rejected by construction: LEFT OUTER at the top
+    (unmatched measure rows survive unrestricted), non-grain join keys
+    (ADVICE r6), derived-expression equalities and ``<=>``
+    (`_grain_equi_pairs`), pins on a grain column that is NOT the
+    equated one — e.g. on dimB under ``fact JOIN (dimA LEFT JOIN
+    pinned-dimB) ON fact.month = dimA.month`` (ADVICE r8) — and pins
+    under Or/Not (same `_pin_in_condition` rules as direct filters)."""
     jt = (node.get("joinType") or {}).get("object", "")
     if not jt.endswith(("Inner$", "LeftSemi$")):
         return False
     left, right = node["_kids"]
-    left_grain = _attr_ids(left) & grain_ids
-    right_grain = _attr_ids(right) & grain_ids
-    if not left_grain or not right_grain:
-        return False
-    if not any(
-        _grain_equi_conjunct(tree, left_grain, right_grain)
+    left_ids = _attr_ids(left)
+    right_ids = _attr_ids(right)
+    pairs = [
+        p
         for tree in _expr_fields(node)
-    ):
+        for p in _grain_equi_pairs(tree, grain_ids, left_ids, right_ids)
+    ]
+    if not pairs:
         return False
-    for measure_side, pinned_side in ((left, right), (right, left)):
-        if _node_refs(measure_side, measure_ids) and _pin_filter_below(
-            pinned_side, grain_ids
-        ):
+    for measure_side, pinned_side, pick in ((left, right, 1), (right, left, 0)):
+        if not _node_refs(measure_side, measure_ids):
+            continue
+        tied = _alias_closure(
+            pinned_side, {p[pick] for p in pairs}
+        )
+        if _pin_filter_tied(pinned_side, tied):
             return True
     return False
 

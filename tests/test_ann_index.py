@@ -525,7 +525,7 @@ def test_stored_pq_full_probe_equals_in_memory_pq_scan(
 
     corpus, queries = _fixture(spark, sf_correctness_dir)
     idx = str(tmp_path / "ivfpq")
-    store_ivf_index(corpus, idx, cells="fixture", pq=True)
+    store_ivf_index(corpus, idx, cells="fixture", pq=True, pq_mode="raw")
     got = query_ivf_index(queries, idx, nprobe=IVF_CELLS, pq=True)
     emb = load_table(spark, sf_correctness_dir, "embeddings")
     want = _pq_topk(_ann_queries(emb), _ann_corpus(emb))
@@ -583,7 +583,9 @@ def test_pq_append_encodes_against_frozen_codebook(
     expect = {
         r.id: (tuple(r.codes), int(r.cell), r.recon_n2)
         for r in _encode_assigned(
-            _nearest_cell(_with_n2(holdout), centroids, keep=1), packed
+            _nearest_cell(_with_n2(holdout), centroids, keep=1),
+            packed,
+            centroids,
         ).collect()
     }
     assert stored == expect
@@ -875,3 +877,118 @@ def test_flat_route_knob_changes_small_nprobe_probes_only(
     assert full_sym == full_flat == _rows(_brute_force(corpus, queries))
     with pytest.raises(ValueError, match="route"):
         query_ivf_index(queries, idx, nprobe=2, route="bogus").collect()
+
+
+def test_stored_residual_pq_full_probe_equals_in_memory_residual(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The r9 IVFADC tier, stored: ``pq=True`` now defaults to
+    ``pq_mode="residual"`` — codes quantize v − centroid(cell), the
+    serving scan still reads only (id, codes, recon_n2, cell), and
+    reconstruction adds the broadcast centroid back map-side. Full
+    probe must reproduce the in-memory residual branch (the suite's
+    'ivfpq_res', same fixture build) row-for-row; the plan must keep
+    the compression contract (codes read, emb never, DPP on the scan);
+    and full probe + large R must still collapse to brute force."""
+    from retail_datawarehouse_spark.operators.ann_index import _with_n2
+    from retail_datawarehouse_spark.operators.similarity import (
+        _ivf_index_over,
+        _ivfpq_residual_branch,
+        _residual_coded,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivfadc")
+    store_ivf_index(corpus, idx, cells="fixture", pq=True)
+    packed = spark.read.parquet(f"{idx}/codebook")
+    assert "_residual" in packed.columns  # self-describing sidecar
+    got = query_ivf_index(queries, idx, nprobe=IVF_CELLS, pq=True)
+    assigned, centroids = _ivf_index_over(_with_n2(corpus))
+    coded_res = _residual_coded(assigned, centroids)
+    probes = _nearest_cell(
+        _with_n2(queries), centroids, keep=IVF_CELLS
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+        "cell",
+    )
+    want = _ivfpq_residual_branch(probes, coded_res)
+    assert _rows(got) == _rows(want)
+    plan = (
+        query_ivf_index(queries, idx, nprobe=2, pq=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    cells_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "codes" in ln
+    ]
+    assert cells_scans, plan
+    for ln in cells_scans:
+        read_schema = ln.split("ReadSchema")[-1]
+        assert "codes" in read_schema and "emb" not in read_schema, ln
+        assert "dynamicpruning" in ln.lower(), ln
+    got_rr = query_ivf_index(
+        queries, idx, nprobe=IVF_CELLS, pq=True, rerank=10**6
+    )
+    assert _rows(got_rr) == _rows(_brute_force(corpus, queries))
+
+
+def test_residual_reconstruction_beats_raw_at_same_code_budget(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The mechanism residual encoding buys (r9 IVFADC): with the SAME
+    PQ_M x PQ_K code budget, reconstructing centroid(cell) +
+    decode(codes) must sit measurably closer to the true vector than
+    decode(raw codes) — the centroid carries the vector's dominant
+    common component exactly, leaving the codes to spend their 16
+    entries per subspace on the (smaller) residual spread. Pinned as
+    the mean reconstruction cosine over the corpus, raw vs residual,
+    from the same encoders the stored index writes with. (Exact-rank
+    agreement over this fixture's random near-tie candidates is NOT
+    the metric — reconstruction error exceeds the cosine gaps between
+    unrelated candidates either way, the documented PQ recall honesty;
+    recall receipts at scale live in the operating curve.)"""
+    from retail_datawarehouse_spark.operators.ann_index import _with_n2
+    from retail_datawarehouse_spark.operators.similarity import (
+        _cosine_expr,
+        _ivf_index_over,
+        _pq_encode,
+        _residual_coded,
+    )
+
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    withn2 = _with_n2(corpus)
+    assigned, centroids = _ivf_index_over(withn2)
+
+    def mean_recon_cosine(coded):
+        joined = coded.join(
+            corpus.select(F.col("id").alias("candidate_id"), "emb"),
+            "candidate_id",
+        )
+        return (
+            joined.agg(
+                F.avg(_cosine_expr(F.col("emb"), F.col("recon"))).alias("c")
+            )
+            .collect()[0]
+            .c
+        )
+
+    cand = corpus.select(
+        F.col("id").alias("candidate_id"), F.col("emb").alias("c_emb")
+    )
+    raw = _pq_encode(cand, cand, persist=False)
+    res = _residual_coded(assigned, centroids)
+    c_raw = mean_recon_cosine(raw)
+    c_res = mean_recon_cosine(res)
+    # deterministic (fixed-point centroids + deterministic encode):
+    # measured 0.6256 raw vs 0.6734 residual at sf0.01/K=16 — on
+    # ZERO-MEAN isotropic vectors, PQ's hardest case, where the
+    # between-cell variance a 16-cell quantizer captures is modest;
+    # more cells (the auto √N rule at scale) capture more, which is
+    # what the 20× operating curve records
+    assert c_res > c_raw + 0.04, (c_res, c_raw)
+    assert c_raw > 0.5, c_raw  # both reconstructions stay directional

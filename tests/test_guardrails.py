@@ -426,3 +426,94 @@ def test_snapshot_builder_window_stays_legal(spark, sf_dir):
     ADDITIVE month totals) must keep passing — taint seeds from the
     measure's references, not its birth alias."""
     assert_semi_additive_safe(builder("q_fact_monthly_snapshot")(spark, sf_dir))
+
+
+def test_rejects_pin_behind_left_join_inside_pinned_branch(spark, snap):
+    """ADVICE r8 (medium): ``fact INNER JOIN (dimA LEFT JOIN
+    pinned-dimB) ON fact.month = dimA.month`` used to pass — dimB's
+    pin sits under the pinned side but dimA.month (the attribute the
+    fact is actually equated with) is never restricted by it, so every
+    month still reaches the SUM. The pin must tie to the EQUATED grain
+    attribute."""
+    dim_a = spark.createDataFrame(
+        [("1998-01-01", 1), ("1998-02-01", 2), ("1998-03-01", 3)],
+        "month_start string, month_num long",
+    )
+    dim_b = spark.createDataFrame(
+        [("1998-02-01", "Feb")], "month_start string, month_name string"
+    )
+    pinned_b = dim_b.filter(F.col("month_start") == "1998-02-01").select(
+        F.col("month_start").alias("b_month"), "month_name"
+    )
+    dim_side = dim_a.join(
+        pinned_b, dim_a.month_start == pinned_b.b_month, "left"
+    ).select("month_start", "month_num", "month_name")
+    bad = (
+        snap.join(dim_side, "month_start")
+        .groupBy()
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
+
+
+def test_rejects_derived_expression_grain_equality(spark, snap):
+    """ADVICE r8 (medium): an equality over a DERIVED expression of
+    grain attributes (``concat(month_start, '') = dim.month_start``)
+    equates the derived value, not the attribute the pin restricts —
+    only bare attribute-to-attribute equality propagates a pin."""
+    dim_date = spark.createDataFrame(
+        [("1998-02-01", "Feb")], "month_start string, month_name string"
+    )
+    pinned = dim_date.filter(F.col("month_start") == "1998-02-01")
+    bad = (
+        snap.join(
+            pinned,
+            F.concat(snap.month_start, F.lit("")) == pinned.month_start,
+        )
+        .groupBy()
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
+
+
+def test_accepts_star_slice_with_renamed_dim_grain(spark, snap):
+    """The pure-rename lineage the tightened rule still follows: the
+    dim pins ``month_start``, then renames it before the grain-key
+    equi-join — value-preserving, so the pin propagates and the read
+    stays a single-month slice."""
+    dim_date = spark.createDataFrame(
+        [("1998-01-01", "Jan"), ("1998-02-01", "Feb"), ("1998-03-01", "Mar")],
+        "month_start string, month_name string",
+    )
+    pinned = (
+        dim_date.filter(F.col("month_start") == "1998-02-01")
+        .withColumnRenamed("month_start", "month_key")
+    )
+    ok = (
+        snap.join(pinned, snap.month_start == pinned.month_key)
+        .groupBy("month_name")
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    out = {r.month_name: r.s for r in assert_semi_additive_safe(ok).collect()}
+    assert out == {"Feb": 22.0}
+
+
+def test_rejects_null_safe_grain_equality_join(spark, snap):
+    """``<=>`` matches NULL with NULL, so a null-filled row from an
+    outer join inside the pinned branch could survive the propagation
+    join un-pinned — the tightened rule trusts only null-rejecting
+    EqualTo (fail-closed: this exact-month <=> join is semantically
+    safe here, and it still alarms)."""
+    dim_date = spark.createDataFrame(
+        [("1998-02-01", "Feb")], "month_start string, month_name string"
+    )
+    pinned = dim_date.filter(F.col("month_start") == "1998-02-01")
+    bad = (
+        snap.join(pinned, snap.month_start.eqNullSafe(pinned.month_start))
+        .groupBy()
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)

@@ -92,7 +92,9 @@ def _recall(got: dict[int, set[int]], want: dict[int, set[int]]) -> float:
     return round(sum(rs) / len(rs), 4)
 
 
-def curve(spark, sf_dir: str, workdir: str) -> dict:
+def curve(
+    spark, sf_dir: str, workdir: str, pq_mode: str = "residual"
+) -> dict:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
@@ -100,42 +102,62 @@ def curve(spark, sf_dir: str, workdir: str) -> dict:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
     )
-    idx = f"{workdir}/idx_curve"
+    idx = f"{workdir}/idx_curve_{pq_mode}"
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.perf_counter()
-    store_ivf_index(corpus, idx, cells="auto", pq=True)
+    store_ivf_index(corpus, idx, cells="auto", pq=True, pq_mode=pq_mode)
     store_s = round(time.perf_counter() - t0, 2)
-    k = spark.read.parquet(f"{idx}/centroids").count()
+    cents = spark.read.parquet(f"{idx}/centroids")
+    k = cents.count()
+    coarse = (
+        cents.select("_coarse").first()[0]
+        if "_coarse" in cents.columns
+        else 0
+    )
     n = corpus.count()
-    print(f"# {sf_dir}: N={n} K={k} store={store_s}s", file=sys.stderr)
+    print(
+        f"# {sf_dir} [{pq_mode}]: N={n} K={k} coarse={coarse} "
+        f"store={store_s}s",
+        file=sys.stderr,
+    )
     exact = _tops(query_ivf_index(queries, idx, nprobe=k, pq=False))
     points = []
     for frac in PROBE_FRACS:
         nprobe = max(1, round(k * frac))
-        for rr in RERANKS:
-            rerank = None if rr == 0 else rr
-            fn = lambda: query_ivf_index(  # noqa: E731
-                queries, idx, nprobe=nprobe, pq=True, rerank=rerank
-            )
-            got = _tops(fn())  # warm + recall in one pass
-            best = None
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn().collect()
-                dt = time.perf_counter() - t0
-                best = dt if best is None or dt < best else best
-            points.append(
-                {
-                    "nprobe": nprobe,
-                    "probe_frac": round(frac, 4),
-                    "rerank": rr,
-                    "recall_at_3": _recall(got, exact),
-                    "wave_sec": round(best, 3),
-                }
-            )
-            print(f"#   {points[-1]}", file=sys.stderr)
-    return {"sf_dir": sf_dir, "n": n, "k": k, "store_sec": store_s,
+        # flat-route twin only where the regimes actually differ
+        # (r8 verdict #3: routed probing caps broad recall below
+        # sqrt(K); a broad-retrieval caller flips route="flat")
+        routes = ("symmetric", "flat") if nprobe <= coarse else (
+            "symmetric",
+        )
+        for route in routes:
+            for rr in RERANKS:
+                rerank = None if rr == 0 else rr
+                fn = lambda: query_ivf_index(  # noqa: E731
+                    queries, idx, nprobe=nprobe, pq=True, rerank=rerank,
+                    route=route,
+                )
+                got = _tops(fn())  # warm + recall in one pass
+                best = None
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    fn().collect()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None or dt < best else best
+                points.append(
+                    {
+                        "nprobe": nprobe,
+                        "probe_frac": round(frac, 4),
+                        "rerank": rr,
+                        "route": route,
+                        "recall_at_3": _recall(got, exact),
+                        "wave_sec": round(best, 3),
+                    }
+                )
+                print(f"#   {points[-1]}", file=sys.stderr)
+    return {"sf_dir": sf_dir, "pq_mode": pq_mode, "n": n, "k": k,
+            "coarse": coarse, "store_sec": store_s,
             "top_k": TOP_K, "points": points}
 
 
@@ -213,8 +235,11 @@ def main() -> None:
     os.makedirs(workdir, exist_ok=True)
     spark = get_spark(app_name="ann-operating-curve")
     result = {
-        "curve_1x": curve(spark, "/root/testdata/sf0.1", workdir),
-        "curve_20x": curve(spark, sf_dir, workdir),
+        "curve_1x_residual": curve(
+            spark, "/root/testdata/sf0.1", workdir, "residual"
+        ),
+        "curve_20x_residual": curve(spark, sf_dir, workdir, "residual"),
+        "curve_20x_raw": curve(spark, sf_dir, workdir, "raw"),
         "planted_20x": planted(spark, sf_dir, workdir),
     }
     print(json.dumps(result))

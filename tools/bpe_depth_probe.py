@@ -27,6 +27,18 @@ reads only the ≤cap-row vocab frame.
 
 Usage:  python tools/bpe_depth_probe.py [--rounds 512] [--scale-dir DIR]
         (generate the 20x dir first: tools/scale_probe.py --scale 20)
+
+r9 ``--deep`` mode (r8 verdict #5): the fixture ceiling above (31-word
+generator vocabulary, merges dry at 107) is lifted by probing over the
+SYNTHETIC ≥6k-word corpora from ``scale_probe.generate_bpe_corpus``
+(generated on demand under /tmp/bpe_corpus_{20k,100k}). The trainer
+runs ONCE per corpus at --rounds (default 2048) with the loop
+instrumented per round (re-running 3× for windows, the shallow-mode
+protocol, would triple a multi-minute run), recording total wall,
+early/late per-round windows (bounded-in-round-index evidence), the
+20k vs 100k per-round ratio (flat-in-N evidence — rounds read only
+the ≤cap-row vocab, never the corpus), and liveness (every round must
+merge a real pair — no dry rounds at this depth).
 """
 
 from __future__ import annotations
@@ -89,12 +101,102 @@ def probe(spark, sf_dir: str, rounds: int, label: str) -> dict:
     return out
 
 
+def probe_deep(spark, sf_dir: str, rounds: int, cap: int, label: str) -> dict:
+    """One instrumented run of the EXACT train_bpe loop (same ops in
+    the same order; the only addition is a perf_counter around each
+    round's eager checkpoint) at tokenizer-scale depth."""
+    from retail_datawarehouse_spark.operators.bpe import (
+        _MERGE_SPARK,
+        _SEQ_SPARK,
+        _pair_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    vocab = word_vocab(docs, cap=cap).select(
+        F.expr(_SEQ_SPARK).alias("seq"), "f"
+    )
+    n_vocab = vocab.count()
+    t_vocab = time.perf_counter() - t0
+
+    per_round = []
+    live = 0
+    t_all = time.perf_counter()
+    for r in range(1, rounds + 1):
+        t0 = time.perf_counter()
+        vocab = vocab.localCheckpoint(eager=True)
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(F.lit(r).cast("long").alias("round"), "pair", "cnt")
+        )
+        # liveness is read per round (one tiny collect on a 1-row
+        # frame — instrumentation, not part of the trainer's cost
+        # model, but included IN the timed window so the recorded
+        # per-round wall upper-bounds the real trainer's)
+        rows = best.collect()
+        if rows and rows[0].cnt and rows[0].cnt > 0:
+            live += 1
+        vocab = vocab.crossJoin(F.broadcast(best.select("pair"))).select(
+            F.expr(_MERGE_SPARK).alias("seq"), "f"
+        )
+        per_round.append(time.perf_counter() - t0)
+        if r % 256 == 0:
+            print(
+                f"#   {label} round {r}: live={live} "
+                f"last256={sum(per_round[-256:]):.1f}s",
+                file=sys.stderr,
+            )
+    t_total = time.perf_counter() - t_all
+    w = 64
+    out = {
+        "label": label,
+        "rounds": rounds,
+        "cap": cap,
+        "n_vocab": n_vocab,
+        "live_rounds": live,
+        "t_vocab_scan_s": round(t_vocab, 2),
+        "t_total_s": round(t_total, 2),
+        "per_round_early_s": round(sum(per_round[:w]) / w, 4),
+        "per_round_mid_s": round(
+            sum(per_round[rounds // 2 - w // 2 : rounds // 2 + w // 2]) / w,
+            4,
+        ),
+        "per_round_late_s": round(sum(per_round[-w:]) / w, 4),
+        "per_round_max_s": round(max(per_round), 4),
+    }
+    print(f"# {json.dumps(out)}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=512)
     ap.add_argument("--scale-dir", default="/tmp/scale_probe20")
+    ap.add_argument(
+        "--deep",
+        action="store_true",
+        help="r9: instrumented ≥2k-round probe over the synthetic "
+        "≥6k-word corpora (generated on demand)",
+    )
+    ap.add_argument("--cap", type=int, default=4096)
     args = ap.parse_args()
     spark = get_spark(app_name="bpe-depth-probe")
+    if args.deep:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scale_probe import generate_bpe_corpus
+
+        rounds = args.rounds if args.rounds != 512 else 2048
+        results = []
+        for n_docs, label in ((20_000, "20k-docs"), (100_000, "100k-docs")):
+            d = f"/tmp/bpe_corpus_{label}"
+            if not os.path.exists(f"{d}/documents.parquet"):
+                generate_bpe_corpus(d, n_docs)
+            results.append(probe_deep(spark, d, rounds, args.cap, label))
+        print(json.dumps(results))
+        spark.stop()
+        return
     results = [probe(spark, "/root/testdata/sf0.1", args.rounds, "1x")]
     if os.path.isdir(args.scale_dir):
         results.append(probe(spark, args.scale_dir, args.rounds, "20x"))

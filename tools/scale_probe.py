@@ -218,6 +218,70 @@ def generate(scale: int, out: str) -> None:
     print(f"# generated {out}: {n_docs} docs, {n_vec} vectors", file=sys.stderr)
 
 
+def generate_bpe_corpus(
+    out: str,
+    n_docs: int,
+    n_vocab: int = 6000,
+    words_per_doc: int = 80,
+) -> None:
+    """Synthetic document corpus with a REAL vocabulary (r8 verdict
+    #5): the warehouse fixture's generator writes only 31 distinct
+    words, so BPE merges run dry at 107 — useless for probing
+    tokenizer-scale merge depth (real tokenizers run 32k merges over
+    ~100k-word vocabularies). This builds ≥``n_vocab`` distinct words
+    from a 95-syllable CV alphabet (2-4 syllables per word, salted-LCG
+    picked — deterministic, seedless-random-free like every generator
+    here), then ``n_docs`` documents of ``words_per_doc`` uniform
+    picks. Schema matches the warehouse ``documents`` table so
+    ``load_table`` reads it unchanged. Vectorized in numpy: the 100k×
+    80 word-pick grid generates in seconds."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    cons = list("bcdfghjklmnpqrstvwz")
+    vow = list("aeiou")
+    syll = np.array([c + v for c in cons for v in vow])
+    A, C, M = 1103515245, 12345, 2**31
+    h = (np.arange(n_vocab, dtype=np.int64) * A + C) % M
+    n_syll = 2 + (h % 3)
+    parts = []
+    hh = h.copy()
+    for _ in range(4):
+        hh = (hh * A + C) % M
+        parts.append(syll[hh % len(syll)])
+    stacked = np.stack(parts, axis=1)
+    vocab = np.array(
+        ["".join(stacked[i, : n_syll[i]]) for i in range(n_vocab)]
+    )
+    idx = (
+        np.arange(n_docs, dtype=np.int64)[:, None] * words_per_doc
+        + np.arange(words_per_doc, dtype=np.int64)[None, :]
+    )
+    g = (idx * 6364136223846793005 + 1442695040888963407) % (2**63)
+    picks = vocab[(g >> 16) % n_vocab]
+    texts = [" ".join(row) for row in picks]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * n_docs, type=pa.string()),
+            "source": pa.array(["synthetic-bpe"] * n_docs, type=pa.string()),
+            "n_chars": pa.array(
+                [len(t) for t in texts], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, f"{out}/documents.parquet")
+    n_distinct = len(set(w for row in picks[: min(n_docs, 2000)] for w in row))
+    print(
+        f"# generated {out}: {n_docs} docs x {words_per_doc} words, "
+        f"vocab {n_vocab} (sampled distinct in first 2k docs: {n_distinct})",
+        file=sys.stderr,
+    )
+
+
 def _force_full(df) -> int:
     """Materialize EVERY cell of the result: sum of xxhash64 over all
     columns. A bare count() lets Catalyst PRUNE the expensive value
@@ -343,7 +407,15 @@ def main() -> None:
                          "lineitem/events) instead of the doc family")
     ap.add_argument("--baseline", action="store_true",
                     help="measure sf0.1 itself (the 1x reference)")
+    ap.add_argument("--bpe-corpus", type=int, default=0, metavar="N_DOCS",
+                    help="generate the ≥6k-word synthetic BPE corpus "
+                         "with N_DOCS documents into --out and exit "
+                         "(r8 verdict #5: the fixture's 31-word vocab "
+                         "runs merges dry at 107)")
     args = ap.parse_args()
+    if args.bpe_corpus:
+        generate_bpe_corpus(args.out, args.bpe_corpus)
+        return
     if args.baseline:
         measure(SRC, 1, WAREHOUSE_ENTRIES if args.warehouse else None,
                 force_full=args.warehouse)
