@@ -256,11 +256,15 @@ def generate_bpe_corpus(
         ["".join(stacked[i, : n_syll[i]]) for i in range(n_vocab)]
     )
     idx = (
-        np.arange(n_docs, dtype=np.int64)[:, None] * words_per_doc
-        + np.arange(words_per_doc, dtype=np.int64)[None, :]
+        np.arange(n_docs, dtype=np.uint64)[:, None]
+        * np.uint64(words_per_doc)
+        + np.arange(words_per_doc, dtype=np.uint64)[None, :]
     )
-    g = (idx * 6364136223846793005 + 1442695040888963407) % (2**63)
-    picks = vocab[(g >> 16) % n_vocab]
+    # uint64 LCG — wraps mod 2^64 by construction, no Python bigints
+    g = idx * np.uint64(6364136223846793005) + np.uint64(
+        1442695040888963407
+    )
+    picks = vocab[((g >> np.uint64(16)) % np.uint64(n_vocab)).astype(np.int64)]
     texts = [" ".join(row) for row in picks]
     table = pa.table(
         {
