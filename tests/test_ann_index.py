@@ -672,12 +672,38 @@ def test_drift_flag_triggers_rebuild_and_restores_quantizer_fit(
     fit_batch_frozen = fit(shifted, idx)
     fit_base_frozen = fit(corpus, idx)
     # the flagged rebuild: retrain on the grown corpus, read back from
-    # the index's own storage — the float column is the rerank tier
+    # the index's own storage — and commit it IN PLACE as the next
+    # atomic generation (r9): the same directory keeps serving the old
+    # index until the pointer flips, and the fit() reads below resolve
+    # the NEW generation's centroids through the same pointer
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _cells_generation,
+        _gen_root,
+    )
+
     grown = spark.read.parquet(f"{idx}/cells").select("id", "emb")
-    idx2 = str(tmp_path / "ivf_rebuilt")
-    store_ivf_index(grown, idx2)
-    fit_batch_rebuilt = fit(shifted, idx2)
-    fit_base_rebuilt = fit(corpus, idx2)
+    store_ivf_index(grown, idx)
+    assert _cells_generation(idx) == 1  # committed as gen-1, one flip
+
+    def fit_current(vectors):
+        root = _gen_root(idx, _cells_generation(idx))
+        cents = spark.read.parquet(f"{root}/centroids")
+        from retail_datawarehouse_spark.operators.similarity import (
+            _nearest_cell,
+        )
+
+        assigned = _nearest_cell(_with_n2(vectors), cents, keep=1)
+        return (
+            assigned.join(cents, "cell")
+            .agg(
+                F.avg(_cosine_expr(F.col("emb"), F.col("centroid"))).alias("f")
+            )
+            .collect()[0]
+            .f
+        )
+
+    fit_batch_rebuilt = fit_current(shifted)
+    fit_base_rebuilt = fit_current(corpus)
     assert fit_batch_frozen < 0.4, fit_batch_frozen
     assert fit_batch_rebuilt > 0.9, fit_batch_rebuilt
     assert abs(fit_base_rebuilt - fit_base_frozen) < 0.1
