@@ -1018,3 +1018,67 @@ def test_residual_reconstruction_beats_raw_at_same_code_budget(
     # what the 20× operating curve records
     assert c_res > c_raw + 0.04, (c_res, c_raw)
     assert c_raw > 0.5, c_raw  # both reconstructions stay directional
+
+
+def test_generation_chain_append_compact_rebuild_composes(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Long-chain protocol composition (r9): store → append → compact
+    (gen-1) → append → REBUILD on the grown corpus (gen-2) → append →
+    compact (gen-3). After every step, full probe must equal brute
+    force over exactly the rows the index should hold — no loss, no
+    duplication, no stale-generation serving across three pointer
+    flips — and maintenance stays generation-aware (stats read the
+    current generation; the final compaction leaves one file per
+    cell)."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _cells_generation,
+        compact_ivf_index,
+        ivf_index_stats,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    parts = [corpus.filter(F.col("id") % 4 == r) for r in range(4)]
+    q = queries.limit(4)
+    idx = str(tmp_path / "ivf_chain")
+
+    def held(*dfs):
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def assert_exact(expected):
+        k = len(
+            glob.glob(
+                f"{idx}/gen-{_cells_generation(idx)}/cells/cell=*"
+                if _cells_generation(idx) > 0
+                else f"{idx}/cells/cell=*"
+            )
+        )
+        got = query_ivf_index(q, idx, nprobe=k)
+        assert _rows(got) == _rows(_brute_force(expected, q))
+
+    store_ivf_index(parts[0], idx, cells=IVF_CELLS)
+    assert_exact(parts[0])
+    append_to_ivf_index(parts[1], idx)
+    assert_exact(held(parts[0], parts[1]))
+    compact_ivf_index(spark, idx)
+    assert _cells_generation(idx) == 1
+    assert_exact(held(parts[0], parts[1]))
+    append_to_ivf_index(parts[2], idx)
+    assert_exact(held(parts[0], parts[1], parts[2]))
+    # rebuild on the grown corpus read back from the index itself,
+    # with a DIFFERENT cell count — quantizer and cells move together
+    grown = spark.read.parquet(f"{idx}/gen-1/cells").select("id", "emb")
+    store_ivf_index(grown, idx, cells=8)
+    assert _cells_generation(idx) == 2
+    assert_exact(held(parts[0], parts[1], parts[2]))
+    append_to_ivf_index(parts[3], idx)
+    assert_exact(corpus)
+    compact_ivf_index(spark, idx)
+    assert _cells_generation(idx) == 3
+    assert_exact(corpus)
+    stats = ivf_index_stats(spark, idx).collect()
+    assert all(r.n_files == 1 for r in stats)
+    assert sum(r.n_rows for r in stats) == corpus.count()
