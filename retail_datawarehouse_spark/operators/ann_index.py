@@ -480,6 +480,15 @@ def _list_cell_files(cells_dir: str) -> set[str]:
     return set(glob.glob(f"{cells_dir}/cell=*/*.parquet"))
 
 
+def _strip_file_scheme(uri: str) -> str:
+    """'file:///x/y' (DataFrame.inputFiles) → '/x/y' (glob paths)."""
+    if uri.startswith("file://"):
+        return uri[len("file://") :]
+    if uri.startswith("file:"):
+        return uri[len("file:") :]
+    return uri
+
+
 @contextmanager
 def _maintenance_lock(index_dir: str, timeout: float = 120.0):
     """POSIX ``O_EXCL`` mutual exclusion between index writers: an
@@ -584,13 +593,18 @@ def compact_ivf_index(spark, index_dir: str, _before_commit=None) -> None:
     src_gen = _cells_generation(index_dir)
     src_root = _gen_root(index_dir, src_gen)
     src_cells = f"{src_root}/cells"
-    snapshot = _list_cell_files(src_cells)
     gen = src_gen + 1
     dst_root = f"{index_dir}/gen-{gen}"
     spark.catalog.refreshByPath(src_cells)
+    reader = spark.read.parquet(src_cells)
+    # The snapshot is the EXACT file set the rewrite reads — taken from
+    # the reader's own resolved file index (Spark pins the listing at
+    # read time), not a separate directory walk: a racing append
+    # landing between a walk and the read would otherwise be BOTH
+    # rewritten and late-folded, i.e. duplicated.
+    snapshot = {_strip_file_scheme(f) for f in reader.inputFiles()}
     (
-        spark.read.parquet(src_cells)
-        .repartition("cell")
+        reader.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{dst_root}/cells")

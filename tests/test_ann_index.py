@@ -1082,3 +1082,56 @@ def test_generation_chain_append_compact_rebuild_composes(
     stats = ivf_index_stats(spark, idx).collect()
     assert all(r.n_files == 1 for r in stats)
     assert sum(r.n_rows for r in stats) == corpus.count()
+
+
+def test_threaded_append_during_compaction_loses_nothing(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The race fix under REAL concurrency (not the seam): an append
+    thread and a compaction thread run simultaneously against one
+    index. Whatever the interleaving — append lands before the
+    compactor's snapshot (rewritten normally), between snapshot and
+    commit (folded forward under the lock), or the lock serializes
+    them outright — the committed generation must serve base+batch
+    exactly, with zero row loss or duplication. Spark supports
+    concurrent actions on one session; the maintenance lock is the
+    only coordination point."""
+    import threading
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _cells_generation,
+        compact_ivf_index,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    batch = corpus.filter(F.col("id") % 9 == 0)
+    base = corpus.filter(F.col("id") % 9 != 0)
+    idx = str(tmp_path / "ivf_threaded")
+    store_ivf_index(base, idx, cells=IVF_CELLS)
+
+    errors = []
+
+    def run(fn):
+        try:
+            fn()
+        except Exception as e:  # surface thread failures in the test
+            errors.append(e)
+
+    t_append = threading.Thread(
+        target=run, args=(lambda: append_to_ivf_index(batch, idx),)
+    )
+    t_compact = threading.Thread(
+        target=run, args=(lambda: compact_ivf_index(spark, idx),)
+    )
+    t_append.start()
+    t_compact.start()
+    t_append.join(timeout=240)
+    t_compact.join(timeout=240)
+    assert not t_append.is_alive() and not t_compact.is_alive()
+    assert not errors, errors
+    assert _cells_generation(idx) == 1
+    # zero loss, zero duplication, one consistent serving
+    served = spark.read.parquet(f"{idx}/gen-1/cells").select("id")
+    assert served.count() == served.distinct().count() == corpus.count()
+    got = query_ivf_index(queries, idx, nprobe=IVF_CELLS)
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
