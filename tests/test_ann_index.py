@@ -1135,3 +1135,31 @@ def test_threaded_append_during_compaction_loses_nothing(
     assert served.count() == served.distinct().count() == corpus.count()
     got = query_ivf_index(queries, idx, nprobe=IVF_CELLS)
     assert _rows(got) == _rows(_brute_force(corpus, queries))
+
+
+def test_planted_near_dup_recall_survives_the_pq_tier(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The dedup contract THROUGH the compressed tier (r9): a
+    scale-invariant copy probed at nprobe=1 against the residual
+    IVFADC index retrieves its parent at rank 1 on PURE ADC —
+    no rerank, codes only. This is the complement of the suite's
+    recall-honesty note: top-3 over random near-tie candidates is
+    where 32× compression honestly loses rank agreement, but a true
+    near-dup's cosine-1 gap dwarfs the reconstruction error, so the
+    candidate-generation contract the dedup pipeline needs holds at
+    the cheapest serving point (measured 70/70 at sf0.01, both
+    pq modes, every rerank setting — deterministic)."""
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivfadc_planted")
+    store_ivf_index(corpus, idx, pq=True)  # auto cells, routed, residual
+    parents = corpus.filter(F.col("id") % 7 == 0)
+    n = parents.count()
+    probes = parents.select(
+        "id", F.transform("emb", lambda x: x * F.lit(0.5)).alias("emb")
+    )
+    got = query_ivf_index(probes, idx, nprobe=1, pq=True)  # pure ADC
+    hits = got.filter(
+        (F.col("rank") == 1) & (F.col("candidate_id") == F.col("query_id"))
+    ).count()
+    assert hits == n, (hits, n)
