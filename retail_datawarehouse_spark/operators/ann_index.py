@@ -28,10 +28,15 @@ table, and the packed codebook rides as a second sidecar. A PQ query
 reads ONLY (id, codes, recon_n2, cell) from the probed cell
 directories — parquet column pruning never touches the float column,
 so the scan is the codes-sized ADC pass; reconstructions are rebuilt
-map-side from the broadcast codebook. At 100 TB the float column is
-what you DROP (or tier to cold storage for exact re-rank) — kept here
-so one table serves both tiers, which is precisely what columnar
-storage is for.
+map-side from the broadcast codebook. The codes quantize the RESIDUAL
+v − centroid(cell) by default (r9 — Jégou's true IVFADC; the
+``_residual`` tag on the codebook sidecar dispatches the decode, and
+reconstruction adds the already-broadcast centroid back map-side, so
+the scan shape is unchanged); ``pq_mode="raw"`` keeps whole-vector
+codes as the ``_pq_topk`` exactness twin's layout. At 100 TB the
+float column is what you DROP (or tier to cold storage for exact
+re-rank) — kept here so one table serves both tiers, which is
+precisely what columnar storage is for.
 
 Cell count defaults to the ``√N`` occupancy rule derived IN-PLAN from
 a 1-row broadcast count (r6 verdict #5) with hash-thresholded,
@@ -79,8 +84,9 @@ panel is the signal for it — composed end-to-end in test_ann_index's
 drift-triggered-rebuild test), not a per-batch cost. Serving
 correctness is probe-count-bounded exactly as for the built index:
 nprobe=K degrades gracefully to exact search (float path) / the full
-ADC scan (PQ path), pinned by test against brute force / ``_pq_topk``
-over the grown corpus.
+ADC scan (PQ path), pinned by test against brute force, the in-memory
+``_pq_topk`` (raw mode), and the suite's residual branch (residual
+mode) over the grown corpus.
 """
 
 from __future__ import annotations
