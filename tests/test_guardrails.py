@@ -517,3 +517,24 @@ def test_rejects_null_safe_grain_equality_join(spark, snap):
     )
     with pytest.raises(SemiAdditiveViolation):
         assert_semi_additive_safe(bad)
+
+
+def test_rejects_pin_behind_union_inside_pinned_branch(spark, snap):
+    """Union reuses its FIRST child's exprIds for values merged from
+    EVERY child, so a pin filter on one union child does not pin the
+    union output — the safe-path whitelist stops the descent at Union
+    and the plan correctly alarms (fail-closed), even though the
+    pinned child's attribute id is exactly the one the join equates."""
+    dim_all = spark.createDataFrame(
+        [("1998-01-01", "Jan"), ("1998-02-01", "Feb"), ("1998-03-01", "Mar")],
+        "month_start string, month_name string",
+    )
+    pinned_child = dim_all.filter(F.col("month_start") == "1998-02-01")
+    dim_side = pinned_child.unionByName(dim_all)  # first child pinned
+    bad = (
+        snap.join(dim_side, "month_start")
+        .groupBy()
+        .agg(F.sum("customer_lifetime_spent").alias("s"))
+    )
+    with pytest.raises(SemiAdditiveViolation):
+        assert_semi_additive_safe(bad)
