@@ -390,7 +390,15 @@ def store_ivf_index(
     committed with the one-pointer flip; a crash before the flip
     leaves the previous generation serving, intact, and appends that
     landed in the superseded generation during the build are folded
-    forward (re-assigned against the NEW quantizer) before the flip."""
+    forward (re-assigned against the NEW quantizer) before the flip.
+
+    Rebuild corpus provenance: the fold-forward covers appends landing
+    AFTER this call takes its snapshot (function entry). An append
+    that completed between the CALLER reading its rebuild corpus and
+    calling here is in neither — read the corpus from the index's own
+    cells table as close to the call as possible (the drift→rebuild
+    composition does exactly that), or quiesce appends around the
+    rebuild."""
     existing = os.path.isdir(
         f"{_gen_root(index_dir, _cells_generation(index_dir))}/centroids"
     )
