@@ -569,6 +569,44 @@ def ivf_index_stats(spark, index_dir: str) -> DataFrame:
     )
 
 
+def reap_ivf_generations(index_dir: str) -> list[str]:
+    """Delete SUPERSEDED generations — the out-of-band reclamation the
+    compaction/rebuild docstrings defer to. Returns the paths removed.
+
+    Every committed maintenance op leaves its predecessor on disk for
+    in-flight readers (deleting a parquet directory under an active
+    scan breaks the reader — the object-store reality the CDC protocol
+    shares). Once the operator knows no reader can still hold a
+    superseded generation (a retention window, a drain boundary, a
+    session bounce), this reclaims the space: every ``gen-N`` root
+    below the committed generation, plus the flat gen-0 layout
+    (``cells``/``centroids``/``codebook`` at the index root) when the
+    pointer has moved past it. The CURRENT generation is never
+    touched; with no pointer (still gen 0) this is a no-op. Runs under
+    the maintenance lock so it serializes with a compactor/rebuilder
+    whose source IS the current generation (never a reaped one — they
+    read the generation committed at their entry, and the pointer only
+    moves forward)."""
+    removed: list[str] = []
+    with _maintenance_lock(index_dir):
+        current = _cells_generation(index_dir)
+        if current == 0:
+            return removed
+        import shutil
+
+        for name in ("cells", "centroids", "codebook"):
+            path = f"{index_dir}/{name}"
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+                removed.append(path)
+        for gen in range(1, current):
+            path = f"{index_dir}/gen-{gen}"
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+                removed.append(path)
+    return removed
+
+
 def compact_ivf_index(spark, index_dir: str, _before_commit=None) -> None:
     """Rewrite the cell-partitioned table at ONE file per cell and
     commit it with a single atomic pointer rename — the serving-tier

@@ -1163,3 +1163,51 @@ def test_planted_near_dup_recall_survives_the_pq_tier(
         (F.col("rank") == 1) & (F.col("candidate_id") == F.col("query_id"))
     ).count()
     assert hits == n, (hits, n)
+
+
+def test_reap_removes_only_superseded_generations(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Lifecycle completion (r9): after store → append → compact
+    (gen-1) → rebuild (gen-2), ``reap_ivf_generations`` removes the
+    flat gen-0 layout and gen-1, leaves gen-2 serving byte-identically,
+    and the index keeps evolving afterwards (append + compact to
+    gen-3). Reaping an un-compacted index is a no-op."""
+    import os as _os
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _cells_generation,
+        compact_ivf_index,
+        reap_ivf_generations,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    half = corpus.filter(F.col("id") % 2 == 0)
+    rest = corpus.filter(F.col("id") % 2 == 1)
+    idx = str(tmp_path / "ivf_reap")
+    store_ivf_index(half, idx, cells=IVF_CELLS)
+    assert reap_ivf_generations(idx) == []  # gen 0: nothing to reap
+    append_to_ivf_index(rest, idx)
+    compact_ivf_index(spark, idx)
+    store_ivf_index(
+        spark.read.parquet(f"{idx}/gen-1/cells").select("id", "emb"),
+        idx,
+        cells=8,
+    )
+    assert _cells_generation(idx) == 2
+    before = _rows(query_ivf_index(queries, idx, nprobe=8))
+    removed = reap_ivf_generations(idx)
+    assert f"{idx}/cells" in removed and f"{idx}/gen-1" in removed
+    assert not _os.path.isdir(f"{idx}/cells")
+    assert not _os.path.isdir(f"{idx}/gen-1")
+    assert _os.path.isdir(f"{idx}/gen-2/cells")
+    spark.catalog.refreshByPath(f"{idx}/gen-2/cells")
+    assert _rows(query_ivf_index(queries, idx, nprobe=8)) == before
+    # the index keeps evolving on top of the reaped layout
+    extra = corpus.limit(1).select((F.col("id") + 7_000_000).alias("id"), "emb")
+    append_to_ivf_index(extra, idx)
+    compact_ivf_index(spark, idx)
+    assert _cells_generation(idx) == 3
+    assert spark.read.parquet(f"{idx}/gen-3/cells").count() == (
+        corpus.count() + 1
+    )
