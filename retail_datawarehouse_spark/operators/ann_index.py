@@ -569,6 +569,58 @@ def ivf_index_stats(spark, index_dir: str) -> DataFrame:
     )
 
 
+def maintain_ivf_index(
+    spark,
+    index_dir: str,
+    max_files_per_cell: int = 8,
+    skew_ratio: float = 8.0,
+) -> dict:
+    """The maintenance POLICY sweep — the autopilot loop a long-lived
+    serving index runs between drains, turning the ``ivf_index_stats``
+    health panel into actions and signals:
+
+    - small-files: if any cell's file count exceeds
+      ``max_files_per_cell`` (appends leave ≥1 file per landed cell
+      per batch), run ``compact_ivf_index`` — probe cost at fixed
+      nprobe tracks per-cell FILE count, so this is the lever that
+      keeps wave latency flat under continuous ingestion.
+    - occupancy skew: if max(cell rows) / mean(cell rows) exceeds
+      ``skew_ratio``, RECOMMEND a rebuild (returned as a flag, never
+      executed here: the rebuild corpus' provenance belongs to the
+      caller — see ``store_ivf_index``'s rebuild contract). Skew is
+      the quantizer-staleness signal the drift monitor can't see: a
+      distribution can drift WITHIN its TVD bins yet pile into few
+      cells, quietly turning nprobe pruning into a near-full scan.
+
+    The stats read is one K-row panel that decodes zero data columns;
+    collecting it is index-open metadata, the same class as the
+    routing scalar. Returns the report:
+    ``{"cells", "max_files", "skew", "compacted",
+    "rebuild_recommended"}``."""
+    rows = ivf_index_stats(spark, index_dir).collect()
+    n_cells = len(rows)
+    max_files = max((r.n_files for r in rows), default=0)
+    mean_rows = (
+        sum(r.n_rows for r in rows) / n_cells if n_cells else 0.0
+    )
+    skew = (
+        max((r.n_rows for r in rows), default=0) / mean_rows
+        if mean_rows
+        else 0.0
+    )
+    compacted = False
+    if max_files > max_files_per_cell:
+        compact_ivf_index(spark, index_dir)
+        compacted = True
+    return {
+        "cells": n_cells,
+        "max_files": max_files,
+        "skew": round(skew, 4),
+        "compacted": compacted,
+        "rebuild_recommended": skew > skew_ratio,
+    }
+
+
 def reap_ivf_generations(index_dir: str) -> list[str]:
     """Delete SUPERSEDED generations — the out-of-band reclamation the
     compaction/rebuild docstrings defer to. Returns the paths removed.

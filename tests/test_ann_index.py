@@ -1211,3 +1211,60 @@ def test_reap_removes_only_superseded_generations(
     assert spark.read.parquet(f"{idx}/gen-3/cells").count() == (
         corpus.count() + 1
     )
+
+
+def test_maintain_policy_compacts_on_small_files_and_flags_skew(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The autopilot loop (r9): ``maintain_ivf_index`` turns the stats
+    panel into actions. (a) Below the file cap it is a no-op with an
+    honest report; (b) after enough appends to breach the cap it
+    compacts (generation advances, every cell back to one file,
+    serving identical); (c) a heavily skewed ingest (many copies of
+    ONE direction landing in one cell) flips ``rebuild_recommended``
+    without executing a rebuild — corpus provenance stays with the
+    caller."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _cells_generation,
+        ivf_index_stats,
+        maintain_ivf_index,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivf_maintain")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    rep0 = maintain_ivf_index(spark, idx, max_files_per_cell=8)
+    assert rep0["compacted"] is False and _cells_generation(idx) == 0
+    assert rep0["cells"] == IVF_CELLS
+    # accrete files past the cap: 9 appends of rows that land SOMEWHERE
+    batch = corpus.filter(F.col("id") % 31 == 0)
+    for i in range(9):
+        append_to_ivf_index(
+            batch.select((F.col("id") + (i + 1) * 1_000_000).alias("id"), "emb"),
+            idx,
+        )
+    before = _rows(query_ivf_index(queries, idx, nprobe=IVF_CELLS))
+    rep1 = maintain_ivf_index(spark, idx, max_files_per_cell=8)
+    assert rep1["max_files"] > 8 and rep1["compacted"] is True
+    assert _cells_generation(idx) == 1
+    assert all(
+        r.n_files == 1 for r in ivf_index_stats(spark, idx).collect()
+    )
+    assert _rows(query_ivf_index(queries, idx, nprobe=IVF_CELLS)) == before
+    assert rep1["rebuild_recommended"] is False  # replicated batch is spread
+    # skewed ingest: many scaled copies of one vector pile into one cell
+    one = corpus.limit(1)
+    skewed = one.crossJoin(
+        spark.range(1, 400).select((F.col("id") * 2).alias("_m"))
+    ).select(
+        (F.col("id") * 100_000 + F.col("_m")).alias("id"),
+        F.transform("emb", lambda x: x * (F.col("_m") / F.lit(100.0))).alias(
+            "emb"
+        ),
+    ).select("id", F.col("emb").cast("array<float>").alias("emb"))
+    append_to_ivf_index(skewed, idx)
+    rep2 = maintain_ivf_index(
+        spark, idx, max_files_per_cell=50, skew_ratio=3.0
+    )
+    assert rep2["rebuild_recommended"] is True, rep2
+    assert rep2["compacted"] is False  # under the raised file cap
