@@ -448,7 +448,7 @@ def _write_index(
     else:
         assigned, centroids = _build_index(withn2, cells)
     if pq and pq_mode == "residual":
-        packed = _residual_codebook(_residualize(assigned, centroids))
+        packed = _residual_codebook(assigned, centroids)
         packed.write.mode("overwrite").parquet(f"{root}/codebook")
         rows = _encode_assigned(assigned, packed, centroids)
     elif pq:

@@ -1366,16 +1366,47 @@ def _residualize(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def _residual_codebook(resframe: DataFrame) -> DataFrame:
+def _residual_codebook(
+    assigned: DataFrame, centroids: DataFrame
+) -> DataFrame:
     """PQ codebook trained on the RESIDUALS of the standard
     hash-ranked sample (same sampled ids as the raw-PQ codebook — the
     rank is over ids, not values), packed into one broadcast row and
     TAGGED ``_residual`` so a stored codebook sidecar self-describes
-    its encoding (the query/append paths dispatch on the tag)."""
-    cand = resframe.select(
-        F.col("id").alias("candidate_id"), F.col("res").alias("c_emb")
+    its encoding (the query/append paths dispatch on the tag).
+
+    Sample-FIRST, residualize 256 rows: the rank depends only on ids,
+    so the training branch picks the sample from (id, emb, cell) and
+    joins the K-row centroid table for just those rows — residualizing
+    the full corpus here would re-fold N zip_withs that TakeOrdered
+    evaluates before discarding (the encode pass computes the corpus
+    residuals anyway; the train branch shouldn't pay them twice).
+    Values are identical by construction: same sampled ids, same
+    tie-break, same pinned subtraction."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_hrank", "candidate_id")
+    sample = (
+        assigned.select(
+            F.col("id").alias("candidate_id"),
+            "emb",
+            "cell",
+            _train_rank_col(F.col("id")).alias("_hrank"),
+        )
+        .orderBy("_hrank", "candidate_id")
+        .limit(PQ_TRAIN_N)
+        .withColumn("trank", F.row_number().over(w) - 1)
     )
-    packed = _pq_codebook(cand, train=_pq_train_sample(cand))
+    res_sample = sample.join(
+        F.broadcast(centroids.select("cell", "centroid")), "cell"
+    ).select(
+        "candidate_id",
+        F.zip_with(
+            "emb", "centroid", lambda x, y: x.cast("double") - y
+        ).alias("c_emb"),
+        "trank",
+    )
+    packed = _pq_codebook(res_sample, train=res_sample)
     return packed.withColumn("_residual", F.lit(True))
 
 
@@ -1393,7 +1424,7 @@ def _residual_coded(
     path); the append path passes the FROZEN stored codebook."""
     resf = _residualize(assigned, centroids)
     if packed is None:
-        packed = _residual_codebook(resf)
+        packed = _residual_codebook(assigned, centroids)
     coded = _pq_encode(
         resf,  # unused when packed is given
         resf.select(
