@@ -350,6 +350,7 @@ def store_ivf_index(
     cells: int | str = "auto",
     pq: bool = False,
     pq_mode: str = "residual",
+    pq_k: int | None = None,
 ) -> None:
     """Build the IVF index over (id, emb) and persist it as a
     cell-partitioned parquet table + a centroid sidecar. One-time
@@ -382,6 +383,15 @@ def store_ivf_index(
     mode (``_residual`` tag), so appends and queries dispatch without
     caller coordination.
 
+    ``pq_k``: codes per subspace codebook (default: the suite's
+    fixture constant, 16). The r9 budget probe measured the lever at
+    20×: pq_k=64 matches the recall PQ_K=16 needed R=64 float reads
+    for at R=16 — a 4× rerank-I/O cut for the same 8 stored code ints
+    per vector (what grows is the codebook sidecar, 128→512 rows, and
+    the one-time encode fold). Bounded by the training sample size;
+    the codebook sidecar is self-contained, so appends and queries
+    adapt with zero caller coordination (tools/pq_budget_r09.json).
+
     Storing over an EXISTING index is the ATOMIC REBUILD (r9; closes
     the ADVICE-r8 stale-pointer bug where a rebuild into a compacted
     dir overwrote sidecars in place while reads kept resolving the old
@@ -403,14 +413,14 @@ def store_ivf_index(
         f"{_gen_root(index_dir, _cells_generation(index_dir))}/centroids"
     )
     if not existing:
-        _write_index(corpus, index_dir, cells, pq, pq_mode)
+        _write_index(corpus, index_dir, cells, pq, pq_mode, pq_k)
         return
     src_gen = _cells_generation(index_dir)
     src_cells = f"{_gen_root(index_dir, src_gen)}/cells"
     snapshot = _list_cell_files(src_cells)
     gen = src_gen + 1
     root = f"{index_dir}/gen-{gen}"
-    _write_index(corpus, root, cells, pq, pq_mode)
+    _write_index(corpus, root, cells, pq, pq_mode, pq_k)
     spark = corpus.sparkSession
     with _maintenance_lock(index_dir):
         late = sorted(_list_cell_files(src_cells) - snapshot)
@@ -434,6 +444,7 @@ def _write_index(
     cells: int | str,
     pq: bool,
     pq_mode: str = "residual",
+    pq_k: int | None = None,
 ) -> None:
     """One full index generation under ``root``: the cell-partitioned
     table plus the centroid (and, with ``pq``, codebook) sidecars —
@@ -448,14 +459,16 @@ def _write_index(
     else:
         assigned, centroids = _build_index(withn2, cells)
     if pq and pq_mode == "residual":
-        packed = _residual_codebook(assigned, centroids)
+        packed = _residual_codebook(assigned, centroids, pq_k=pq_k)
         packed.write.mode("overwrite").parquet(f"{root}/codebook")
         rows = _encode_assigned(assigned, packed, centroids)
     elif pq:
         as_cand = withn2.select(
             F.col("id").alias("candidate_id"), F.col("emb").alias("c_emb")
         )
-        packed = _pq_codebook(as_cand, train=_pq_train_sample(as_cand))
+        packed = _pq_codebook(
+            as_cand, train=_pq_train_sample(as_cand), pq_k=pq_k
+        )
         packed.write.mode("overwrite").parquet(f"{root}/codebook")
         rows = _encode_assigned(assigned, packed)
     else:

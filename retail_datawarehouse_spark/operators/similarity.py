@@ -1099,7 +1099,9 @@ _DUCK_L2 = (
 )
 
 
-def _pq_codebook(c: DataFrame, train: DataFrame | None = None) -> DataFrame:
+def _pq_codebook(
+    c: DataFrame, train: DataFrame | None = None, pq_k: int | None = None
+) -> DataFrame:
     """Train the PQ_M × PQ_K codebook over the bounded training sample
     (``_pq_train_sample``'s hash-ranked PQ_TRAIN_N rows, or a caller-
     provided (candidate_id, c_emb, trank) frame) and pack it into ONE
@@ -1125,8 +1127,15 @@ def _pq_codebook(c: DataFrame, train: DataFrame | None = None) -> DataFrame:
         .withColumn("subvec", F.expr(f"slice(c_emb, s * {_PQ_SUB} + 1, {_PQ_SUB})"))
         .drop("c_emb")
     )
+    if pq_k is None:
+        pq_k = PQ_K
+    if not 1 <= pq_k <= PQ_TRAIN_N:
+        raise ValueError(
+            f"pq_k must be in [1, {PQ_TRAIN_N}] (seeds come from the "
+            f"bounded training sample): {pq_k}"
+        )
     seeds_sub = (
-        train.filter(F.col("trank") < PQ_K)
+        train.filter(F.col("trank") < pq_k)
         .select(F.col("trank").alias("cell"), "c_emb", explode_s)
         .withColumn("seedvec", F.expr(f"slice(c_emb, s * {_PQ_SUB} + 1, {_PQ_SUB})"))
         .drop("c_emb")
@@ -1367,7 +1376,7 @@ def _residualize(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def _residual_codebook(
-    assigned: DataFrame, centroids: DataFrame
+    assigned: DataFrame, centroids: DataFrame, pq_k: int | None = None
 ) -> DataFrame:
     """PQ codebook trained on the RESIDUALS of the standard
     hash-ranked sample (same sampled ids as the raw-PQ codebook — the
@@ -1406,7 +1415,7 @@ def _residual_codebook(
         ).alias("c_emb"),
         "trank",
     )
-    packed = _pq_codebook(res_sample, train=res_sample)
+    packed = _pq_codebook(res_sample, train=res_sample, pq_k=pq_k)
     return packed.withColumn("_residual", F.lit(True))
 
 

@@ -1268,3 +1268,66 @@ def test_maintain_policy_compacts_on_small_files_and_flags_skew(
     )
     assert rep2["rebuild_recommended"] is True, rep2
     assert rep2["compacted"] is False  # under the raised file cap
+
+
+def test_store_time_pq_k_widens_codebook_and_stays_exact(
+    spark, sf_correctness_dir, tmp_path
+):
+    """``pq_k`` is a store-time knob (r9 budget probe: 64 codes per
+    subspace matches R=64 recall at R=16). Pins: (a) the sidecar
+    genuinely carries pq_k cells per subspace and stored codes use the
+    widened range, (b) the exactness ladder is budget-independent —
+    full probe + large R ≡ brute force, (c) an append encodes against
+    the FROZEN widened codebook code-for-code (sidecar
+    self-containment: nothing but the store call ever names pq_k),
+    (d) an out-of-range pq_k raises."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _encode_assigned,
+        _with_n2,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    holdout = corpus.filter(F.col("id") % 17 == 0)
+    base = corpus.filter(F.col("id") % 17 != 0)
+    idx = str(tmp_path / "ivfadc_k64")
+    store_ivf_index(base, idx, cells=IVF_CELLS, pq=True, pq_k=64)
+    packed = spark.read.parquet(f"{idx}/codebook")
+    cb = packed.collect()[0]._cb
+    per_s = {}
+    for e in cb:
+        per_s.setdefault(e.s, set()).add(e.cell)
+    assert all(len(cells) == 64 for cells in per_s.values()), {
+        s: len(c) for s, c in per_s.items()
+    }
+    codes_max = (
+        spark.read.parquet(f"{idx}/cells")
+        .agg(F.max(F.array_max("codes")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert codes_max > 15  # the widened range is actually used
+    append_to_ivf_index(holdout, idx)
+    got = query_ivf_index(
+        queries, idx, nprobe=IVF_CELLS, pq=True, rerank=10**6
+    )
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    holdout_ids = {r.id for r in holdout.select("id").collect()}
+    stored = {
+        r.id: (tuple(r.codes), int(r.cell))
+        for r in spark.read.parquet(f"{idx}/cells").collect()
+        if r.id in holdout_ids
+    }
+    expect = {
+        r.id: (tuple(r.codes), int(r.cell))
+        for r in _encode_assigned(
+            _nearest_cell(_with_n2(holdout), centroids, keep=1),
+            packed,
+            centroids,
+        ).collect()
+    }
+    assert stored == expect
+    with pytest.raises(Exception, match="pq_k"):
+        store_ivf_index(
+            corpus, str(tmp_path / "bad"), pq=True, pq_k=10**6
+        )
