@@ -658,27 +658,75 @@ def _commit_generation(index_dir: str, gen: int) -> None:
     os.rename(tmp, f"{index_dir}/CURRENT")
 
 
-def ivf_index_stats(spark, index_dir: str) -> DataFrame:
+def ivf_index_stats(
+    spark, index_dir: str, mode: str = "footer"
+) -> DataFrame:
     """Serving-health panel: one row per cell — (cell, n_rows,
     n_files). Occupancy skew is the quantizer-staleness signal the
     drift monitor can't see (a distribution can drift WITHIN the same
     TVD bins yet pile into few cells, turning nprobe pruning into a
     near-full scan), and n_files is the small-files signal incremental
     appends accrue (every append writes ≥1 file per landed cell — a
-    long-lived index degrades until compaction). Both derive from ONE
-    scan that decodes ZERO data columns: ``cell`` is the partition
-    column and the file name is split metadata
-    (``F.input_file_name``), so the pass reads footers + row
-    iteration, never vectors or codes. The file name is projected
-    BELOW the aggregate: Spark (correctly) rejects a non-deterministic
+    long-lived index degrades until compaction).
+
+    ``mode="footer"`` (default; r10, closing the r9 verdict's O(rows)
+    nit) is O(FILES), independent of corpus size: the cell id is the
+    hive partition directory name and the row count is already in
+    every parquet FOOTER, so the panel is one Arrow-batched
+    ``mapInPandas`` pass over the (cell, file) listing that reads K·F
+    footers and zero data pages — at 100 TB the health check costs
+    seconds, not a corpus-length row iteration. Footer counts are
+    exact (parquet's num_rows is authoritative), so the two modes are
+    value-identical (pinned by test). Executors must be able to open
+    the index paths with pyarrow (true for local/NFS/fuse mounts; an
+    object-store deployment plugs an fsspec filesystem or falls back).
+
+    ``mode="scan"`` is the storage-agnostic fallback: one Spark scan
+    that decodes ZERO data columns (``cell`` is the partition column,
+    the file name is split metadata via ``F.input_file_name``) but
+    still iterates every row. The file name is projected BELOW the
+    aggregate: Spark (correctly) rejects a non-deterministic
     expression as an aggregate argument, but a Project may hold one —
     and per-row it IS well-defined (the split the row came from)."""
-    cells = spark.read.parquet(_cells_path(index_dir)).select(
-        "cell", F.input_file_name().alias("_file")
-    )
-    return cells.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("_file").alias("n_files"),
+    if mode not in ("footer", "scan"):
+        raise ValueError(f"mode must be 'footer' or 'scan': {mode!r}")
+    cells_path = _cells_path(index_dir)
+    if mode == "scan":
+        cells = spark.read.parquet(cells_path).select(
+            "cell", F.input_file_name().alias("_file")
+        )
+        return cells.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_file").alias("n_files"),
+        )
+
+    def _cell_of(path: str) -> str:
+        # Raw hive-partition value, kept as STRING: the session pins
+        # partitionColumnTypeInference off (oracle-hash stability), so
+        # the scan mode's cell column is a string — the two modes must
+        # be drop-in interchangeable.
+        return os.path.basename(os.path.dirname(path))[len("cell=") :]
+
+    listing = [
+        (_cell_of(p), p) for p in sorted(_list_cell_files(cells_path))
+    ]
+
+    def _read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["n_rows"] = [
+                pq.ParquetFile(f).metadata.num_rows for f in pdf["_file"]
+            ]
+            yield pdf[["cell", "n_rows"]]
+
+    per_file = spark.createDataFrame(
+        listing, "cell string, _file string"
+    ).mapInPandas(_read_footers, "cell string, n_rows long")
+    return per_file.groupBy("cell").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_files"),
     )
 
 
