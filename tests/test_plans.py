@@ -713,3 +713,44 @@ def test_catalog_shuffle_budget(spark, sf_dir):
         if n > SHUFFLE_BUDGET[name]:
             over[name] = (n, SHUFFLE_BUDGET[name])
     assert not over, f"shuffle budget exceeded (got, ceiling): {over}"
+
+
+def test_hash_key_mode_dims_plan_no_unpartitioned_window(spark, sf_dir):
+    """SURVEY.md §1.1 scale path (r9 verdict "What's missing" #1): with
+    ``key_mode="hash"`` every extracted dim assigns its surrogate as a
+    map-side ``xxhash64(natural key)`` — ZERO Window nodes anywhere in
+    the plan (the oracle default's row_number runs over one partition:
+    fine for a catalog-scale dim, corpus-sized at a real retailer's
+    DimCustomer). Customer/product dims are additionally shuffle-free
+    end-to-end (broadcast joins / pure projection); payment/shipping
+    keep only the DISTINCT extraction's shuffle, which is the A10
+    operator itself, not the key."""
+    from retail_datawarehouse_spark.dims.extracted import (
+        q_dim_customer,
+        q_dim_location,
+        q_dim_payment,
+        q_dim_product,
+        q_dim_shipping,
+    )
+    from retail_datawarehouse_spark.plans.explain import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    dims = {
+        "customer": q_dim_customer,
+        "product": q_dim_product,
+        "location": q_dim_location,
+        "payment": q_dim_payment,
+        "shipping": q_dim_shipping,
+    }
+    for name, fn in dims.items():
+        hashed = fn(spark, sf_dir, key_mode="hash")
+        plan = formatted_plan(hashed)
+        assert "Window" not in plan, (name, plan)
+        assert "xxhash64" in plan.lower(), name
+        # the oracle default DOES carry the window — the modes differ
+        # exactly where SURVEY.md says they should
+        assert "Window" in formatted_plan(fn(spark, sf_dir))
+    assert shuffle_count(q_dim_customer(spark, sf_dir, key_mode="hash")) == 0
+    assert shuffle_count(q_dim_product(spark, sf_dir, key_mode="hash")) == 0
