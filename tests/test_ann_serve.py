@@ -331,3 +331,110 @@ def test_mid_drain_rebuild_serves_next_wave_wholly_from_new_generation(
     assert _rows(w1) == _rows(_brute_force(corpus, q))
     assert _rows(w0) == expected_w0  # served wholly by gen-0
     assert _rows(w0) != _rows(w1)  # the rebuild is observable
+
+
+def test_full_maintenance_lifecycle_under_live_serving(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The whole operational loop a long-lived serving index runs,
+    composed end-to-end under a live (checkpointed, incremental) drain
+    (r9 verdict next-round #3): ingest appends until the file cap
+    trips → ``maintain_ivf_index`` autopilot compacts → a planted
+    skewed ingest trips ``rebuild_recommended`` → the caller executes
+    the rebuild as the next generation → superseded generations are
+    reaped — with serving EXACTNESS asserted at every wave boundary
+    (each wave ≡ brute force over exactly the rows the index holds, at
+    full probe of the current generation's cell count) and identity
+    asserted across the pure-maintenance steps (compaction and reap
+    change no answer)."""
+    import glob as _glob
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _cells_generation,
+        _cells_path,
+        maintain_ivf_index,
+        reap_ivf_generations,
+    )
+    from tests.test_ann_index import _brute_force
+
+    root = str(tmp_path)
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx, landing = f"{root}/idx", f"{root}/landing"
+    results, ckpt = f"{root}/results", f"{root}/ckpt"
+    q = queries.limit(4)
+
+    def drain(wave):
+        _land_wave(spark, root, landing, wave, q)
+        nprobe = len(_glob.glob(f"{_cells_path(idx)}/cell=*"))
+        run_ann_serve_available_now(
+            spark, landing, idx, results, nprobe=nprobe, checkpoint_dir=ckpt
+        )
+        return _rows(
+            read_ann_results(spark, results)
+            .filter(F.col("wave") == wave)
+            .drop("wave")
+        )
+
+    def held(*dfs):
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    # wave 0: fresh index
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    assert drain(0) == _rows(_brute_force(corpus, q))
+
+    # ingest: appends fragment cells past the file cap
+    batch = corpus.filter(F.col("id") % 31 == 0)
+    batches = []
+    for i in range(9):
+        b = batch.select(
+            (F.col("id") + (i + 1) * 1_000_000).alias("id"), "emb"
+        )
+        append_to_ivf_index(b, idx)
+        batches.append(b)
+    w1 = drain(1)
+    assert w1 == _rows(_brute_force(held(corpus, *batches), q))
+
+    # autopilot: stats -> compact (gen-1); serving identical pre/post
+    rep = maintain_ivf_index(spark, idx, max_files_per_cell=8)
+    assert rep["compacted"] is True and rep["superseded"] is False
+    assert _cells_generation(idx) == 1
+    assert drain(2) == w1
+
+    # planted skew trips the rebuild flag (the drift signal the TVD
+    # monitor can't see: occupancy piling into one cell)
+    one = corpus.limit(1)
+    skewed = (
+        one.crossJoin(
+            spark.range(1, 400).select((F.col("id") * 2).alias("_m"))
+        )
+        .select(
+            (F.col("id") * 100_000 + F.col("_m")).alias("id"),
+            F.transform(
+                "emb", lambda x: x * (F.col("_m") / F.lit(100.0))
+            ).alias("emb"),
+        )
+        .select("id", F.col("emb").cast("array<float>").alias("emb"))
+    )
+    append_to_ivf_index(skewed, idx)
+    rep2 = maintain_ivf_index(
+        spark, idx, max_files_per_cell=50, skew_ratio=3.0
+    )
+    assert rep2["rebuild_recommended"] is True and rep2["compacted"] is False
+
+    # the caller executes the recommended rebuild: corpus read back
+    # from the index's own current generation, committed as gen-2
+    grown = spark.read.parquet(_cells_path(idx)).select("id", "emb")
+    store_ivf_index(grown, idx, cells=8)
+    assert _cells_generation(idx) == 2
+    w3 = drain(3)
+    assert w3 == _rows(_brute_force(held(corpus, *batches, skewed), q))
+
+    # reap superseded generations; serving unchanged
+    removed = reap_ivf_generations(idx)
+    assert f"{idx}/cells" in removed and f"{idx}/gen-1" in removed
+    assert not os.path.isdir(f"{idx}/gen-1")
+    spark.catalog.refreshByPath(_cells_path(idx))
+    assert drain(4) == w3
