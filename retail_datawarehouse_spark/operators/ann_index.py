@@ -792,6 +792,58 @@ def maintain_ivf_index(
     }
 
 
+def rebuild_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    cells: int | str = "auto",
+    pq: bool | None = None,
+    pq_mode: str = "residual",
+    pq_k: int | None = None,
+) -> None:
+    """Execute the rebuild ``maintain_ivf_index`` recommends: retrain
+    the quantizer on the index's OWN current contents and commit the
+    result as the next atomic generation — with ZERO provenance gap.
+    ``store_ivf_index``-over-existing necessarily has one (its corpus
+    is caller-supplied, so an append completing between the caller's
+    corpus read and the call is in neither the corpus nor the
+    fold-forward — documented there); here the corpus IS the index, so
+    the rebuild pins its corpus reader and its snapshot as the SAME
+    file listing, taken under the maintenance lock: every row is
+    either in the rebuild corpus (listed file) or re-assigned by the
+    locked fold-forward (landed later) — never both (no duplication),
+    never neither (no loss).
+
+    ``pq=None`` (default) keeps the index's current tier (codebook
+    sidecar present ⇒ PQ); pass True/False to change tier at rebuild
+    time. Other knobs pass through to the build. Same abort contract
+    as every maintainer: ``ConcurrentMaintenanceError`` if another
+    maintainer commits first."""
+    if pq is None:
+        pq = _is_pq_index(index_dir)
+    with _maintenance_lock(index_dir):
+        src_gen = _cells_generation(index_dir)
+        src_cells = f"{_gen_root(index_dir, src_gen)}/cells"
+        spark.catalog.refreshByPath(src_cells)
+        reader = spark.read.parquet(src_cells)
+        # corpus ≡ snapshot: the reader's pinned file index is both
+        snapshot = {_strip_file_scheme(f) for f in reader.inputFiles()}
+        gen, root = _reserve_generation(index_dir, src_gen)
+    _write_index(reader.select("id", "emb"), root, cells, pq, pq_mode, pq_k)
+    with _maintenance_lock(index_dir):
+        _abort_if_superseded(index_dir, src_gen, root)
+        late = sorted(_list_cell_files(src_cells) - snapshot)
+        if late:
+            # landed after the pinned corpus listing: re-assign against
+            # the NEW generation's quantizer
+            rows = (
+                spark.read.option("basePath", src_cells)
+                .parquet(*late)
+                .select("id", "emb")
+            )
+            _append_rows(rows, root)
+        _commit_generation(index_dir, gen)
+
+
 def reap_ivf_generations(index_dir: str) -> list[str]:
     """Delete SUPERSEDED generations — the out-of-band reclamation the
     compaction/rebuild docstrings defer to. Returns the paths removed.

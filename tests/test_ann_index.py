@@ -238,6 +238,86 @@ def test_auto_build_planted_recall_at_20x(spark, tmp_path):
     parents.unpersist()
 
 
+@_pytest.mark.skipif(
+    "SPARK_GRAFT_SCALEUP" not in __import__("os").environ,
+    reason="50x residual-index scaling proof is opt-in: SPARK_GRAFT_SCALEUP=1",
+)
+def test_residual_index_build_and_query_scaling_at_50x(spark, tmp_path):
+    """The r9 one-shot 50× probe (BASELINE.md round-9 table) promoted
+    to a mechanical regression gate (r9 verdict next-round #6): build
+    the DEFAULT residual IVFPQ index at 20× and 50× and assert
+
+    - planted rank-1 recall 1.0 on PURE ADC at nprobe=4 at 50× (the
+      near-dup candidate-generation contract through the compressed
+      tier at ~100k vectors, zero rerank);
+    - store wall ratio ≤ 6.0 for 2.5× data (measured 3.7× — the N·√K
+      routing model; a quadratic term would read ≥ 6.25);
+    - query wave wall ratio ≤ 2.0 at the default operating point
+      (nprobe=K/8, R=64; measured 1.18× — probed rows grow as
+      N·nprobe/K and fixed wave overheads dominate).
+
+    Ratio bounds leave box-noise headroom over the measured values but
+    sit below the next-worse complexity class, so a scaling regression
+    (a corpus-length term creeping into the probe path, routing
+    falling back to flat assignment) trips the gate mechanically."""
+    import math
+    import os
+    import sys
+    import time as _time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.scale_probe import generate
+
+    from retail_datawarehouse_spark.operators.similarity import N_QUERIES
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    walls = {}
+    handles = {}
+    for scale in (20, 50):
+        out = str(tmp_path / f"scale{scale}")
+        generate(scale, out)
+        emb = load_table(spark, out, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+        )
+        queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+        )
+        idx = str(tmp_path / f"idx{scale}")
+        t0 = _time.monotonic()
+        store_ivf_index(corpus, idx, pq=True)  # auto cells, residual
+        store_wall = _time.monotonic() - t0
+        k = len(glob.glob(f"{idx}/cells/cell=*"))
+        nprobe = max(1, math.ceil(k / 8))
+        wave = None
+        for _ in range(2):  # min of two waves: shave first-wave warmup
+            t0 = _time.monotonic()
+            query_ivf_index(
+                queries, idx, nprobe=nprobe, pq=True, rerank=64
+            ).collect()
+            w = _time.monotonic() - t0
+            wave = w if wave is None else min(wave, w)
+        walls[scale] = (store_wall, wave)
+        handles[scale] = (idx, corpus)
+
+    idx50, corpus50 = handles[50]
+    parents = corpus50.filter(F.col("id") % 1009 == 0).limit(50).persist()
+    n = parents.count()
+    scaled = parents.select(
+        "id", F.transform("emb", lambda x: x * F.lit(0.5)).alias("emb")
+    )
+    got = query_ivf_index(scaled, idx50, nprobe=4, pq=True)  # pure ADC
+    hits = got.filter(
+        (F.col("rank") == 1) & (F.col("candidate_id") == F.col("query_id"))
+    ).count()
+    parents.unpersist()
+    assert hits == n, (hits, n)
+    store_ratio = walls[50][0] / walls[20][0]
+    query_ratio = walls[50][1] / walls[20][1]
+    assert store_ratio <= 6.0, walls
+    assert query_ratio <= 2.0, walls
+
+
 def test_probe_prunes_unprobed_cells_in_plan(
     spark, sf_correctness_dir, tmp_path
 ):
@@ -1275,6 +1355,96 @@ def test_pre_r9_legacy_layout_raises_explicit_error(
         append_to_ivf_index(corpus.limit(1), idx)
     with pytest.raises(RuntimeError, match="pre-r9 legacy"):
         store_ivf_index(corpus, idx, cells=IVF_CELLS)  # rebuild resolve
+
+
+def test_rebuild_api_keeps_tier_and_serves_exactly(
+    spark, sf_correctness_dir, tmp_path
+):
+    """``rebuild_ivf_index`` (r10): the first-class form of the rebuild
+    the autopilot recommends. Corpus comes from the index's own
+    current generation, the tier is preserved by default (codebook
+    sidecar present ⇒ PQ rebuild; float index stays float), and the
+    committed generation serves the full contents exactly — including
+    rows that arrived by append under the OLD quantizer, now
+    re-assigned under the new one."""
+    import os as _os
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _cells_generation,
+        rebuild_ivf_index,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    base = corpus.filter(F.col("id") % 5 != 0)
+    rest = corpus.filter(F.col("id") % 5 == 0)
+    # float tier
+    idx = str(tmp_path / "ivf_rb_float")
+    store_ivf_index(base, idx, cells=IVF_CELLS)
+    append_to_ivf_index(rest, idx)
+    rebuild_ivf_index(spark, idx, cells=8)
+    assert _cells_generation(idx) == 1
+    assert not _os.path.isdir(f"{idx}/gen-1/codebook")  # stayed float
+    got = query_ivf_index(queries, idx, nprobe=8)
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
+    # PQ tier preserved, full probe + large R degrades to exact
+    idxp = str(tmp_path / "ivf_rb_pq")
+    store_ivf_index(base, idxp, cells=IVF_CELLS, pq=True, pq_mode="raw")
+    append_to_ivf_index(rest, idxp)
+    rebuild_ivf_index(spark, idxp, cells=8)
+    assert _os.path.isdir(f"{idxp}/gen-1/codebook")  # tier preserved
+    got = query_ivf_index(queries, idxp, nprobe=8, pq=True, rerank=10_000)
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
+
+
+def test_threaded_append_during_rebuild_api_loses_nothing(
+    spark, sf_correctness_dir, tmp_path
+):
+    """``rebuild_ivf_index``'s zero-provenance-gap claim under REAL
+    concurrency: an append thread races the rebuild. Whatever the
+    interleaving — append lands before the locked corpus pin (in the
+    rebuild corpus), during the bulk retrain (locked fold-forward
+    re-assigns it under the NEW quantizer), or after the commit (lands
+    in the new generation) — the served index holds base+batch exactly,
+    no loss, no duplication."""
+    import threading
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _cells_generation,
+        _cells_path,
+        rebuild_ivf_index,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    batch = corpus.filter(F.col("id") % 9 == 0)
+    base = corpus.filter(F.col("id") % 9 != 0)
+    idx = str(tmp_path / "ivf_rb_threaded")
+    store_ivf_index(base, idx, cells=IVF_CELLS)
+
+    errors = []
+
+    def run(fn):
+        try:
+            fn()
+        except Exception as e:
+            errors.append(e)
+
+    t_append = threading.Thread(
+        target=run, args=(lambda: append_to_ivf_index(batch, idx),)
+    )
+    t_rebuild = threading.Thread(
+        target=run, args=(lambda: rebuild_ivf_index(spark, idx, cells=8),)
+    )
+    t_append.start()
+    t_rebuild.start()
+    t_append.join(timeout=240)
+    t_rebuild.join(timeout=240)
+    assert not t_append.is_alive() and not t_rebuild.is_alive()
+    assert not errors, errors
+    assert _cells_generation(idx) == 1
+    served = spark.read.parquet(_cells_path(idx)).select("id")
+    assert served.count() == served.distinct().count() == corpus.count()
+    got = query_ivf_index(queries, idx, nprobe=8)
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
 
 
 def test_planted_near_dup_recall_survives_the_pq_tier(

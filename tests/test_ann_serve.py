@@ -354,6 +354,7 @@ def test_full_maintenance_lifecycle_under_live_serving(
         _cells_path,
         maintain_ivf_index,
         reap_ivf_generations,
+        rebuild_ivf_index,
     )
     from tests.test_ann_index import _brute_force
 
@@ -424,10 +425,10 @@ def test_full_maintenance_lifecycle_under_live_serving(
     )
     assert rep2["rebuild_recommended"] is True and rep2["compacted"] is False
 
-    # the caller executes the recommended rebuild: corpus read back
-    # from the index's own current generation, committed as gen-2
-    grown = spark.read.parquet(_cells_path(idx)).select("id", "emb")
-    store_ivf_index(grown, idx, cells=8)
+    # execute the recommended rebuild through the first-class API: the
+    # corpus is the index's own current generation, pinned as the SAME
+    # listing the fold-forward excludes (zero provenance gap)
+    rebuild_ivf_index(spark, idx, cells=8)
     assert _cells_generation(idx) == 2
     w3 = drain(3)
     assert w3 == _rows(_brute_force(held(corpus, *batches, skewed), q))

@@ -229,19 +229,98 @@ def planted(spark, sf_dir: str, workdir: str) -> dict:
     return out
 
 
+PQ_K_AXIS = (16, 64, 256)  # store-time code budget per subspace
+
+
+def pq_k_axis(spark, sf_dir: str, workdir: str) -> dict:
+    """The pq_k dialing axis at the DEFAULT operating point (r9 verdict
+    next-round #5): rebuild the residual index at each store-time code
+    budget and record, at nprobe=K/8, recall@3 vs the exact float
+    ranking for R ∈ {0, 16, 64} plus the wave wall — the table a
+    deployer dials R=0/small-R recall from WITHOUT paying rerank float
+    reads. Codes stay PQ_M small ints per vector at every pq_k
+    (parquet int encoding); what grows is the codebook sidecar
+    (PQ_M·pq_k rows) and the one-time encode fold — so past the point
+    where the recall column saturates, a bigger pq_k is free accuracy.
+    pq_k caps at PQ_TRAIN_N=256 (seeds come from the bounded training
+    sample). Also records planted scale-copy rank-1 on pure ADC at
+    nprobe=4 per pq_k (the near-dup candidate-generation contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    parents = (
+        corpus.filter(F.col("id") % 1009 == 0).limit(N_PLANTED)
+    ).persist()
+    n_planted = parents.count()
+    scaled = parents.select(
+        "id", F.transform("emb", lambda x: x * F.lit(0.5)).alias("emb")
+    )
+    rows = []
+    for pq_k in PQ_K_AXIS:
+        idx = f"{workdir}/idx_pqk{pq_k}"
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        store_ivf_index(corpus, idx, cells="auto", pq=True, pq_k=pq_k)
+        store_s = round(time.perf_counter() - t0, 2)
+        k = spark.read.parquet(f"{idx}/centroids").count()
+        nprobe = max(1, round(k / 8))
+        exact = _tops(query_ivf_index(queries, idx, nprobe=k, pq=False))
+        row = {"pq_k": pq_k, "k": k, "nprobe": nprobe, "store_sec": store_s}
+        for rr in (0, 16, 64):
+            rerank = None if rr == 0 else rr
+            fn = lambda: query_ivf_index(  # noqa: E731
+                queries, idx, nprobe=nprobe, pq=True, rerank=rerank
+            )
+            got = _tops(fn())
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn().collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            row[f"recall_at_3_r{rr}"] = _recall(got, exact)
+            row[f"wave_sec_r{rr}"] = round(best, 3)
+        hits = (
+            query_ivf_index(scaled, idx, nprobe=4, pq=True)
+            .filter(
+                (F.col("rank") == 1)
+                & (F.col("candidate_id") == F.col("query_id"))
+            )
+            .count()
+        )
+        row["planted_adc_rank1_nprobe4"] = round(hits / n_planted, 4)
+        rows.append(row)
+        print(f"# pq_k axis: {row}", file=sys.stderr)
+    parents.unpersist()
+    return {"sf_dir": sf_dir, "n_planted": n_planted, "rows": rows}
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_probe20"
-    workdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ann_curve"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    sf_dir = args[0] if args else "/tmp/scale_probe20"
+    workdir = args[1] if len(args) > 1 else "/tmp/ann_curve"
     os.makedirs(workdir, exist_ok=True)
     spark = get_spark(app_name="ann-operating-curve")
-    result = {
-        "curve_1x_residual": curve(
-            spark, "/root/testdata/sf0.1", workdir, "residual"
-        ),
-        "curve_20x_residual": curve(spark, sf_dir, workdir, "residual"),
-        "curve_20x_raw": curve(spark, sf_dir, workdir, "raw"),
-        "planted_20x": planted(spark, sf_dir, workdir),
-    }
+    if "--pqk-only" in flags:
+        # the pq_k dialing axis alone (~10 min at 20x vs ~35 for the
+        # full curve): 3 stores + 9 operating points + 3 planted reads
+        result = {"pq_k_axis_20x": pq_k_axis(spark, sf_dir, workdir)}
+    else:
+        result = {
+            "curve_1x_residual": curve(
+                spark, "/root/testdata/sf0.1", workdir, "residual"
+            ),
+            "curve_20x_residual": curve(spark, sf_dir, workdir, "residual"),
+            "curve_20x_raw": curve(spark, sf_dir, workdir, "raw"),
+            "planted_20x": planted(spark, sf_dir, workdir),
+            "pq_k_axis_20x": pq_k_axis(spark, sf_dir, workdir),
+        }
     print(json.dumps(result))
     spark.stop()
 
