@@ -1261,13 +1261,27 @@ def query_ivf_index(
     stored = spark.read.parquet(h.cells_path).select(
         F.col("id").alias("candidate_id"), "codes", "recon_n2", "cell"
     )
+    # Position-indexed decode (r10): the packed codebook is COMPLETE
+    # (every (s, cell) trained — seeds guarantee non-empty cells) so
+    # after one array_sort on the 1-row sidecar, entry (s, cell) sits
+    # at s·pq_k + cell and each code decodes with ONE element_at —
+    # O(PQ_M) per row. The previous filter-scan decode was
+    # O(PQ_M²·pq_k) per row and made the wave wall GROW with the
+    # store-time code budget (pq_k 16→64 measured 2.2→4.0 s on the
+    # 20× corpus, i.e. the pq_k recall lever was paying a decode tax);
+    # indexed, the decode cost is pq_k-independent. The sort runs once
+    # per call on PQ_M·pq_k structs, then broadcasts.
+    cb_indexed = h.codebook.select(
+        F.array_sort("_cb").alias("_cbs"),
+        (F.size("_cb") / F.lit(PQ_M)).cast("int").alias("_kk"),
+    )
     decode = F.expr(
         f"flatten(transform(sequence(0, {PQ_M - 1}), s -> "
-        "element_at(filter(_cb, e -> e.s = s AND "
-        "e.cell = element_at(codes, s + 1)), 1).centroid))"
+        "element_at(_cbs, s * _kk + element_at(codes, s + 1) + 1)"
+        ".centroid))"
     )
     joined = stored.join(F.broadcast(probes), "cell").crossJoin(
-        F.broadcast(h.codebook)
+        F.broadcast(cb_indexed)
     )
     if "_residual" in h.codebook.columns:
         # IVFADC (r9): reconstruction = centroid(cell) + decode(codes).
