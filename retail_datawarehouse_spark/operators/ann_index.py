@@ -735,6 +735,7 @@ def maintain_ivf_index(
     index_dir: str,
     max_files_per_cell: int = 8,
     skew_ratio: float = 8.0,
+    auto_rebuild: bool = False,
 ) -> dict:
     """The maintenance POLICY sweep — the autopilot loop a long-lived
     serving index runs between drains, turning the ``ivf_index_stats``
@@ -746,18 +747,30 @@ def maintain_ivf_index(
       nprobe tracks per-cell FILE count, so this is the lever that
       keeps wave latency flat under continuous ingestion.
     - occupancy skew: if max(cell rows) / mean(cell rows) exceeds
-      ``skew_ratio``, RECOMMEND a rebuild (returned as a flag, never
-      executed here: the rebuild corpus' provenance belongs to the
-      caller — see ``store_ivf_index``'s rebuild contract). Skew is
-      the quantizer-staleness signal the drift monitor can't see: a
+      ``skew_ratio``, recommend a rebuild. Skew is the
+      quantizer-staleness signal the drift monitor can't see: a
       distribution can drift WITHIN its TVD bins yet pile into few
       cells, quietly turning nprobe pruning into a near-full scan.
+      With ``auto_rebuild=True`` the sweep EXECUTES the rebuild via
+      ``rebuild_ivf_index`` (r10 — safe to automate now that the
+      rebuild's corpus provenance is airtight: corpus ≡ the pinned
+      snapshot, racing appends folded forward); the default stays
+      flag-only for callers who rebuild with different knobs or on a
+      schedule. When a skew rebuild runs, the small-files compaction
+      is SKIPPED — the rebuild rewrites every cell at one file anyway,
+      so compacting first would burn a full extra rewrite.
+    - crash debris: ``stale_staging`` lists ``.staging``-marked
+      generation directories BELOW the committed generation — a
+      crashed maintainer's leaked reservation (a live one below
+      CURRENT can only belong to a maintainer that is about to abort).
+      Surfaced for the operator; never auto-deleted (same conservatism
+      as the leaked-lock message).
 
     The stats read is one K-row panel that decodes zero data columns;
     collecting it is index-open metadata, the same class as the
-    routing scalar. Returns the report:
-    ``{"cells", "max_files", "skew", "compacted",
-    "rebuild_recommended"}``."""
+    routing scalar. Returns the report: ``{"cells", "max_files",
+    "skew", "compacted", "superseded", "rebuild_recommended",
+    "rebuilt", "stale_staging"}``."""
     rows = ivf_index_stats(spark, index_dir).collect()
     n_cells = len(rows)
     max_files = max((r.n_files for r in rows), default=0)
@@ -769,9 +782,17 @@ def maintain_ivf_index(
         if mean_rows
         else 0.0
     )
+    rebuild_recommended = skew > skew_ratio
     compacted = False
     superseded = False
-    if max_files > max_files_per_cell:
+    rebuilt = False
+    if rebuild_recommended and auto_rebuild:
+        try:
+            rebuild_ivf_index(spark, index_dir)
+            rebuilt = True
+        except ConcurrentMaintenanceError:
+            superseded = True
+    elif max_files > max_files_per_cell:
         try:
             compact_ivf_index(spark, index_dir)
             compacted = True
@@ -782,13 +803,23 @@ def maintain_ivf_index(
             # next sweep re-reads stats against the new generation; an
             # autopilot must never die on losing this race.
             superseded = True
+    current = _cells_generation(index_dir)
+    stale_staging = sorted(
+        path
+        for path in glob.glob(f"{index_dir}/gen-*")
+        if os.path.exists(f"{path}/.staging")
+        and os.path.basename(path)[len("gen-") :].isdigit()
+        and int(os.path.basename(path)[len("gen-") :]) < current
+    )
     return {
         "cells": n_cells,
         "max_files": max_files,
         "skew": round(skew, 4),
         "compacted": compacted,
         "superseded": superseded,
-        "rebuild_recommended": skew > skew_ratio,
+        "rebuild_recommended": rebuild_recommended,
+        "rebuilt": rebuilt,
+        "stale_staging": stale_staging,
     }
 
 

@@ -1631,6 +1631,73 @@ def test_footer_stats_equal_row_scan_stats(
         ivf_index_stats(spark, idx, mode="rows")
 
 
+def test_maintain_auto_rebuild_executes_and_reports_debris(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The closed autopilot loop (r10): with ``auto_rebuild=True`` the
+    policy sweep EXECUTES the skew-recommended rebuild itself (safe now
+    that ``rebuild_ivf_index``'s corpus provenance is airtight), skips
+    the redundant small-files compaction (the rebuild rewrites every
+    cell anyway), and serving over the new generation is exact.
+    ``stale_staging`` surfaces a crashed maintainer's leaked
+    reservation without deleting it."""
+    import os as _os
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _cells_generation,
+        maintain_ivf_index,
+    )
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivf_auto_rb")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    # skewed ingest piles copies of one direction into one cell AND
+    # fragments files past the (deliberately tiny) cap — the rebuild
+    # must take precedence over compaction
+    one = corpus.limit(1)
+    skewed = (
+        one.crossJoin(
+            spark.range(1, 400).select((F.col("id") * 2).alias("_m"))
+        )
+        .select(
+            (F.col("id") * 100_000 + F.col("_m")).alias("id"),
+            F.transform(
+                "emb", lambda x: x * (F.col("_m") / F.lit(100.0))
+            ).alias("emb"),
+        )
+        .select("id", F.col("emb").cast("array<float>").alias("emb"))
+    )
+    append_to_ivf_index(skewed, idx)
+    rep = maintain_ivf_index(
+        spark, idx, max_files_per_cell=1, skew_ratio=3.0, auto_rebuild=True
+    )
+    assert rep["rebuild_recommended"] is True and rep["rebuilt"] is True
+    assert rep["compacted"] is False  # rebuild subsumes compaction
+    assert rep["stale_staging"] == []
+    gen = _cells_generation(idx)
+    assert gen >= 1
+    held = corpus.unionByName(skewed)
+    # full probe = CENTROID count, not cell-directory count: a Lloyd
+    # cell can end up empty (this auto build: 30 centroids, 28
+    # non-empty dirs) and nprobe = dirs would skip the 2 farthest
+    # cells — a partial probe masquerading as exact
+    k = spark.read.parquet(f"{idx}/gen-{gen}/centroids").count()
+    got = query_ivf_index(queries, idx, nprobe=k)
+    assert _rows(got) == _rows(_brute_force(held, queries))
+    # crash-debris visibility: a .staging reservation ABOVE the
+    # committed generation may belong to a live maintainer (never
+    # stale); one BELOW it can only be a crashed maintainer's leak
+    above = f"{idx}/gen-{gen + 7}"
+    _os.makedirs(above)
+    open(f"{above}/.staging", "w").close()
+    below = f"{idx}/gen-{gen - 1}"  # the superseded generation's root
+    _os.makedirs(below, exist_ok=True)
+    open(f"{below}/.staging", "w").close()
+    rep2 = maintain_ivf_index(spark, idx, max_files_per_cell=50)
+    assert rep2["stale_staging"] == [below], rep2
+    _os.unlink(f"{below}/.staging")
+
+
 def test_store_time_pq_k_widens_codebook_and_stays_exact(
     spark, sf_correctness_dir, tmp_path
 ):

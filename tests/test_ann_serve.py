@@ -347,8 +347,6 @@ def test_full_maintenance_lifecycle_under_live_serving(
     full probe of the current generation's cell count) and identity
     asserted across the pure-maintenance steps (compaction and reap
     change no answer)."""
-    import glob as _glob
-
     from retail_datawarehouse_spark.operators.ann_index import (
         _cells_generation,
         _cells_path,
@@ -366,7 +364,10 @@ def test_full_maintenance_lifecycle_under_live_serving(
 
     def drain(wave):
         _land_wave(spark, root, landing, wave, q)
-        nprobe = len(_glob.glob(f"{_cells_path(idx)}/cell=*"))
+        # full probe = CENTROID count (a Lloyd cell can be empty, so
+        # counting cell directories can under-probe)
+        cents = _cells_path(idx).rsplit("/", 1)[0] + "/centroids"
+        nprobe = spark.read.parquet(cents).count()
         run_ann_serve_available_now(
             spark, landing, idx, results, nprobe=nprobe, checkpoint_dir=ckpt
         )
