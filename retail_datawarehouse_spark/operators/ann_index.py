@@ -1223,7 +1223,7 @@ def _probes(
 def query_ivf_index(
     queries: DataFrame,
     index_dir: str,
-    nprobe: int,
+    nprobe: int | str,
     pq: bool = False,
     rerank: int | None = None,
     handle: IvfIndexHandle | None = None,
@@ -1266,13 +1266,24 @@ def query_ivf_index(
 
     ``route``: ``"symmetric"`` (default — the dedup/near-copy
     contract) or ``"flat"`` (broad retrieval at small nprobe); see
-    ``_probes`` for the regime rule."""
+    ``_probes`` for the regime rule.
+
+    ``nprobe="all"`` resolves to the quantizer's CENTROID count — the
+    exact-search degenerate. Counting cell DIRECTORIES is not a safe
+    substitute (r10): a Lloyd cell can end up empty, so the directory
+    count can undershoot K and a caller-computed "full" probe silently
+    skips the farthest cells. The K-row sidecar count is index-open
+    metadata, same class as the routing scalar."""
     spark = queries.sparkSession
     h = (
         handle
         if handle is not None
         else open_ivf_index(spark, index_dir, persist=False)
     )
+    if nprobe == "all":
+        nprobe = h.centroids.count()
+    elif not isinstance(nprobe, int):
+        raise ValueError(f"nprobe must be an int or 'all': {nprobe!r}")
     probes = _probes(queries, h.centroids, nprobe, route=route)
     if not pq:
         stored = spark.read.parquet(h.cells_path).select(

@@ -1631,6 +1631,29 @@ def test_footer_stats_equal_row_scan_stats(
         ivf_index_stats(spark, idx, mode="rows")
 
 
+def test_nprobe_all_is_exact_even_with_empty_cells(
+    spark, sf_correctness_dir, tmp_path
+):
+    """``nprobe="all"`` (r10): resolves to the CENTROID count, the
+    safe exact-search degenerate. The auto build on this corpus leaves
+    Lloyd cells empty (fewer cell directories than centroids), so a
+    caller counting directories under-probes — the bug class the
+    autopilot test caught; "all" closes it API-side."""
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivf_all")
+    store_ivf_index(corpus, idx)  # auto cells
+    k_cents = spark.read.parquet(f"{idx}/centroids").count()
+    k_dirs = len(glob.glob(f"{idx}/cells/cell=*"))
+    got = query_ivf_index(queries, idx, nprobe="all")
+    assert _rows(got) == _rows(_brute_force(corpus, queries))
+    # the hazard is real on this fixture or not — either way "all"
+    # must equal the explicit centroid count
+    assert _rows(got) == _rows(query_ivf_index(queries, idx, nprobe=k_cents))
+    assert k_dirs <= k_cents
+    with pytest.raises(ValueError, match="nprobe"):
+        query_ivf_index(queries, idx, nprobe="full")
+
+
 def test_maintain_auto_rebuild_executes_and_reports_debris(
     spark, sf_correctness_dir, tmp_path
 ):
