@@ -768,11 +768,21 @@ def maintain_ivf_index(
 
     The stats read is one K-row panel that decodes zero data columns;
     collecting it is index-open metadata, the same class as the
-    routing scalar. Returns the report: ``{"cells", "max_files",
-    "skew", "compacted", "superseded", "rebuild_recommended",
-    "rebuilt", "stale_staging"}``."""
+    routing scalar. Returns the report: ``{"cells", "k",
+    "empty_cells", "max_files", "skew", "compacted", "superseded",
+    "rebuild_recommended", "rebuilt", "stale_staging"}`` — ``cells``
+    counts OCCUPIED cells (the stats panel's rows); ``k`` is the
+    quantizer's centroid count; a growing ``empty_cells`` gap is
+    wasted quantizer capacity, another staleness signal."""
     rows = ivf_index_stats(spark, index_dir).collect()
     n_cells = len(rows)
+    # the stats panel sees only NON-EMPTY cells (they are the only cell
+    # directories); k is the quantizer's true size — empty cells are
+    # wasted quantizer capacity, another staleness signal (r10, found
+    # by the autopilot test: this auto build had 30 centroids, 28
+    # occupied cells)
+    root = _gen_root(index_dir, _cells_generation(index_dir))
+    k = spark.read.parquet(f"{root}/centroids").count()
     max_files = max((r.n_files for r in rows), default=0)
     mean_rows = (
         sum(r.n_rows for r in rows) / n_cells if n_cells else 0.0
@@ -813,6 +823,8 @@ def maintain_ivf_index(
     )
     return {
         "cells": n_cells,
+        "k": k,
+        "empty_cells": k - n_cells,
         "max_files": max_files,
         "skew": round(skew, 4),
         "compacted": compacted,
