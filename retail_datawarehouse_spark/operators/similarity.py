@@ -1212,6 +1212,20 @@ def _pq_encode(
         packed = _pq_codebook(codebook_src)
     l2 = _SPARK_L2.format(a="element_at(subs, s + 1)", b="e.centroid")
     extras = [c for c in cand.columns if c not in ("candidate_id", "c_emb")]
+    # Position-addressable codebook (r10): the packed row is COMPLETE
+    # (PQ_M·pq_k entries, every cell trained), so after one array_sort
+    # on the 1-row frame — sorted BEFORE the crossJoin, so it runs
+    # once, not per candidate — subspace s's entries are exactly
+    # slice(_cbs, s·pq_k + 1, pq_k). The previous filter(_cb, e.s = s)
+    # re-scanned all PQ_M·pq_k entries per subspace: PQ_M× wasted
+    # compares per candidate, growing with the pq_k code budget. The
+    # argmin runs over the IDENTICAL entry set with the identical
+    # struct tie-break, so codes/recon/recon_n2 are bit-identical
+    # (suite oracle hashes unchanged — re-verified).
+    packed = packed.select(
+        F.array_sort("_cb").alias("_cbs"),
+        (F.size("_cb") / F.lit(PQ_M)).cast("int").alias("_kk"),
+    )
     coded = (
         cand.crossJoin(F.broadcast(packed))
         .withColumn(
@@ -1225,7 +1239,7 @@ def _pq_encode(
             "picked",
             F.expr(
                 f"transform(sequence(0, {PQ_M - 1}), s -> "
-                "array_min(transform(filter(_cb, e -> e.s = s), "
+                "array_min(transform(slice(_cbs, s * _kk + 1, _kk), "
                 f"e -> struct({l2} AS d, e.cell AS cell, "
                 "e.centroid AS centroid))))"
             ),
