@@ -490,6 +490,13 @@ def _write_index(
         rows = assigned.select("id", "emb", "n2", "cell")
     rows.write.mode("overwrite").partitionBy("cell").parquet(f"{root}/cells")
     centroids.write.mode("overwrite").parquet(f"{root}/centroids")
+    # Every build mode persists its centroid frame (the Lloyd boundary
+    # both the assignment and the sidecar write reuse); release it once
+    # both consumers have run — a long-lived serving session otherwise
+    # leaks one cached K-row frame per store/rebuild (the ADVICE-r7
+    # _pq_encode leak class; readers re-open centroids from the
+    # sidecar, never from this frame).
+    centroids.unpersist()
 
 
 class ConcurrentMaintenanceError(RuntimeError):
