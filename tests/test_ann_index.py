@@ -318,6 +318,65 @@ def test_residual_index_build_and_query_scaling_at_50x(spark, tmp_path):
     assert query_ratio <= 2.0, walls
 
 
+@_pytest.mark.skipif(
+    "SPARK_GRAFT_SCALEUP" not in __import__("os").environ,
+    reason="pq_k knee + decode-independence proof is opt-in: SPARK_GRAFT_SCALEUP=1",
+)
+def test_pq_k_recall_knee_and_decode_independence_at_20x(spark, tmp_path):
+    """The pq_k dialing rule's two measured claims, pinned mechanically
+    (r10; tools/pqk_axis_r10.json): (a) widening the store-time code
+    budget 16→64 lifts small-R recall — the knee the rule dials to
+    (measured R=16 recall@3 0.633→0.867); (b) query cost is
+    pq_k-INDEPENDENT under the position-indexed decode (the old
+    filter-scan decode made pq_k=64 waves ~1.8× pq_k=16's — the decode
+    tax this gate keeps closed)."""
+    import math
+    import os
+    import sys
+    import time as _time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.ann_operating_curve import _recall, _tops
+    from tools.scale_probe import generate
+
+    from retail_datawarehouse_spark.operators.similarity import N_QUERIES
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    out = str(tmp_path / "scale20")
+    generate(20, out)
+    emb = load_table(spark, out, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    recalls, waves = {}, {}
+    for pq_k in (16, 64):
+        idx = str(tmp_path / f"idx_pqk{pq_k}")
+        store_ivf_index(corpus, idx, pq=True, pq_k=pq_k)
+        k = spark.read.parquet(f"{idx}/centroids").count()
+        nprobe = max(1, math.ceil(k / 8))
+        exact = _tops(query_ivf_index(queries, idx, nprobe=k, pq=False))
+        fn = lambda: query_ivf_index(  # noqa: E731
+            queries, idx, nprobe=nprobe, pq=True, rerank=16
+        )
+        recalls[pq_k] = _recall(_tops(fn()), exact)
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = _time.monotonic()
+            fn().collect()
+            dt = _time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        waves[pq_k] = best
+    # (a) the knee: the wider codebook must keep buying small-R recall
+    assert recalls[64] >= recalls[16] + 0.1, (recalls, waves)
+    # (b) decode independence: pq_k=64 waves within noise of pq_k=16's
+    # (filter-scan regression would read ~1.8x; bound leaves box room)
+    assert waves[64] <= waves[16] * 1.5, (recalls, waves)
+
+
 def test_probe_prunes_unprobed_cells_in_plan(
     spark, sf_correctness_dir, tmp_path
 ):
