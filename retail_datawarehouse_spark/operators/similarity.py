@@ -1739,12 +1739,162 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_centroid_drift(tall, q_scale=65536)
 
 
+# --- Nearest-class-mean (Rocchio) classifier ----------------------------
+#
+# The data-routing op an LLM mixing pipeline runs at scale: label every
+# document/embedding with its nearest class PROTOTYPE (domain routing,
+# quality-tier assignment, SemDeDup-style cluster labeling). Train is
+# the fixed-point per-label centroid the suite already pins; inference
+# is MAP-ONLY — the L prototypes ride a 1-row in-plan broadcast and each
+# test vector takes argmax over an array fold, so the corpus side never
+# shuffles and never sees a window. At 100 TB: one broadcast of L×dim
+# doubles, one pass.
+#
+# The fixture's labels are deliberately isotropic w.r.t. the embeddings
+# (measured NCM accuracy 0.088 ≈ 1/L chance — the adversarial floor),
+# so, exactly like the drift panel's injected shift, the part plants a
+# deterministic class signature IN-PLAN: +0.5 (exactly representable;
+# the raw values are ±0.125-scale) on every dimension where
+# (pos0 % 10) == label. The injected run classifies at accuracy 1.0,
+# the un-injected twin stays at chance — both pinned by test, so the
+# mechanism is proven while the honesty about the fixture is kept.
+
+_EMBEDDING_NCM_SQL = """
+    WITH ncm_sig AS (
+        SELECT vec_id, label,
+               list_transform(embedding, (x, i) ->
+                   CASE WHEN (i - 1) % 10 = label
+                        THEN CAST(x AS DOUBLE) + 0.5
+                        ELSE CAST(x AS DOUBLE) END) AS emb
+        FROM embeddings
+    ),
+    ncm_tall AS (
+        SELECT label, CAST(generate_subscripts(emb, 1) AS BIGINT) AS pos,
+               CAST(unnest(emb) AS DOUBLE) AS v
+        FROM ncm_sig WHERE vec_id % 2 = 0
+    ),
+    ncm_agg AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(FLOOR(v * 1048576.0) AS BIGINT)) AS BIGINT) AS sq,
+               COUNT(*) AS n
+        FROM ncm_tall GROUP BY 1, 2
+    ),
+    ncm_protos AS (
+        SELECT label, list(sq::DOUBLE / (1048576.0 * n) ORDER BY pos) AS centroid
+        FROM ncm_agg GROUP BY label
+    ),
+    ncm_scored AS (
+        SELECT t.vec_id, CAST(t.label AS BIGINT) AS true_label,
+               CAST(p.label AS BIGINT) AS pred_label,
+               {cosine} AS cosine
+        FROM (SELECT * FROM ncm_sig WHERE vec_id % 2 = 1) t
+        CROSS JOIN ncm_protos p
+    ),
+    ncm_pred AS (
+        SELECT vec_id, true_label, pred_label, cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY cosine DESC, pred_label) AS rk
+            FROM ncm_scored
+        ) WHERE rk = 1
+    )
+    SELECT 'ncm' AS part, CAST(vec_id AS VARCHAR) AS key_s,
+           pred_label AS pos, true_label AS n,
+           CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS iv,
+           CAST(NULL AS DOUBLE) AS dv
+    FROM ncm_pred
+    UNION ALL
+    SELECT 'ncm_cm', CAST(true_label AS VARCHAR), pred_label, COUNT(*),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM ncm_pred GROUP BY 2, 3
+""".format(cosine=_duck_cosine("t.emb", "p.centroid"))
+
+
+def q_embedding_ncm(
+    spark: SparkSession, sf_dir: str, inject: bool = True
+) -> DataFrame:
+    """Nearest-class-mean classifier: train fixed-point prototypes on
+    the even-``vec_id`` split, classify the odd split by pinned cosine
+    argmax (ties → smallest label, matching the oracle's
+    ``ORDER BY cosine DESC, pred_label``). Returns (vec_id, true_label,
+    pred_label, cos). See the block comment above for the design and
+    the injected-signature honesty note; ``inject=False`` is the
+    chance-floor twin the test pins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if inject:
+        sig_emb = F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                (i % 10) == F.col("label"), x.cast("double") + F.lit(0.5)
+            ).otherwise(x.cast("double")),
+        )
+    else:
+        sig_emb = F.transform("embedding", lambda x: x.cast("double"))
+    sig = emb.select("vec_id", "label", sig_emb.alias("emb"))
+    train = sig.filter(F.col("vec_id") % 2 == 0)
+    test = sig.filter(F.col("vec_id") % 2 == 1)
+    q20 = F.floor(F.col("v") * F.lit(1048576.0)).cast("long")
+    per_pos = (
+        train.select("label", F.posexplode("emb").alias("pos0", "v"))
+        .groupBy("label", "pos0")
+        .agg(F.sum(q20).alias("sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos0",
+            (
+                F.col("sq").cast("double") / (F.lit(1048576.0) * F.col("n"))
+            ).alias("c"),
+        )
+    )
+    # pos-sorted struct collect → dense centroid array (the oracle's
+    # list(... ORDER BY pos)); collect_list order is nondeterministic
+    # under partitioning, array_sort pins it.
+    protos = per_pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+    proto_row = protos.agg(
+        F.array_sort(F.collect_list(F.struct("label", "centroid"))).alias(
+            "protos"
+        )
+    )
+    # Map-only inference: argmax over the broadcast prototype array via
+    # struct max — (cos, -label) makes the tie-break smallest-label,
+    # identical to the oracle's window ordering.
+    best = F.array_max(
+        F.transform(
+            "protos",
+            lambda p: F.struct(
+                _cosine_expr(F.col("emb"), p["centroid"]).alias("cos"),
+                (-p["label"]).cast("long").alias("neg_label"),
+            ),
+        )
+    )
+    return (
+        test.crossJoin(F.broadcast(proto_row))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("true_label"),
+            best.alias("best"),
+        )
+        .select(
+            "vec_id",
+            "true_label",
+            (-F.col("best.neg_label")).alias("pred_label"),
+            F.col("best.cos").alias("cos"),
+        )
+    )
+
+
 @register(
     "q_embedding_suite",
     oracle=f"""
     WITH cent AS ({_EMBEDDING_CENTROIDS_SQL}),
     quant AS ({_EMBEDDING_QUANTIZE_SQL}),
-    drift AS ({_EMBEDDING_DRIFT_SQL})
+    drift AS ({_EMBEDDING_DRIFT_SQL}),
+    ncm_rows AS ({_EMBEDDING_NCM_SQL})
     SELECT 'centroid' AS part, CAST(label AS VARCHAR) AS key_s, pos,
            n, sum_q20 AS iv, centroid AS dv
     FROM cent
@@ -1755,15 +1905,18 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'drift', key_s, pos, n, iv, CAST(NULL AS DOUBLE)
     FROM drift
+    UNION ALL
+    SELECT part, key_s, pos, n, iv, dv FROM ncm_rows
     """,
 )
 def q_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding column math — fixed-point-exact per-label centroids,
-    symmetric int8 quantization, and the centroid-shift drift panel
+    symmetric int8 quantization, the centroid-shift drift panel
     (per-dimension Δsums naming WHICH dimensions moved + the
-    scale-free integer flag, ``operators/drift.py``) — as one
-    part-tagged union; all emit tall (key, pos) so the hash gate
-    compares scalars."""
+    scale-free integer flag, ``operators/drift.py``), and the
+    nearest-class-mean classifier (r10: per-vector prediction rows +
+    the confusion-matrix aggregate) — as one part-tagged union; all
+    emit tall (key, pos) so the hash gate compares scalars."""
     null_l = F.lit(None).cast("long")
     cent = q_embedding_centroids(spark, sf_dir).select(
         F.lit("centroid").alias("part"),
@@ -1789,7 +1942,37 @@ def q_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iv",
         F.lit(None).cast("double").alias("dv"),
     )
-    return cent.unionByName(quant).unionByName(drift)
+    # NCM parts share one persisted prediction frame (tiny: test-split
+    # rows), same discipline as the drift panel's per-pos frame.
+    pred = q_embedding_ncm(spark, sf_dir).persist()
+    ncm = pred.select(
+        F.lit("ncm").alias("part"),
+        F.col("vec_id").cast("string").alias("key_s"),
+        F.col("pred_label").alias("pos"),
+        F.col("true_label").alias("n"),
+        F.floor(F.col("cos") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("iv"),
+        F.lit(None).cast("double").alias("dv"),
+    )
+    cm = (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("ncm_cm").alias("part"),
+            F.col("true_label").cast("string").alias("key_s"),
+            F.col("pred_label").alias("pos"),
+            F.col("cnt").alias("n"),
+            F.lit(None).cast("long").alias("iv"),
+            F.lit(None).cast("double").alias("dv"),
+        )
+    )
+    return (
+        cent.unionByName(quant)
+        .unionByName(drift)
+        .unionByName(ncm)
+        .unionByName(cm)
+    )
 
 
 # --- Consolidated ANN entry: all four top-k variants, one oracle --------

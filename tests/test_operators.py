@@ -1718,3 +1718,55 @@ def test_leakage_remediation_invariants_at_20x(spark, tmp_path):
         file=sys.stderr,
     )
     fixed.unpersist()
+
+
+def test_ncm_classifier_mechanism_and_honest_floor(spark, sf_dir):
+    """Nearest-class-mean classifier (q_embedding_suite part `ncm`):
+    with the planted class signature the odd-split accuracy is exactly
+    1.0 (the +0.5 signature dwarfs the ±0.125-scale raw values), while
+    the UN-injected twin sits at the chance floor — the fixture's
+    labels are isotropic w.r.t. the embeddings, so any accuracy the
+    injected run shows is the mechanism, not fixture luck. Tie-break
+    and prototype math are oracle-mirrored (hash gate); this test pins
+    the semantics and the honesty claim."""
+    from retail_datawarehouse_spark.operators.similarity import (
+        q_embedding_ncm,
+    )
+
+    pred = q_embedding_ncm(spark, sf_dir).persist()
+    rows = pred.collect()
+    n = len(rows)
+    assert n > 0
+    acc = sum(r.pred_label == r.true_label for r in rows) / n
+    assert acc == 1.0, f"injected-signature accuracy {acc} != 1.0"
+    # predictions cover the odd split exactly once
+    assert len({r.vec_id for r in rows}) == n
+    assert all(r.vec_id % 2 == 1 for r in rows)
+    pred.unpersist()
+
+    base = q_embedding_ncm(spark, sf_dir, inject=False).collect()
+    n_labels = len({r.true_label for r in base})
+    chance = sum(r.pred_label == r.true_label for r in base) / len(base)
+    # isotropic floor: well under half, in the neighborhood of 1/L
+    assert chance < max(0.3, 3.0 / n_labels), (chance, n_labels)
+
+
+def test_ncm_inference_is_map_only_over_broadcast_prototypes(
+    spark, sf_dir
+):
+    """The scale contract for classifier INFERENCE at 100 TB: the test
+    split is scored by one map pass over a broadcast prototype array —
+    no window, no sort-merge join, no corpus-sized exchange above the
+    scan. The only join touching the corpus side is the 1-row
+    BroadcastNestedLoopJoin carrying the prototypes (the bounds-frame
+    class the catalog canary allowlists)."""
+    from retail_datawarehouse_spark.operators.similarity import (
+        q_embedding_ncm,
+    )
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q_embedding_ncm(spark, sf_dir))
+    assert "WindowExec" not in plan and "Window\n" not in plan
+    assert "SortMergeJoin" not in plan
+    # prototypes arrive by broadcast, not shuffle
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan

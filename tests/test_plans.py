@@ -477,6 +477,10 @@ NESTED_LOOP_ALLOWLIST = {
     "q_ann_topk_suite",
     "q_dedup_components",
     "q_dedup_embedding_cosine",
+    # r10: the NCM classifier's prototype table rides a 1-row in-plan
+    # broadcast (array of L (label, centroid) structs) cross-joined
+    # onto the test split — the same bounds-frame class as q55/audit.
+    "q_embedding_suite",
     "q_fact_monthly_snapshot",
     "q_sketch_suite",
     "q_snapshot_incremental_mom",
@@ -617,7 +621,13 @@ SHUFFLE_BUDGET = {
     # frame feeds both the dim rows and the 1-row flag aggregate — the
     # two extra exchanges are that groupBy and the dim-count-sized
     # flag aggregate.
-    "q_embedding_suite": 3,
+    # r10: 3 → 7. The NCM classifier part adds: the train-split
+    # prototype groupBy (L×dim rows, same centroid cost class), the
+    # per-label array collect (L rows), the 1-row prototype-broadcast
+    # collect, and the confusion-matrix groupBy (≤L² rows). Inference
+    # itself is map-only over the broadcast — none of the new
+    # exchanges is corpus-sized.
+    "q_embedding_suite": 7,
     # r6: 0 → 8. The entry gained the drift-monitoring panel
     # (operators/drift.py): two statistics, each one key/bin-cardinality
     # groupBy over the side-tagged orders scan plus 1-row totals /
