@@ -666,7 +666,7 @@ def _commit_generation(index_dir: str, gen: int) -> None:
 
 
 def ivf_index_stats(
-    spark, index_dir: str, mode: str = "footer"
+    spark, index_dir: str, mode: str = "footer", filesystem=None
 ) -> DataFrame:
     """Serving-health panel: one row per cell — (cell, n_rows,
     n_files). Occupancy skew is the quantizer-staleness signal the
@@ -684,9 +684,18 @@ def ivf_index_stats(
     footers and zero data pages — at 100 TB the health check costs
     seconds, not a corpus-length row iteration. Footer counts are
     exact (parquet's num_rows is authoritative), so the two modes are
-    value-identical (pinned by test). Executors must be able to open
-    the index paths with pyarrow (true for local/NFS/fuse mounts; an
-    object-store deployment plugs an fsspec filesystem or falls back).
+    value-identical (pinned by test). By default executors open the
+    index paths directly with pyarrow (true for local/NFS/fuse
+    mounts); an OBJECT-STORE deployment passes ``filesystem`` — any
+    ``pyarrow.fs.FileSystem`` (S3FileSystem, GcsFileSystem, or an
+    fsspec filesystem wrapped in ``pyarrow.fs.PyFileSystem``) — and
+    the listing, the ``CURRENT`` pointer read, and every executor-side
+    footer open route through it (``index_dir`` is then a path within
+    that filesystem, e.g. ``bucket/prefix/index``). pyarrow
+    filesystems pickle, so the handle ships to executors with the
+    closure; value-identity with the default path is pinned by a
+    ``SubTreeFileSystem`` test (rebased paths — the same resolution an
+    object-store FS performs).
 
     ``mode="scan"`` is the storage-agnostic fallback: one Spark scan
     that decodes ZERO data columns (``cell`` is the partition column,
@@ -697,6 +706,14 @@ def ivf_index_stats(
     and per-row it IS well-defined (the split the row came from)."""
     if mode not in ("footer", "scan"):
         raise ValueError(f"mode must be 'footer' or 'scan': {mode!r}")
+    if filesystem is not None:
+        if mode != "footer":
+            raise ValueError(
+                "filesystem= applies to mode='footer' only (scan mode "
+                "reads through Spark's Hadoop FS layer — configure that "
+                "via spark.hadoop.* instead)"
+            )
+        return _ivf_index_stats_fs(spark, index_dir, filesystem)
     cells_path = _cells_path(index_dir)
     if mode == "scan":
         cells = spark.read.parquet(cells_path).select(
@@ -731,6 +748,83 @@ def ivf_index_stats(
     per_file = spark.createDataFrame(
         listing, "cell string, _file string"
     ).mapInPandas(_read_footers, "cell string, n_rows long")
+    return per_file.groupBy("cell").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_files"),
+    )
+
+
+def _ivf_index_stats_fs(spark, index_dir: str, filesystem) -> DataFrame:
+    """Footer-mode stats through an explicit ``pyarrow.fs.FileSystem``
+    (the object-store path of ``ivf_index_stats``): the CURRENT pointer
+    read, the recursive cell-file listing, and the executor-side footer
+    opens all route through the handle — nothing touches the local
+    OS filesystem, so ``index_dir`` may live in any store pyarrow can
+    reach. Same output contract and exact values as the default modes
+    (pinned by the SubTreeFileSystem value-identity test). Generation
+    resolution mirrors ``_cells_generation``/``_gen_root`` including
+    the pre-r9 legacy-layout detection — an unsupported layout must
+    fail loudly here too, not with a missing-path error mid-scan."""
+    import pyarrow.fs as pafs
+
+    def _info(path: str):
+        return filesystem.get_file_info(path)
+
+    cur = _info(f"{index_dir}/CURRENT")
+    if cur.type == pafs.FileType.File:
+        with filesystem.open_input_stream(f"{index_dir}/CURRENT") as f:
+            gen = int(f.read().decode("ascii").strip())
+    else:
+        gen = 0
+    if gen == 0:
+        root = index_dir
+    else:
+        root = f"{index_dir}/gen-{gen}"
+        if (
+            _info(root).type != pafs.FileType.Directory
+            and _info(f"{index_dir}/cells-gen-{gen}").type
+            == pafs.FileType.Directory
+        ):
+            raise RuntimeError(
+                f"{index_dir} uses the pre-r9 legacy index layout "
+                f"(CURRENT={gen} → cells-gen-{gen}); no in-place "
+                "migration exists — rebuild with store_ivf_index"
+            )
+    cells_dir = f"{root}/cells"
+    if _info(cells_dir).type != pafs.FileType.Directory:
+        raise FileNotFoundError(f"no cells table at {cells_dir}")
+    infos = filesystem.get_file_info(
+        pafs.FileSelector(cells_dir, recursive=True)
+    )
+    files = sorted(
+        i.path
+        for i in infos
+        if i.type == pafs.FileType.File
+        and i.path.endswith(".parquet")
+        and "/cell=" in i.path
+    )
+
+    def _cell_of(path: str) -> str:
+        part = path.rsplit("/", 2)[-2]
+        return part[len("cell=") :]
+
+    listing = [(_cell_of(p), p) for p in files]
+    fs = filesystem  # ships in the closure (pyarrow filesystems pickle)
+
+    def _read_footers_fs(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["n_rows"] = [
+                pq.ParquetFile(fs.open_input_file(f)).metadata.num_rows
+                for f in pdf["_file"]
+            ]
+            yield pdf[["cell", "n_rows"]]
+
+    per_file = spark.createDataFrame(
+        listing, "cell string, _file string"
+    ).mapInPandas(_read_footers_fs, "cell string, n_rows long")
     return per_file.groupBy("cell").agg(
         F.sum("n_rows").alias("n_rows"),
         F.count(F.lit(1)).alias("n_files"),

@@ -1690,6 +1690,56 @@ def test_footer_stats_equal_row_scan_stats(
         ivf_index_stats(spark, idx, mode="rows")
 
 
+def test_footer_stats_through_explicit_pyarrow_filesystem(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Object-store readiness for the health panel (the r10 residual,
+    made concrete): ``ivf_index_stats(filesystem=...)`` routes the
+    CURRENT read, the cell-file listing, and every executor-side footer
+    open through an explicit ``pyarrow.fs.FileSystem``. Pinned with a
+    ``SubTreeFileSystem`` rooted ABOVE the index — the index path the
+    call receives does not exist on the local OS filesystem, so any
+    accidental os/glob/open fallback fails loudly — and values must be
+    identical to the default footer and scan modes, fresh and after
+    fragmenting appends. Also pins: generation resolution through the
+    FS (post-compaction gen-N layout) and the scan+filesystem
+    rejection."""
+    import pyarrow.fs as pafs
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        compact_ivf_index,
+        ivf_index_stats,
+    )
+
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivf_fs_stats")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    batch = corpus.filter(F.col("id") % 17 == 0)
+    append_to_ivf_index(
+        batch.select((F.col("id") + 1_000_000).alias("id"), "emb"), idx
+    )
+
+    subfs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    rel = "ivf_fs_stats"  # not a real OS path from the caller's side
+
+    def panel(df):
+        return sorted((r.cell, r.n_rows, r.n_files) for r in df.collect())
+
+    via_fs = panel(ivf_index_stats(spark, rel, filesystem=subfs))
+    assert via_fs == panel(ivf_index_stats(spark, idx, mode="footer"))
+    assert via_fs == panel(ivf_index_stats(spark, idx, mode="scan"))
+    # generation resolution through the FS: compaction flips CURRENT
+    # to a gen-N layout and the FS path must follow it
+    compact_ivf_index(spark, idx)
+    via_fs2 = panel(ivf_index_stats(spark, rel, filesystem=subfs))
+    assert via_fs2 == panel(ivf_index_stats(spark, idx, mode="footer"))
+    assert all(r[2] == 1 for r in via_fs2)  # compacted: 1 file/cell
+    with pytest.raises(ValueError, match="footer"):
+        ivf_index_stats(spark, rel, mode="scan", filesystem=subfs)
+    with pytest.raises(FileNotFoundError, match="cells"):
+        ivf_index_stats(spark, "nope", filesystem=subfs).collect()
+
+
 def test_nprobe_all_is_exact_even_with_empty_cells(
     spark, sf_correctness_dir, tmp_path
 ):
