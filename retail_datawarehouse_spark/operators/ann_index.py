@@ -38,6 +38,13 @@ float column is what you DROP (or tier to cold storage for exact
 re-rank) — kept here so one table serves both tiers, which is
 precisely what columnar storage is for.
 
+Serving is METRIC-PARAMETERIZED (r10): one stored layout carries the
+sufficient statistics for all three standard contracts — cosine
+(default), max inner product, min L2 — so ``query_ivf_index(metric=)``
+swaps one scoring expression on the same pruned scan shapes (float,
+ADC, and rerank tiers); full probe is exact under every metric and the
+coarse quantizer stays spherical (see ``query_ivf_index``).
+
 Cell count defaults to the ``√N`` occupancy rule derived IN-PLAN from
 a 1-row broadcast count (r6 verdict #5) with hash-thresholded,
 id-layout-free seeding; ``cells="fixture"`` keeps the suite's
@@ -109,6 +116,8 @@ from pyspark.sql import functions as F
 
 from retail_datawarehouse_spark.operators.similarity import (
     PQ_M,
+    TOP_K,
+    _SPARK_DOT,
     _SPARK_NORM2,
     _ivf_index_over,
     _nearest_cell,
@@ -121,7 +130,6 @@ from retail_datawarehouse_spark.operators.similarity import (
     _residual_codebook,
     _residualize,
     _train_rank_col,
-    cosine_from_norms,
 )
 
 
@@ -1333,6 +1341,49 @@ def _probes(
     )
 
 
+_METRICS = ("cosine", "ip", "l2")
+
+
+def _metric_score(metric: str, b: str, bn2: str) -> F.Column:
+    """Scoring expression for the serving metric over the broadcast
+    query (``q_emb``/``q_n2``) and a candidate column pair — the same
+    pinned left-fold dot product under every metric, so each metric's
+    value is bit-reproducible and the exactness twins compare with
+    ``==``:
+
+    - ``cosine``: dot / (√q_n2 · √b_n2) — the suite-wide form.
+    - ``ip``: the raw dot (MIPS — what retrieval models trained with a
+      dot-product objective, e.g. DPR-style bi-encoders, rank by).
+    - ``l2``: the SQUARED Euclidean distance q_n2 − 2·dot + b_n2
+      (norm expansion; monotone in true L2, so ranks are identical and
+      no sqrt enters the comparison path — smaller is better).
+    """
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b=b))
+    if metric == "ip":
+        return dot
+    if metric == "l2":
+        return F.col("q_n2") - F.lit(2.0) * dot + F.col(bn2)
+    return dot / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col(bn2)))
+
+
+def _metric_topk(scored: DataFrame, metric: str) -> DataFrame:
+    """Per-query top-k under the metric's ordering (l2 ascending,
+    cosine/ip descending; ties by candidate_id). The cosine path keeps
+    its historical output column name ``cosine``; ip/l2 emit
+    ``score``."""
+    if metric == "cosine":
+        return _per_query_topk(scored)
+    from pyspark.sql import Window
+
+    order = F.asc("score") if metric == "l2" else F.desc("score")
+    w = Window.partitionBy("query_id").orderBy(order, "candidate_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "candidate_id", "score", "rank")
+    )
+
+
 def query_ivf_index(
     queries: DataFrame,
     index_dir: str,
@@ -1341,6 +1392,7 @@ def query_ivf_index(
     rerank: int | None = None,
     handle: IvfIndexHandle | None = None,
     route: str = "symmetric",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Serve top-k from the stored index: route each query to its
     nprobe nearest cells (broadcast centroid pass), then score ONLY
@@ -1386,7 +1438,27 @@ def query_ivf_index(
     substitute (r10): a Lloyd cell can end up empty, so the directory
     count can undershoot K and a caller-computed "full" probe silently
     skips the farthest cells. The K-row sidecar count is index-open
-    metadata, same class as the routing scalar."""
+    metadata, same class as the routing scalar.
+
+    ``metric`` (r10): ONE stored index serves THREE contracts —
+    ``"cosine"`` (default; output column ``cosine``), ``"ip"``
+    (max inner product — the ranking dot-product-trained bi-encoders
+    need), ``"l2"`` (min squared Euclidean; ascending). No layout
+    change: the cell table already stores the sufficient statistics
+    (emb, n2, codes, recon_n2), so every metric is one scoring
+    expression away on the same pruned scan shapes — float, ADC, and
+    rerank tiers all honor it (ip/l2 output column ``score``; l2 is
+    the SQUARED distance — monotone in true L2). Honesty: the COARSE
+    quantizer is spherical (cosine) for every metric — full probe is
+    exact under any metric (all cells scanned; pinned row-for-row
+    against brute force per metric), and a scale-invariant or exact
+    near-copy routes with its parent, so near-dup probing holds at
+    small nprobe (pinned); a broad L2/IP retrieval at small nprobe
+    inherits the spherical cell shapes (use ``route="flat"`` /
+    wider nprobe, same regime rule as cosine — an L2-trained
+    quantizer is a rebuild decision, not a query-time one)."""
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {_METRICS}: {metric!r}")
     spark = queries.sparkSession
     h = (
         handle
@@ -1398,6 +1470,7 @@ def query_ivf_index(
     elif not isinstance(nprobe, int):
         raise ValueError(f"nprobe must be an int or 'all': {nprobe!r}")
     probes = _probes(queries, h.centroids, nprobe, route=route)
+    score_col = "cosine" if metric == "cosine" else "score"
     if not pq:
         stored = spark.read.parquet(h.cells_path).select(
             F.col("id").alias("candidate_id"),
@@ -1406,9 +1479,9 @@ def query_ivf_index(
             "cell",
         )
         scored = stored.join(F.broadcast(probes), "cell").withColumn(
-            "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
+            score_col, _metric_score(metric, "c_emb", "c_n2")
         )
-        return _per_query_topk(scored)
+        return _metric_topk(scored, metric)
     if h.codebook is None:
         raise ValueError(
             f"{index_dir} was stored without pq=True — no codebook sidecar"
@@ -1451,13 +1524,19 @@ def query_ivf_index(
         )
     else:
         joined = joined.withColumn("recon", decode)
-    scored = joined.withColumn("cosine", _pq_adc_cosine())
+    scored = joined.withColumn(
+        score_col,
+        _pq_adc_cosine()
+        if metric == "cosine"
+        else _metric_score(metric, "recon", "recon_n2"),
+    )
     if rerank is None:
-        return _per_query_topk(scored)
+        return _metric_topk(scored, metric)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), "candidate_id"
+        F.asc(score_col) if metric == "l2" else F.desc(score_col),
+        "candidate_id",
     )
     shortlist = (
         scored.withColumn("_r", F.row_number().over(w))
@@ -1472,7 +1551,5 @@ def query_ivf_index(
     )
     refined = floats.join(
         F.broadcast(shortlist), ["cell", "candidate_id"]
-    ).withColumn(
-        "cosine", cosine_from_norms("q_emb", "c_emb", "q_n2", "c_n2")
-    )
-    return _per_query_topk(refined)
+    ).withColumn(score_col, _metric_score(metric, "c_emb", "c_n2"))
+    return _metric_topk(refined, metric)

@@ -1891,3 +1891,121 @@ def test_store_time_pq_k_widens_codebook_and_stays_exact(
         store_ivf_index(
             corpus, str(tmp_path / "bad"), pq=True, pq_k=10**6
         )
+
+
+def test_metric_knob_full_probe_exact_per_metric(
+    spark, sf_correctness_dir, tmp_path
+):
+    """One stored index, three serving contracts (r10): the cell table
+    already stores the sufficient statistics (emb, n2), so metric="ip"
+    (max inner product) and metric="l2" (min squared distance) are one
+    scoring expression away on the same pruned scan. Full probe must be
+    EXACT under every metric — row-for-row, bit-for-bit against a
+    brute-force twin built from the same pinned folds — and the cosine
+    default must stay byte-identical to its historical contract."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        _metric_score,
+        _metric_topk,
+    )
+    from retail_datawarehouse_spark.operators.similarity import norm2_col
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivf_metric")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+
+    def brute(metric):
+        c = corpus.select(
+            F.col("id").alias("candidate_id"),
+            F.col("emb").alias("c_emb"),
+            norm2_col("emb").alias("c_n2"),
+        )
+        q = queries.select(
+            F.col("id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            norm2_col("emb").alias("q_n2"),
+        )
+        scored = c.crossJoin(F.broadcast(q)).withColumn(
+            "score", _metric_score(metric, "c_emb", "c_n2")
+        )
+        return _metric_topk(scored, metric)
+
+    for metric in ("ip", "l2"):
+        served = sorted(
+            (r.query_id, r.candidate_id, r.score, r.rank)
+            for r in query_ivf_index(
+                queries, idx, nprobe="all", metric=metric
+            ).collect()
+        )
+        expect = sorted(
+            (r.query_id, r.candidate_id, r.score, r.rank)
+            for r in brute(metric).collect()
+        )
+        assert served == expect, f"metric={metric} full probe not exact"
+    # (on THIS fixture ip/l2 top-3 coincide — corpus norms are tightly
+    # concentrated, so IP ≈ −L2 near the top; the planted-copy test is
+    # where the metrics' semantic difference is demonstrated)
+    # cosine default: unchanged column name and values
+    assert _rows(query_ivf_index(queries, idx, nprobe="all")) == _rows(
+        _brute_force(corpus, queries)
+    )
+    with pytest.raises(ValueError, match="metric"):
+        query_ivf_index(queries, idx, nprobe=2, metric="dot")
+
+
+def test_metric_knob_planted_copies_and_pq_rerank(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Semantics + routing honesty for the metric knob on a PQ index:
+    plant, for every query q, an exact duplicate (the L2 ground truth,
+    dist²=0 exactly — the dot and norm folds run the same op sequence,
+    so the expansion cancels bit-exactly) and a 2× scaled copy (the IP
+    ground truth: IP=2‖q‖² ≫ any unit-norm candidate; under cosine/L2
+    the scaled copy is NOT the winner, which is exactly the semantic
+    difference the knob exists for). Both copies route WITH their
+    parent through the spherical quantizer (scale-invariant routing),
+    so rank-1 retrieval must hold at small symmetric nprobe, and the
+    rerank tier must honor the metric when it re-reads floats."""
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    dup = queries.select((F.col("id") + 2_000_000).alias("id"), "emb")
+    scaled = queries.select(
+        (F.col("id") + 3_000_000).alias("id"),
+        F.transform("emb", lambda x: x * F.lit(2.0)).alias("emb"),
+    )
+    planted = corpus.unionByName(dup).unionByName(scaled)
+    idx = str(tmp_path / "ivf_metric_pq")
+    store_ivf_index(planted, idx, pq=True)
+
+    # float path, small symmetric probe
+    l2_top1 = {
+        r.query_id: (r.candidate_id, r.score)
+        for r in query_ivf_index(queries, idx, nprobe=4, metric="l2")
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    assert all(
+        cid == qid + 2_000_000 and s == 0.0
+        for qid, (cid, s) in l2_top1.items()
+    ), l2_top1
+    ip_top1 = {
+        r.query_id: r.candidate_id
+        for r in query_ivf_index(queries, idx, nprobe=4, metric="ip")
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    assert all(cid == qid + 3_000_000 for qid, cid in ip_top1.items()), (
+        ip_top1
+    )
+    # ADC + rerank tier under l2: codes nominate, floats decide — the
+    # exact duplicate must come back rank-1 with dist² exactly 0
+    l2_rr = {
+        r.query_id: (r.candidate_id, r.score)
+        for r in query_ivf_index(
+            queries, idx, nprobe=4, pq=True, rerank=16, metric="l2"
+        )
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    assert all(
+        cid == qid + 2_000_000 and s == 0.0
+        for qid, (cid, s) in l2_rr.items()
+    ), l2_rr
