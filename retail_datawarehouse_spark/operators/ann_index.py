@@ -949,7 +949,7 @@ def rebuild_ivf_index(
     index_dir: str,
     cells: int | str = "auto",
     pq: bool | None = None,
-    pq_mode: str = "residual",
+    pq_mode: str | None = None,
     pq_k: int | None = None,
 ) -> None:
     """Execute the rebuild ``maintain_ivf_index`` recommends: retrain
@@ -966,15 +966,38 @@ def rebuild_ivf_index(
     never neither (no loss).
 
     ``pq=None`` (default) keeps the index's current tier (codebook
-    sidecar present ⇒ PQ); pass True/False to change tier at rebuild
-    time. Other knobs pass through to the build. Same abort contract
-    as every maintainer: ``ConcurrentMaintenanceError`` if another
-    maintainer commits first."""
+    sidecar present ⇒ PQ) — and ``pq_mode=None`` / ``pq_k=None``
+    (defaults) keep the CURRENT codebook's mode and code budget too
+    (r10 cont.): the sidecar self-describes both (``_residual`` tag;
+    ``pq_k = size(_cb)/PQ_M``), and without inheritance an autopilot
+    rebuild of a ``pq_mode="raw"`` or ``pq_k=64`` index would silently
+    revert it to the store-time defaults — a dialed-in deployment must
+    not lose its knobs to maintenance. Pass explicit values to change
+    tier/mode/budget at rebuild time (a tier change onto a non-PQ
+    index falls back to the ``store_ivf_index`` defaults). Same abort
+    contract as every maintainer: ``ConcurrentMaintenanceError`` if
+    another maintainer commits first."""
     if pq is None:
         pq = _is_pq_index(index_dir)
     with _maintenance_lock(index_dir):
         src_gen = _cells_generation(index_dir)
         src_cells = f"{_gen_root(index_dir, src_gen)}/cells"
+        if pq and (pq_mode is None or pq_k is None):
+            # knob inheritance, read under the lock so the sidecar is
+            # the same generation the corpus listing pins
+            cb_path = f"{_gen_root(index_dir, src_gen)}/codebook"
+            if os.path.isdir(cb_path):
+                cb = spark.read.parquet(cb_path)
+                if pq_mode is None:
+                    pq_mode = (
+                        "residual" if "_residual" in cb.columns else "raw"
+                    )
+                if pq_k is None:
+                    pq_k = cb.select(
+                        (F.size("_cb") / F.lit(PQ_M)).cast("int")
+                    ).first()[0]
+        if pq_mode is None:
+            pq_mode = "residual"
         spark.catalog.refreshByPath(src_cells)
         reader = spark.read.parquet(src_cells)
         # corpus ≡ snapshot: the reader's pinned file index is both

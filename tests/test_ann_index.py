@@ -2009,3 +2009,38 @@ def test_metric_knob_planted_copies_and_pq_rerank(
         cid == qid + 2_000_000 and s == 0.0
         for qid, (cid, s) in l2_rr.items()
     ), l2_rr
+
+
+def test_rebuild_inherits_codebook_mode_and_budget(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Knob inheritance on rebuild (r10 cont.): a dialed-in index
+    (pq_mode="raw", pq_k=64) rebuilt bare — exactly what the autopilot
+    does — must keep its mode and code budget, not revert to the
+    store-time defaults (residual/16); an explicit override at rebuild
+    time still changes them."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        open_ivf_index,
+        rebuild_ivf_index,
+    )
+    from retail_datawarehouse_spark.operators.similarity import PQ_M
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "ivf_knobs")
+    store_ivf_index(corpus, idx, pq=True, pq_mode="raw", pq_k=64)
+
+    def knobs():
+        h = open_ivf_index(spark, idx, persist=False)
+        k = h.codebook.select(
+            (F.size("_cb") / F.lit(PQ_M)).cast("int")
+        ).first()[0]
+        return ("residual" if "_residual" in h.codebook.columns else "raw", k)
+
+    assert knobs() == ("raw", 64)
+    rebuild_ivf_index(spark, idx)  # the autopilot's bare call
+    assert knobs() == ("raw", 64), "bare rebuild reverted dialed knobs"
+    # the rebuilt generation still serves
+    assert query_ivf_index(queries, idx, nprobe="all", pq=True).count() > 0
+    # explicit override still wins
+    rebuild_ivf_index(spark, idx, pq_mode="residual", pq_k=16)
+    assert knobs() == ("residual", 16)
