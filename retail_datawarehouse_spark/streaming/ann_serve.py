@@ -97,6 +97,8 @@ def run_ann_serve_available_now(
     pq: bool = False,
     rerank: int | None = None,
     timeout: float | None = None,
+    metric: str = "cosine",
+    route: str = "symmetric",
 ) -> None:
     """Drain every landed-and-unanswered query wave through the stored
     index, writing (wave, query_id, candidate_id, cosine, rank) rows
@@ -105,7 +107,13 @@ def run_ann_serve_available_now(
     drains: ``None`` blocks until the availableNow drain
     self-terminates; expiry stops the query and raises (a silent
     return would let a caller read a partial result sidecar as if the
-    drain had finished)."""
+    drain had finished).
+
+    ``metric``/``route`` pass straight through to ``query_ivf_index``
+    (r10): a drain serves one contract per deployment — ip/l2 result
+    rows carry ``score`` instead of ``cosine`` (the metric's own value
+    column; mixing both names in one results table would make the
+    reader's schema depend on the knob row-by-row)."""
     # Sidecars are frozen index metadata between rebuilds: open the
     # index once per drain (persisted K-row frames; r7 verdict #4) and
     # refresh the handle per wave — sidecars re-read only when a
@@ -141,9 +149,12 @@ def run_ann_serve_available_now(
             pq=pq,
             rerank=rerank,
             handle=handle,
+            metric=metric,
+            route=route,
         )
+        value_col = "cosine" if metric == "cosine" else "score"
         out = topk.crossJoin(F.broadcast(wave)).select(
-            "query_id", "candidate_id", "cosine", "rank", "wave"
+            "query_id", "candidate_id", value_col, "rank", "wave"
         )
         # Dynamic partition overwrite: a replayed wave REPLACES its
         # wave=N directory wholesale — one consistent serving per
@@ -180,14 +191,17 @@ def read_ann_results(spark: SparkSession, results_dir: str) -> DataFrame:
     the WRITE side (dynamic overwrite replaces a replayed wave's
     directory — module docstring); the per-(wave, query_id, rank)
     dedupe here is only a defensive screen against partially-committed
-    leftovers, not the idempotency mechanism."""
+    leftovers, not the idempotency mechanism. The value column is
+    whichever the drain's metric wrote (``cosine`` default, ``score``
+    for ip/l2 — one metric per results table)."""
     if not os.path.isdir(results_dir) or not any(
         d.startswith("wave=") for d in os.listdir(results_dir)
     ):
         return spark.createDataFrame([], _RESULTS_DDL)
+    raw = spark.read.parquet(results_dir)
+    value_col = "cosine" if "cosine" in raw.columns else "score"
     return (
-        spark.read.parquet(results_dir)
-        .withColumn("wave", F.col("wave").cast("long"))
-        .select("wave", "query_id", "candidate_id", "cosine", "rank")
+        raw.withColumn("wave", F.col("wave").cast("long"))
+        .select("wave", "query_id", "candidate_id", value_col, "rank")
         .dropDuplicates(["wave", "query_id", "rank"])
     )

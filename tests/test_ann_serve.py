@@ -440,3 +440,44 @@ def test_full_maintenance_lifecycle_under_live_serving(
     assert not os.path.isdir(f"{idx}/gen-1")
     spark.catalog.refreshByPath(_cells_path(idx))
     assert drain(4) == w3
+
+
+def test_metric_drain_matches_batch_metric_query(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The serving drain passes metric/route through (r10): an l2
+    drain's wave must equal the batch l2 query row-for-row, carry the
+    metric's own value column (``score``, not ``cosine``), and an
+    ip/flat drain must likewise mirror its batch twin."""
+    root = str(tmp_path)
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = f"{root}/idx"
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+
+    def srows(df):
+        return sorted(
+            (r.query_id, r.rank, r.candidate_id, r.score)
+            for r in df.collect()
+        )
+
+    for wave, (metric, route) in enumerate(
+        (("l2", "symmetric"), ("ip", "flat"))
+    ):
+        landing = f"{root}/landing_{metric}"
+        results = f"{root}/results_{metric}"
+        _land_wave(spark, root, landing, wave, queries)
+        run_ann_serve_available_now(
+            spark,
+            landing,
+            idx,
+            results,
+            nprobe=IVF_NPROBE,
+            metric=metric,
+            route=route,
+        )
+        got = read_ann_results(spark, results)
+        assert "score" in got.columns and "cosine" not in got.columns
+        batch = query_ivf_index(
+            queries, idx, nprobe=IVF_NPROBE, metric=metric, route=route
+        )
+        assert srows(got.drop("wave")) == srows(batch)
