@@ -1070,10 +1070,27 @@ def _pr_oracle_ctes() -> str:
         UNION
         SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.v
     ),
-    {_pr_oracle_ctes()}
+    {_pr_oracle_ctes()},
+    comp AS (SELECT v AS doc, MIN(r) AS comp FROM reach GROUP BY v),
+    cscore AS (
+        SELECT c.doc, c.comp, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.doc
+    ),
+    cwin AS (
+        SELECT comp, doc AS canonical FROM (
+            SELECT comp, doc,
+                   row_number() OVER (
+                       PARTITION BY comp ORDER BY n_chars DESC, doc
+                   ) AS rk
+            FROM cscore
+        ) WHERE rk = 1
+    )
     SELECT 'cc' AS part, v AS node, MIN(r) AS val FROM reach GROUP BY v
     UNION ALL
     SELECT 'pr', node, rq FROM prfinal
+    UNION ALL
+    SELECT 'canon', s.doc, w.canonical
+    FROM cscore s JOIN cwin w USING (comp)
     """,
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1096,7 +1113,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       arithmetic is what makes an ITERATIVE float algorithm
       hash-comparable cross-engine at all (the oracle unrolls the same
       five rounds, including the d{i} dangling sums, as chained
-      CTEs)."""
+      CTEs).
+    - part 'canon' (r10): quality-aware CANONICAL SELECTION — the
+      keep-rule real curation pipelines apply to duplicate clusters
+      (FineWeb/Dolma keep the best copy, not the smallest id): per
+      component, winner = argmax(n_chars, ties → smallest doc_id);
+      emitted as the per-doc redirect map (node → canonical doc id;
+      winners are the node == val rows). Reuses the SAME materialized
+      component labels as part 'cc' (localCheckpoint boundary), so the
+      star-contraction never runs twice. At 100 TB the inputs are the
+      dedup pipeline's own label frame plus one STORED score column
+      (n_chars — never the text); the argmax is one
+      component-cardinality shuffle via max(struct(score, -id)) and
+      the map-back is an id equi-join."""
     from retail_datawarehouse_spark.operators.graph import (
         copurchase_edges,
         pagerank_fixed_point,
@@ -1107,7 +1136,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     vertices = docs.select(F.col("doc_id").alias("v"))
-    cc = connected_components(vertices, pairs).select(
+    labels = connected_components(vertices, pairs)
+    cc = labels.select(
         F.lit("cc").alias("part"),
         F.col("v").alias("node"),
         F.col("component").alias("val"),
@@ -1117,4 +1147,37 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(F.col("l_partkey").alias("node")).distinct(),
         copurchase_edges(li),
     ).select(F.lit("pr").alias("part"), "node", F.col("rq").alias("val"))
-    return cc.unionByName(pr)
+    canon = canonical_per_component(
+        labels, docs.select(F.col("doc_id").alias("v"), "n_chars")
+    ).select(
+        F.lit("canon").alias("part"),
+        F.col("v").alias("node"),
+        F.col("canonical").alias("val"),
+    )
+    return cc.unionByName(pr).unionByName(canon)
+
+
+def canonical_per_component(
+    labels: DataFrame, scores: DataFrame
+) -> DataFrame:
+    """(v, component) × (v, <score col>) → (v, component, canonical):
+    the duplicate-cluster keep-rule as a standalone operator. The
+    score frame's second column is the quality signal (higher wins;
+    ties → smallest v, pinned by max(struct(score, −v)) ≡ the oracle's
+    ``ORDER BY score DESC, v``). Shapes: one equi-join on v (labels
+    are the dedup output — small next to the corpus; the score is a
+    stored column, never a text scan), one component-cardinality
+    groupBy, one broadcast-able map-back join on component."""
+    score_col = [c for c in scores.columns if c != "v"][0]
+    scored = labels.join(scores, "v")
+    best = scored.groupBy("component").agg(
+        F.max(
+            F.struct(F.col(score_col).alias("s"), (-F.col("v")).alias("negv"))
+        ).alias("_best")
+    )
+    return (
+        scored.join(best, "component")
+        .select(
+            "v", "component", (-F.col("_best.negv")).alias("canonical")
+        )
+    )

@@ -1770,3 +1770,30 @@ def test_ncm_inference_is_map_only_over_broadcast_prototypes(
     assert "SortMergeJoin" not in plan
     # prototypes arrive by broadcast, not shuffle
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_canonical_per_component_keep_rule(spark):
+    """Quality-aware canonical selection (q_dedup_components part
+    `canon`): per duplicate cluster the winner is argmax(score) with
+    ties broken toward the SMALLEST doc id (the deterministic twin of
+    the oracle's ORDER BY score DESC, v); every member redirects to
+    its cluster's winner and an isolated doc redirects to itself."""
+    from retail_datawarehouse_spark.operators.dedup import (
+        canonical_per_component,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (9, 9)],
+        "v long, component long",
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: 3 wins on score; cluster 4: tie -> smaller id (4);
+        # 9 isolated
+        [(1, 10), (2, 30), (3, 40), (4, 7), (5, 7), (9, 1)],
+        "v long, n_chars long",
+    )
+    got = {
+        r.v: r.canonical
+        for r in canonical_per_component(labels, scores).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 4, 5: 4, 9: 9}

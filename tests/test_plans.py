@@ -597,7 +597,11 @@ SHUFFLE_BUDGET = {
     # frames are persisted, so the EXECUTED exchange count per round is
     # one link join + one 1-row agg over the cached frame. Wall is
     # budget-gated (WALL_BUDGET_S) and the r6 measurement sits in band.
-    "q_dedup_components": 36,
+    # r10: 36 → 37. The canon part (quality-aware canonical selection)
+    # adds ONE component-cardinality groupBy over the already-
+    # materialized label frame; its two joins broadcast (labels are
+    # dedup-output-sized, the score column rides the doc scan).
+    "q_dedup_components": 37,
     # r4: 5 → 6. The semdedup final-assignment pass is now persisted
     # (it feeds BOTH sides of the cell pair join; without the cache the
     # 16-dot-fold assign pass ran twice). The InMemoryRelation boundary
