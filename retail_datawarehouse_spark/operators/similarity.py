@@ -1810,16 +1810,87 @@ _EMBEDDING_NCM_SQL = """
 """.format(cosine=_duck_cosine("t.emb", "p.centroid"))
 
 
+def train_prototypes(train: DataFrame, label_col: str = "label") -> DataFrame:
+    """(id?, <label_col>, emb) → one row per label: (label, centroid) —
+    the fixed-point per-class mean (floor(v·2²⁰) int64 sums, one
+    divide), i.e. the same engine-exact centroid convention as
+    ``q_embedding_centroids``, packed back to a dense array via a
+    pos-sorted struct collect (collect_list order is nondeterministic
+    under partitioning; ``array_sort`` pins it — the oracle's
+    ``list(... ORDER BY pos)``). One L×dim-bounded shuffle; never
+    corpus-sized."""
+    q20 = F.floor(F.col("v") * F.lit(1048576.0)).cast("long")
+    per_pos = (
+        train.select(
+            F.col(label_col).alias("label"),
+            F.posexplode("emb").alias("pos0", "v"),
+        )
+        .groupBy("label", "pos0")
+        .agg(F.sum(q20).alias("sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos0",
+            (
+                F.col("sq").cast("double") / (F.lit(1048576.0) * F.col("n"))
+            ).alias("c"),
+        )
+    )
+    return per_pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+
+
+def classify_by_prototypes(
+    vectors: DataFrame, protos: DataFrame
+) -> DataFrame:
+    """MAP-ONLY nearest-class-mean inference: the L (label, centroid)
+    prototypes collapse to ONE broadcast row and every vector takes an
+    argmax over the array — ``array_max`` of struct(cos, −label)
+    reproduces the oracle's ``ORDER BY cosine DESC, label`` tie-break
+    (ties → smallest label). The vector side never shuffles and never
+    sees a window (plan-pinned); at 100 TB this is one broadcast of
+    L×dim doubles and one pass. Input needs (…, emb); output appends
+    (pred_label, cos) to every input column except emb."""
+    proto_row = protos.agg(
+        F.array_sort(F.collect_list(F.struct("label", "centroid"))).alias(
+            "protos"
+        )
+    )
+    best = F.array_max(
+        F.transform(
+            "protos",
+            lambda p: F.struct(
+                _cosine_expr(F.col("emb"), p["centroid"]).alias("cos"),
+                (-p["label"]).cast("long").alias("neg_label"),
+            ),
+        )
+    )
+    keep = [c for c in vectors.columns if c != "emb"]
+    return (
+        vectors.crossJoin(F.broadcast(proto_row))
+        .select(*keep, best.alias("best"))
+        .select(
+            *keep,
+            (-F.col("best.neg_label")).alias("pred_label"),
+            F.col("best.cos").alias("cos"),
+        )
+    )
+
+
 def q_embedding_ncm(
     spark: SparkSession, sf_dir: str, inject: bool = True
 ) -> DataFrame:
     """Nearest-class-mean classifier: train fixed-point prototypes on
-    the even-``vec_id`` split, classify the odd split by pinned cosine
-    argmax (ties → smallest label, matching the oracle's
-    ``ORDER BY cosine DESC, pred_label``). Returns (vec_id, true_label,
-    pred_label, cos). See the block comment above for the design and
-    the injected-signature honesty note; ``inject=False`` is the
-    chance-floor twin the test pins."""
+    the even-``vec_id`` split (``train_prototypes``), classify the odd
+    split by pinned cosine argmax (``classify_by_prototypes``; ties →
+    smallest label, matching the oracle's ``ORDER BY cosine DESC,
+    pred_label``). Returns (vec_id, true_label, pred_label, cos). See
+    the block comment above for the design and the injected-signature
+    honesty note; ``inject=False`` is the chance-floor twin the test
+    pins."""
     emb = load_table(spark, sf_dir, "embeddings")
     if inject:
         sig_emb = F.transform(
@@ -1831,61 +1902,11 @@ def q_embedding_ncm(
     else:
         sig_emb = F.transform("embedding", lambda x: x.cast("double"))
     sig = emb.select("vec_id", "label", sig_emb.alias("emb"))
-    train = sig.filter(F.col("vec_id") % 2 == 0)
-    test = sig.filter(F.col("vec_id") % 2 == 1)
-    q20 = F.floor(F.col("v") * F.lit(1048576.0)).cast("long")
-    per_pos = (
-        train.select("label", F.posexplode("emb").alias("pos0", "v"))
-        .groupBy("label", "pos0")
-        .agg(F.sum(q20).alias("sq"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "label",
-            "pos0",
-            (
-                F.col("sq").cast("double") / (F.lit(1048576.0) * F.col("n"))
-            ).alias("c"),
-        )
+    protos = train_prototypes(sig.filter(F.col("vec_id") % 2 == 0))
+    test = sig.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", F.col("label").cast("long").alias("true_label"), "emb"
     )
-    # pos-sorted struct collect → dense centroid array (the oracle's
-    # list(... ORDER BY pos)); collect_list order is nondeterministic
-    # under partitioning, array_sort pins it.
-    protos = per_pos.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos0", "c"))),
-            lambda s: s["c"],
-        ).alias("centroid")
-    )
-    proto_row = protos.agg(
-        F.array_sort(F.collect_list(F.struct("label", "centroid"))).alias(
-            "protos"
-        )
-    )
-    # Map-only inference: argmax over the broadcast prototype array via
-    # struct max — (cos, -label) makes the tie-break smallest-label,
-    # identical to the oracle's window ordering.
-    best = F.array_max(
-        F.transform(
-            "protos",
-            lambda p: F.struct(
-                _cosine_expr(F.col("emb"), p["centroid"]).alias("cos"),
-                (-p["label"]).cast("long").alias("neg_label"),
-            ),
-        )
-    )
-    return (
-        test.crossJoin(F.broadcast(proto_row))
-        .select(
-            "vec_id",
-            F.col("label").cast("long").alias("true_label"),
-            best.alias("best"),
-        )
-        .select(
-            "vec_id",
-            "true_label",
-            (-F.col("best.neg_label")).alias("pred_label"),
-            F.col("best.cos").alias("cos"),
-        )
-    )
+    return classify_by_prototypes(test, protos)
 
 
 @register(
