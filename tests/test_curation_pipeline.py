@@ -49,24 +49,35 @@ def curated(spark, sf_dir):
         canon.select("doc_id"), "doc_id", "left_semi"
     )
 
-    # 2. near-dup resolution: LSH pairs → components → keep the
-    # component representative (its min label). The pairs come from the
-    # catalog's own LSH builder over the base fixture.
+    # 2. near-dup resolution: LSH pairs → components → QUALITY-AWARE
+    # canonical selection (r10: keep the longest text per cluster, ties
+    # → smallest id — the FineWeb-style keep-rule via
+    # canonical_per_component, replacing the min-id representative).
+    # The pairs come from the catalog's own LSH builder over the base
+    # fixture.
+    from retail_datawarehouse_spark.operators.dedup import (
+        canonical_per_component,
+    )
+
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     vertices = exact_deduped.select(F.col("doc_id").alias("v"))
     labels = connected_components(vertices, pairs)
-    near_deduped = (
-        exact_deduped.join(
-            labels, exact_deduped.doc_id == labels.v, "left"
+    winners = (
+        canonical_per_component(
+            labels,
+            exact_deduped.select(
+                F.col("doc_id").alias("v"),
+                F.length("text").cast("long").alias("n_chars"),
+            ),
         )
-        .filter(
-            F.col("component").isNull()
-            | (F.col("component") == F.col("doc_id"))
-        )
-        .select("doc_id", "text")
+        .filter(F.col("v") == F.col("canonical"))
+        .select(F.col("v").alias("doc_id"))
     )
+    near_deduped = exact_deduped.join(
+        winners, "doc_id", "left_semi"
+    ).select("doc_id", "text")
 
     # 3. decontamination: drop docs whose NORMALIZED content hash is in
     # the held-out eval set (doc_id % 10 == 0, by content).
