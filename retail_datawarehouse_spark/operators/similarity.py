@@ -2364,7 +2364,22 @@ _ANN_IVFPQ_RES_SQL = f"""
     ivf AS ({_ANN_IVF_SQL}),
     adc AS ({_ANN_ADC_SQL}),
     ivfpq AS ({_ANN_IVFPQ_SQL}),
-    ivfpq_res AS ({_ANN_IVFPQ_RES_SQL})
+    ivfpq_res AS ({_ANN_IVFPQ_RES_SQL}),
+    exact_l2 AS (
+        SELECT query_id, candidate_id, dist2,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY dist2, candidate_id
+               ) AS BIGINT) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+                   {_DUCK_NORM2.format(a="q.embedding")}
+                   - 2.0 * ({_DUCK_DOT.format(a="q.embedding", b="c.embedding")})
+                   + {_DUCK_NORM2.format(a="c.embedding")} AS dist2
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        )
+        QUALIFY rank <= {TOP_K}
+    )
     SELECT 'exact' AS method, query_id, candidate_id,
            {_COSQ_SQL} AS cosine_q, rank
     FROM exact
@@ -2382,10 +2397,14 @@ _ANN_IVFPQ_RES_SQL = f"""
     UNION ALL
     SELECT 'ivfpq_res', query_id, candidate_id, {_COSQ_SQL}, rank
     FROM ivfpq_res
+    UNION ALL
+    SELECT 'exact_l2', query_id, candidate_id,
+           CAST(FLOOR(dist2 * {COS_Q} + 0.5) AS BIGINT), rank
+    FROM exact_l2
     """,
 )
 def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k, all seven strategies under one hash gate: 'exact'
+    """ANN top-k, all eight strategies under one hash gate: 'exact'
     (fold-cosine brute force — the recall baseline), 'vectorized' (the
     SAME plan with the Arrow pandas-UDF kernel — cumsum-fold
     accumulation makes it BIT-identical to the exact branch, so its
@@ -2403,9 +2422,12 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v − centroid(cell) and scoring reconstructs centroid +
     decode(codes); same cell assignments, same probe pass, finer
     reconstruction — the public-standard fix for raw-PQ's recall
-    floor, measured on the stored index's operating curve). Ranks are
-    computed over each branch's raw cosine (ties broken by
-    candidate_id); the quantized cosine is the shared value surface.
+    floor, measured on the stored index's operating curve), and
+    'exact_l2' (r10 — the metric knob's brute-force squared-L2
+    ranking, ascending, under the same gate; the quantized dist² rides
+    the shared value slot). Ranks are computed over each branch's raw
+    score (ties broken by candidate_id); the quantized value is the
+    shared surface.
 
     The six branches share ONE persisted corpus frame (candidate id +
     embedding + precomputed norm²): without it each branch re-reads the
@@ -2437,6 +2459,32 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_branch, ivfpq_branch, ivfpq_res_branch = _ivf_pair_branches(
         queries, shared, IVF_NPROBE
     )
+    # 'exact_l2' (r10): the metric knob's brute-force L2 ranking under
+    # the driver hash gate — squared-distance expansion q_n2 − 2·dot +
+    # c_n2 over the SAME persisted corpus norms (no new folds below the
+    # join), ranked ASCENDING; the shared value surface carries the
+    # quantized dist² in the cosine_q slot.
+    dist2 = (
+        F.col("q_n2")
+        - F.lit(2.0) * F.expr(_SPARK_DOT.format(a="q_emb", b="c_emb"))
+        + F.col("c_n2")
+    )
+    wl2 = Window.partitionBy("query_id").orderBy("dist2", "candidate_id")
+    l2_topk = (
+        corpus.crossJoin(F.broadcast(queries))
+        .withColumn("dist2", dist2)
+        .withColumn("rank", F.row_number().over(wl2).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.lit("exact_l2").alias("method"),
+            "query_id",
+            "candidate_id",
+            F.floor(F.col("dist2") * COS_Q + F.lit(0.5))
+            .cast("long")
+            .alias("cosine_q"),
+            "rank",
+        )
+    )
     return (
         q6(_exact_topk(queries, corpus), "exact")
         .unionByName(q6(_vectorized_topk(queries, corpus), "vectorized"))
@@ -2445,4 +2493,5 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q6(_adc_topk(queries, corpus), "adc"))
         .unionByName(q6(ivfpq_branch, "ivfpq"))
         .unionByName(q6(ivfpq_res_branch, "ivfpq_res"))
+        .unionByName(l2_topk)
     )
