@@ -143,6 +143,130 @@ def run_drift_monitor_available_now(
         )
 
 
+CLASSIFIER_MONITOR_SCHEMA = T.StructType(
+    [
+        T.StructField("wave", T.LongType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("emb", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def stream_embedding_landing(
+    spark: SparkSession, landing_dir: str
+) -> DataFrame:
+    """Embedding-wave landing feed for the classifier monitor: same
+    one-file-per-wave / maxFilesPerTrigger=1 contract as
+    ``stream_landing`` (a fused backlog batch would average a shifted
+    and a clean wave into one verdict)."""
+    return (
+        spark.readStream.schema(CLASSIFIER_MONITOR_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+
+def run_classifier_monitor_available_now(
+    spark: SparkSession,
+    landing_dir: str,
+    protos_dir: str,
+    ref_profile_dir: str,
+    verdict_dir: str,
+    checkpoint_dir: str | None = None,
+    thresh_permille: int | None = None,
+    timeout: float | None = None,
+) -> None:
+    """CLASSIFIER monitoring (r10 continuation) — the standard ML-ops
+    loop, composed from pieces this engine already pins: every arriving
+    embedding wave is labeled by the STORED nearest-class-mean
+    prototypes (``classify_by_prototypes`` — map-only over one
+    broadcast L×dim row) and the wave's PREDICTED-class distribution is
+    TVD-scored against the stored reference profile (the training-time
+    prediction mix). A prediction-mix shift is the deployment signal
+    that the upstream data moved (new domain mix, a broken extractor,
+    covariate shift) — caught at the door without labels, which is
+    precisely why production monitors watch the prediction
+    distribution rather than accuracy.
+
+    Shape at 100 TB: prototypes and the reference profile are tiny
+    stored sidecars read once per drain; each wave pays its own
+    classify pass (map-only) plus one label-cardinality aggregate —
+    cost proportional to the batch, corpus never re-read. Verdict
+    sidecar semantics (at-least-once append, dedupe-on-wave at read,
+    loud multi-wave-batch raise, timeout contract) are identical to
+    ``run_drift_monitor_available_now``; ``read_verdicts`` reads this
+    monitor's sidecar too.
+
+    The flag threshold is the caller's contract: the clean-wave TVD
+    floor is the classifier's own sampling noise across waves (for the
+    fixture's 10 balanced classes at n=250 it reads ~100‰), so
+    ``thresh_permille`` must sit above that floor and below the
+    failure you monitor for (the test pins 300‰ with 3× margins both
+    sides)."""
+    from retail_datawarehouse_spark.operators.drift import (
+        DEFAULT_THRESH_PERMILLE,
+        categorical_drift_from_profiles,
+        key_profile,
+    )
+    from retail_datawarehouse_spark.operators.similarity import (
+        classify_by_prototypes,
+    )
+
+    permille = (
+        DEFAULT_THRESH_PERMILLE if thresh_permille is None else thresh_permille
+    )
+    protos = spark.read.parquet(protos_dir)
+
+    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        ref = sess.read.parquet(ref_profile_dir)
+        preds = classify_by_prototypes(
+            batch_df.select("wave", "id", "emb"), protos
+        )
+        cur = key_profile(preds, F.col("pred_label").cast("string"))
+        wave = batch_df.agg(
+            F.min("wave").cast("long").alias("_w"),
+            F.countDistinct("wave").alias("_nw"),
+        ).select(
+            F.when(F.col("_nw") <= 1, F.col("_w"))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "classifier monitor batch spans %d waves — "
+                        "one-file-per-wave contract broken",
+                        F.col("_nw"),
+                    )
+                ).cast("long")
+            )
+            .alias("wave")
+        )
+        verdict = (
+            categorical_drift_from_profiles(ref, cur, permille)
+            .crossJoin(F.broadcast(wave))
+            .select("wave", "tvd_scaled", "n_ref", "n_cur", "flag")
+        )
+        verdict.write.mode("append").parquet(verdict_dir)
+
+    writer = (
+        stream_embedding_landing(spark, landing_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(score_batch)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    if timeout is None:
+        q.awaitTermination()
+    elif not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"classifier monitor did not terminate within {timeout}s — "
+            f"verdicts at {verdict_dir} may be partial; not returning "
+            "control"
+        )
+
+
 def read_verdicts(spark: SparkSession, verdict_dir: str) -> DataFrame:
     """Verdict sidecar, deduped per wave (at-least-once foreachBatch
     can append a wave's deterministic verdict twice across a crash;

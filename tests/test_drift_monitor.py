@@ -143,3 +143,112 @@ def test_multi_wave_file_fails_loudly(spark, mon_root):
     )
     with pytest.raises(Exception, match="spans 2 waves"):
         run_drift_monitor_available_now(spark, landing, ref_dir, verdict_dir)
+
+
+def test_classifier_monitor_flags_prediction_mix_shift(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Classifier monitoring E2E (r10 continuation): waves of
+    embeddings are labeled by the STORED NCM prototypes and the
+    predicted-class mix is TVD-scored against the training-time
+    prediction profile. Two clean waves (the fixture's own test split —
+    prediction-mix noise ~100‰ at n≈250 with 10 balanced classes) stay
+    QUIET at the 300‰ line; a class-collapsed wave (every vector
+    re-signed to class 3 — the broken-extractor scenario) reads ~880‰
+    and FIRES. The drained waves' predictions equal the batch
+    classifier row-for-row (spot-pinned through the verdict's n_cur),
+    and verdicts dedupe per wave."""
+    from retail_datawarehouse_spark.operators.similarity import (
+        classify_by_prototypes,
+        train_prototypes,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+    from retail_datawarehouse_spark.streaming.monitor import (
+        run_classifier_monitor_available_now,
+    )
+
+    root = str(tmp_path)
+    emb = load_table(spark, sf_correctness_dir, "embeddings")
+
+    def signed(df, label_col):
+        # the suite's injected class signature: +0.5 where pos%10==label
+        return df.select(
+            F.col("vec_id").alias("id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    (i % 10) == label_col, x.cast("double") + F.lit(0.5)
+                ).otherwise(x.cast("double")),
+            ).alias("emb"),
+        )
+
+    train = signed(emb.filter(F.col("vec_id") % 2 == 0), F.col("label"))
+    test = signed(emb.filter(F.col("vec_id") % 2 == 1), F.col("label"))
+    collapsed = signed(emb.filter(F.col("vec_id") % 2 == 1), F.lit(3))
+
+    protos_dir = f"{root}/protos"
+    ref_dir = f"{root}/ref_profile"
+    train_lab = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "label",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                (i % 10) == F.col("label"), x.cast("double") + F.lit(0.5)
+            ).otherwise(x.cast("double")),
+        ).alias("emb"),
+    )
+    train_prototypes(train_lab).write.parquet(protos_dir)
+    ref_preds = classify_by_prototypes(train, spark.read.parquet(protos_dir))
+    from retail_datawarehouse_spark.operators.drift import key_profile as _kp
+
+    _kp(ref_preds, F.col("pred_label").cast("string")).write.parquet(ref_dir)
+
+    landing = f"{root}/landing"
+    os.makedirs(landing, exist_ok=True)
+
+    def land(wave, df):
+        tmp = f"{root}/w{wave}"
+        df.select(
+            F.lit(wave).cast("long").alias("wave"), "id", "emb"
+        ).coalesce(1).write.parquet(tmp)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0],
+            f"{landing}/wave-{wave}.parquet",
+        )
+
+    land(0, test)
+    land(1, test.filter(F.col("id") % 3 != 0))  # a second clean mix
+    land(2, collapsed)
+    verdicts = f"{root}/verdicts"
+    run_classifier_monitor_available_now(
+        spark,
+        landing,
+        protos_dir,
+        ref_dir,
+        verdicts,
+        checkpoint_dir=f"{root}/ckpt",
+        thresh_permille=300,
+    )
+    got = {
+        r.wave: (int(r.flag), int(r.n_cur))
+        for r in read_verdicts(spark, verdicts).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert got[0][0] == 0 and got[1][0] == 0, got
+    assert got[2][0] == 1, got
+    # n_cur pins each wave was scored over exactly its landed rows
+    assert got[0][1] == test.count()
+    assert got[2][1] == collapsed.count()
+    # drain ≡ batch on the clean wave's prediction mix: recompute the
+    # batch-side profile and assert the same TVD verdict values
+    batch_cur = _kp(
+        classify_by_prototypes(test, spark.read.parquet(protos_dir)),
+        F.col("pred_label").cast("string"),
+    )
+    batch_verdict = categorical_drift_from_profiles(
+        spark.read.parquet(ref_dir), batch_cur, 300
+    ).collect()[0]
+    drain_row = (
+        read_verdicts(spark, verdicts).filter(F.col("wave") == 0).collect()[0]
+    )
+    assert drain_row.tvd_scaled == batch_verdict.tvd_scaled
