@@ -1158,17 +1158,34 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def canonical_per_component(
-    labels: DataFrame, scores: DataFrame
+    labels: DataFrame, scores: DataFrame, score_col: str | None = None
 ) -> DataFrame:
     """(v, component) × (v, <score col>) → (v, component, canonical):
     the duplicate-cluster keep-rule as a standalone operator. The
-    score frame's second column is the quality signal (higher wins;
-    ties → smallest v, pinned by max(struct(score, −v)) ≡ the oracle's
-    ``ORDER BY score DESC, v``). Shapes: one equi-join on v (labels
-    are the dedup output — small next to the corpus; the score is a
-    stored column, never a text scan), one component-cardinality
+    quality signal (higher wins; ties → smallest v, pinned by
+    max(struct(score, −v)) ≡ the oracle's ``ORDER BY score DESC, v``)
+    is ``score_col`` when given; otherwise the score frame must be
+    EXACTLY (v, <one score column>) — a wider frame without an explicit
+    ``score_col`` raises rather than silently scoring an arbitrary
+    column (ADVICE r10: the old first-non-v rule made the keep decision
+    depend on the caller's column order). Shapes: one equi-join on v
+    (labels are the dedup output — small next to the corpus; the score
+    is a stored column, never a text scan), one component-cardinality
     groupBy, one broadcast-able map-back join on component."""
-    score_col = [c for c in scores.columns if c != "v"][0]
+    if score_col is None:
+        non_v = [c for c in scores.columns if c != "v"]
+        if "v" not in scores.columns or len(non_v) != 1:
+            raise ValueError(
+                "scores must be exactly (v, <score col>) when score_col "
+                f"is not given — got columns {scores.columns}; pass "
+                "score_col= to pick the quality signal from a wider frame"
+            )
+        score_col = non_v[0]
+    elif score_col not in scores.columns:
+        raise ValueError(
+            f"score_col {score_col!r} not in scores columns "
+            f"{scores.columns}"
+        )
     scored = labels.join(scores, "v")
     best = scored.groupBy("component").agg(
         F.max(

@@ -72,11 +72,6 @@ QUERY_LANDING_SCHEMA = T.StructType(
     ]
 )
 
-_RESULTS_DDL = (
-    "wave long, query_id long, candidate_id long, cosine double, rank long"
-)
-
-
 def stream_query_landing(spark: SparkSession, landing_dir: str) -> DataFrame:
     """File-source landing feed of query-vector waves: declared schema,
     one parquet file per wave, one wave per micro-batch."""
@@ -186,20 +181,40 @@ def run_ann_serve_available_now(
         handle.close()
 
 
-def read_ann_results(spark: SparkSession, results_dir: str) -> DataFrame:
+def read_ann_results(
+    spark: SparkSession, results_dir: str, metric: str = "cosine"
+) -> DataFrame:
     """Result table, wave-partitioned. Replay consistency comes from
     the WRITE side (dynamic overwrite replaces a replayed wave's
     directory — module docstring); the per-(wave, query_id, rank)
     dedupe here is only a defensive screen against partially-committed
-    leftovers, not the idempotency mechanism. The value column is
-    whichever the drain's metric wrote (``cosine`` default, ``score``
-    for ip/l2 — one metric per results table)."""
+    leftovers, not the idempotency mechanism.
+
+    ``metric`` is the DEPLOYMENT's serving metric (the value passed to
+    the drain): the value column is ``cosine`` for cosine, ``score``
+    for ip/l2 — and the empty table (no waves landed yet) is built with
+    the SAME value column (ADVICE r10: the empty frame previously
+    always said ``cosine``, so an ip/l2 reader keyed on the empty-case
+    schema broke the moment the first wave landed). Once waves exist
+    the stored schema is authoritative; a mismatch between it and
+    ``metric`` raises rather than silently renaming a column."""
+    value_col = "cosine" if metric == "cosine" else "score"
     if not os.path.isdir(results_dir) or not any(
         d.startswith("wave=") for d in os.listdir(results_dir)
     ):
-        return spark.createDataFrame([], _RESULTS_DDL)
+        return spark.createDataFrame(
+            [],
+            "wave long, query_id long, candidate_id long, "
+            f"{value_col} double, rank long",
+        )
     raw = spark.read.parquet(results_dir)
-    value_col = "cosine" if "cosine" in raw.columns else "score"
+    stored_col = "cosine" if "cosine" in raw.columns else "score"
+    if stored_col != value_col:
+        raise ValueError(
+            f"results at {results_dir} store value column "
+            f"{stored_col!r} but metric={metric!r} expects "
+            f"{value_col!r} — one metric per results table"
+        )
     return (
         raw.withColumn("wave", F.col("wave").cast("long"))
         .select("wave", "query_id", "candidate_id", value_col, "rank")

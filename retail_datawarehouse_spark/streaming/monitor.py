@@ -189,9 +189,11 @@ def run_classifier_monitor_available_now(
     distribution rather than accuracy.
 
     Shape at 100 TB: prototypes and the reference profile are tiny
-    stored sidecars read once per drain; each wave pays its own
-    classify pass (map-only) plus one label-cardinality aggregate —
-    cost proportional to the batch, corpus never re-read. Verdict
+    stored sidecars re-read once per WAVE through the micro-batch's own
+    session (L×dim / L rows — metadata-sized; consistent semantics for
+    both sidecars, ADVICE r10); each wave pays its own classify pass
+    (map-only) plus one label-cardinality aggregate — cost proportional
+    to the batch, corpus never re-read. Verdict
     sidecar semantics (at-least-once append, dedupe-on-wave at read,
     loud multi-wave-batch raise, timeout contract) are identical to
     ``run_drift_monitor_available_now``; ``read_verdicts`` reads this
@@ -215,11 +217,18 @@ def run_classifier_monitor_available_now(
     permille = (
         DEFAULT_THRESH_PERMILLE if thresh_permille is None else thresh_permille
     )
-    protos = spark.read.parquet(protos_dir)
 
     def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
+        # BOTH sidecars are read through the micro-batch's own session
+        # (ADVICE r10): a frame created on the outer driver session and
+        # joined against batch frames inside foreachBatch only works
+        # where the two sessions share a SparkContext — and it silently
+        # gives the two sidecars different mid-drain update semantics
+        # (outer read = frozen plan, batch read = re-resolved per wave).
+        # Tiny L×dim / L-row reads, so once-per-wave costs nothing.
         ref = sess.read.parquet(ref_profile_dir)
+        protos = sess.read.parquet(protos_dir)
         preds = classify_by_prototypes(
             batch_df.select("wave", "id", "emb"), protos
         )

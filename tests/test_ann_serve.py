@@ -475,9 +475,28 @@ def test_metric_drain_matches_batch_metric_query(
             metric=metric,
             route=route,
         )
-        got = read_ann_results(spark, results)
+        got = read_ann_results(spark, results, metric=metric)
         assert "score" in got.columns and "cosine" not in got.columns
         batch = query_ivf_index(
             queries, idx, nprobe=IVF_NPROBE, metric=metric, route=route
         )
         assert srows(got.drop("wave")) == srows(batch)
+        # a reader declaring the WRONG metric for a landed table raises
+        # instead of silently renaming the value column
+        with pytest.raises(ValueError, match="one metric per results"):
+            read_ann_results(spark, results)
+
+
+def test_read_ann_results_empty_schema_matches_metric(spark, tmp_path):
+    """ADVICE r10: the empty results frame (no waves landed) must carry
+    the DEPLOYMENT metric's value column — previously it always said
+    ``cosine``, so an ip/l2 reader keyed on the empty-case schema broke
+    the moment the first wave landed and the column became ``score``."""
+    missing = str(tmp_path / "nowaves")
+    assert read_ann_results(spark, missing).columns == [
+        "wave", "query_id", "candidate_id", "cosine", "rank",
+    ]
+    for metric in ("ip", "l2"):
+        assert read_ann_results(spark, missing, metric=metric).columns == [
+            "wave", "query_id", "candidate_id", "score", "rank",
+        ]

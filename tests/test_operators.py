@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.builders import builder  # noqa: E402
@@ -1797,3 +1798,17 @@ def test_canonical_per_component_keep_rule(spark):
         for r in canonical_per_component(labels, scores).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 4, 5: 4, 9: 9}
+    # ADVICE r10: a wider score frame needs an EXPLICIT score_col — the
+    # old first-non-v rule silently scored whatever column came first.
+    wide = scores.withColumn("doc_len", F.col("n_chars") * 2)
+    with pytest.raises(ValueError, match="score_col"):
+        canonical_per_component(labels, wide)
+    with pytest.raises(ValueError, match="not in scores"):
+        canonical_per_component(labels, wide, score_col="missing")
+    got_wide = {
+        r.v: r.canonical
+        for r in canonical_per_component(
+            labels, wide, score_col="n_chars"
+        ).collect()
+    }
+    assert got_wide == got
