@@ -146,7 +146,7 @@ def _with_n2(vectors: DataFrame) -> DataFrame:
 
 
 def _build_index(
-    corpus: DataFrame, cells: int
+    corpus: DataFrame, cells: int, metric: str = "cosine"
 ) -> tuple[DataFrame, DataFrame]:
     """Generalized index build at an arbitrary cell count: seed the
     ``cells`` smallest-HASH-RANK corpus vectors (r6 verdict #6: an
@@ -171,12 +171,17 @@ def _build_index(
         .withColumn("cell", F.row_number().over(w) - 1)
         .select("cell", F.col("emb").alias("centroid"))
     )
-    assigned0 = _nearest_cell(corpus, seeds, keep=1)
+    assigned0 = _nearest_cell(corpus, seeds, keep=1, metric=metric)
     centroids = _fixed_point_centroids(assigned0).persist()
-    return _nearest_cell(corpus, centroids, keep=1), centroids
+    return (
+        _nearest_cell(corpus, centroids, keep=1, metric=metric),
+        centroids,
+    )
 
 
-def _auto_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _auto_index(
+    corpus: DataFrame, metric: str = "cosine"
+) -> tuple[DataFrame, DataFrame]:
     """√N-cell index build with the count derived IN-PLAN (1-row
     broadcast aggregate — no driver action): k = max(4, ceil(√N)).
     Seed selection must not depend on a plan-time literal (``limit``
@@ -266,7 +271,7 @@ def _auto_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
     )
     assigned0 = _nearest_cell(
-        corpus, seeds, keep=1, coarse=F.col("_coarse")
+        corpus, seeds, keep=1, coarse=F.col("_coarse"), metric=metric
     )
     centroids = (
         _fixed_point_centroids(assigned0)
@@ -274,7 +279,7 @@ def _auto_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
         .persist()
     )
     assigned = _nearest_cell(
-        corpus, centroids, keep=1, coarse=F.col("_coarse")
+        corpus, centroids, keep=1, coarse=F.col("_coarse"), metric=metric
     )
     # _coarse stays ON the centroid table: the two-level routing is
     # part of the quantizer, and the quantizer must be ONE function —
@@ -364,7 +369,8 @@ def store_ivf_index(
     cells: int | str = "auto",
     pq: bool = False,
     pq_mode: str = "residual",
-    pq_k: int | None = None,
+    pq_k: int | str | None = None,
+    metric: str = "cosine",
 ) -> None:
     """Build the IVF index over (id, emb) and persist it as a
     cell-partitioned parquet table + a centroid sidecar. One-time
@@ -405,6 +411,16 @@ def store_ivf_index(
     the one-time encode fold). Bounded by the training sample size;
     the codebook sidecar is self-contained, so appends and queries
     adapt with zero caller coordination (tools/pq_budget_r09.json).
+    ``pq_k="auto"`` (r11; r10 verdict #3) runs the recorded dialing
+    rule AT STORE TIME: both candidate budgets
+    (``PQ_K_AUTO_CANDIDATES`` = 16/64 — 256 saturates against the
+    bounded sample, per the r10 axis) train on the same 256-row
+    sample, and the wider wins only when its mean reconstruction
+    cosine clears the per-bit gain rule (``_auto_pq_k``) — constant
+    work in corpus size, the ``cells="auto"`` discipline. The CHOSEN
+    integer persists on the sidecar, so a bare autopilot rebuild
+    inherits the dialed value, never the string. The default stays 16
+    for oracle-fixture lineage.
 
     Storing over an EXISTING index is the ATOMIC REBUILD (r9; closes
     the ADVICE-r8 stale-pointer bug where a rebuild into a compacted
@@ -422,12 +438,37 @@ def store_ivf_index(
     calling here is in neither — read the corpus from the index's own
     cells table as close to the call as possible (the drift→rebuild
     composition does exactly that), or quiesce appends around the
-    rebuild."""
+    rebuild.
+
+    ``metric`` (r11; closes the r10 verdict's "metric-trained coarse
+    quantizer" gap): the quantizer's TRAINING objective.
+    ``"cosine"`` (default — byte-identical to every prior store) is
+    the spherical quantizer. ``"l2"`` trains true Lloyd (min-L2
+    assignment; the mean update is already the exact L2 Lloyd step).
+    ``"ip"`` ALSO trains/assigns under L2 but ranks cells by inner
+    product at probe time — the ScaNN/FAISS practice for MIPS: a pure
+    max-IP assignment is degenerate (every vector prefers the
+    largest-norm centroid, collapsing occupancy), while L2 cells tile
+    location AND magnitude and the probe's q·centroid ranking finds
+    the high-dot cells. A non-cosine metric is TAGGED on the centroid
+    sidecar (``_metric``); appends assign and probes rank through the
+    tag with no caller coordination — the quantizer stays ONE
+    function. This is the rebuild decision the r10 metric-serving
+    docs named: on a NORM-SPREAD corpus (‖x‖ varying 10×+), spherical
+    cells ignore magnitude, so a small-nprobe l2/ip probe inherits
+    direction-only cell shapes and misses same-magnitude (l2) or
+    high-dot (ip) neighbors; the metric-trained quantizer separates
+    the norm shells and recovers the recall (norm-spread fixture
+    tests + tools/metric_quantizer_r11.json record the gap). Serving
+    full-probe exactness is metric- and quantizer-independent (all
+    cells scanned)."""
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {_METRICS}: {metric!r}")
     existing = os.path.isdir(
         f"{_gen_root(index_dir, _cells_generation(index_dir))}/centroids"
     )
     if not existing:
-        _write_index(corpus, index_dir, cells, pq, pq_mode, pq_k)
+        _write_index(corpus, index_dir, cells, pq, pq_mode, pq_k, metric)
         return
     # Entry window under the lock (r10, ADVICE r9 #1/#2): (a) the
     # source-generation snapshot serializes with in-flight appends —
@@ -442,7 +483,7 @@ def store_ivf_index(
         src_cells = f"{_gen_root(index_dir, src_gen)}/cells"
         snapshot = _list_cell_files(src_cells)
         gen, root = _reserve_generation(index_dir, src_gen)
-    _write_index(corpus, root, cells, pq, pq_mode, pq_k)
+    _write_index(corpus, root, cells, pq, pq_mode, pq_k, metric)
     spark = corpus.sparkSession
     with _maintenance_lock(index_dir):
         _abort_if_superseded(index_dir, src_gen, root)
@@ -467,20 +508,39 @@ def _write_index(
     cells: int | str,
     pq: bool,
     pq_mode: str = "residual",
-    pq_k: int | None = None,
+    pq_k: int | str | None = None,
+    metric: str = "cosine",
 ) -> None:
     """One full index generation under ``root``: the cell-partitioned
     table plus the centroid (and, with ``pq``, codebook) sidecars —
-    the build body shared by the fresh store and the rebuild path."""
+    the build body shared by the fresh store and the rebuild path.
+
+    A non-cosine ``metric`` rides the centroid sidecar as a ``_metric``
+    literal column (the ``_coarse`` pattern): the tag is what makes the
+    quantizer ONE function — ``_append_rows`` and ``_probes`` read it
+    and assign/rank under the same objectives the training used
+    (``_assignment_metric``: l2 AND ip indexes assign under L2; probes
+    rank under the tag itself — the ScaNN-style MIPS split, see
+    ``store_ivf_index``). The cosine default writes NO tag, so every
+    pre-r11 index and every default store stays byte-identical (absent
+    tag ≡ cosine)."""
     if pq_mode not in ("residual", "raw"):
         raise ValueError(f"pq_mode must be 'residual' or 'raw': {pq_mode!r}")
+    assign = _assignment_metric(metric)
     withn2 = _with_n2(corpus)
     if cells == "fixture":
+        if metric != "cosine":
+            raise ValueError(
+                "cells='fixture' is the oracle-mirrored cosine builder; "
+                f"metric={metric!r} needs cells='auto' or an explicit int"
+            )
         assigned, centroids = _ivf_index_over(withn2)
     elif cells == "auto":
-        assigned, centroids = _auto_index(withn2)
+        assigned, centroids = _auto_index(withn2, metric=assign)
     else:
-        assigned, centroids = _build_index(withn2, cells)
+        assigned, centroids = _build_index(withn2, cells, metric=assign)
+    if metric != "cosine":
+        centroids = centroids.withColumn("_metric", F.lit(metric))
     if pq and pq_mode == "residual":
         packed = _residual_codebook(assigned, centroids, pq_k=pq_k)
         packed.write.mode("overwrite").parquet(f"{root}/codebook")
@@ -951,6 +1011,7 @@ def rebuild_ivf_index(
     pq: bool | None = None,
     pq_mode: str | None = None,
     pq_k: int | None = None,
+    metric: str | None = None,
 ) -> None:
     """Execute the rebuild ``maintain_ivf_index`` recommends: retrain
     the quantizer on the index's OWN current contents and commit the
@@ -966,22 +1027,33 @@ def rebuild_ivf_index(
     never neither (no loss).
 
     ``pq=None`` (default) keeps the index's current tier (codebook
-    sidecar present ⇒ PQ) — and ``pq_mode=None`` / ``pq_k=None``
-    (defaults) keep the CURRENT codebook's mode and code budget too
-    (r10 cont.): the sidecar self-describes both (``_residual`` tag;
-    ``pq_k = size(_cb)/PQ_M``), and without inheritance an autopilot
-    rebuild of a ``pq_mode="raw"`` or ``pq_k=64`` index would silently
-    revert it to the store-time defaults — a dialed-in deployment must
-    not lose its knobs to maintenance. Pass explicit values to change
-    tier/mode/budget at rebuild time (a tier change onto a non-PQ
-    index falls back to the ``store_ivf_index`` defaults). Same abort
-    contract as every maintainer: ``ConcurrentMaintenanceError`` if
-    another maintainer commits first."""
+    sidecar present ⇒ PQ) — and ``pq_mode=None`` / ``pq_k=None`` /
+    ``metric=None`` (defaults) keep the CURRENT codebook's mode and
+    code budget AND the quantizer's training metric too (r10 cont.;
+    metric r11): the sidecars self-describe all three (``_residual``
+    tag; ``pq_k = size(_cb)/PQ_M``; ``_metric`` tag), and without
+    inheritance an autopilot rebuild of a ``pq_mode="raw"``,
+    ``pq_k=64``, or ``metric="l2"`` index would silently revert it to
+    the store-time defaults — a dialed-in deployment must not lose its
+    knobs to maintenance. Pass explicit values to change
+    tier/mode/budget/metric at rebuild time (a tier change onto a
+    non-PQ index falls back to the ``store_ivf_index`` defaults). Same
+    abort contract as every maintainer: ``ConcurrentMaintenanceError``
+    if another maintainer commits first."""
     if pq is None:
         pq = _is_pq_index(index_dir)
     with _maintenance_lock(index_dir):
         src_gen = _cells_generation(index_dir)
         src_cells = f"{_gen_root(index_dir, src_gen)}/cells"
+        if metric is None:
+            # metric inheritance (r11), read under the lock like the
+            # pq knobs: the sidecar is the same generation the corpus
+            # listing pins
+            metric = _index_metric(
+                spark.read.parquet(
+                    f"{_gen_root(index_dir, src_gen)}/centroids"
+                )
+            )
         if pq and (pq_mode is None or pq_k is None):
             # knob inheritance, read under the lock so the sidecar is
             # the same generation the corpus listing pins
@@ -1003,7 +1075,9 @@ def rebuild_ivf_index(
         # corpus ≡ snapshot: the reader's pinned file index is both
         snapshot = {_strip_file_scheme(f) for f in reader.inputFiles()}
         gen, root = _reserve_generation(index_dir, src_gen)
-    _write_index(reader.select("id", "emb"), root, cells, pq, pq_mode, pq_k)
+    _write_index(
+        reader.select("id", "emb"), root, cells, pq, pq_mode, pq_k, metric
+    )
     with _maintenance_lock(index_dir):
         _abort_if_superseded(index_dir, src_gen, root)
         late = sorted(_list_cell_files(src_cells) - snapshot)
@@ -1203,7 +1277,11 @@ def _append_rows(new_vectors: DataFrame, root: str) -> None:
     )
     centroids = spark.read.parquet(f"{root}/centroids")
     assigned = _nearest_cell(
-        _with_n2(new_vectors), centroids, keep=1, coarse=_routing(centroids)
+        _with_n2(new_vectors),
+        centroids,
+        keep=1,
+        coarse=_routing(centroids),
+        metric=_assignment_metric(_index_metric(centroids)),
     )
     if os.path.isdir(f"{root}/codebook"):
         packed = spark.read.parquet(f"{root}/codebook")
@@ -1218,6 +1296,32 @@ def _append_rows(new_vectors: DataFrame, root: str) -> None:
 _COARSE_MEMO: "weakref.WeakKeyDictionary[DataFrame, int]" = (
     weakref.WeakKeyDictionary()
 )
+_METRIC_MEMO: "weakref.WeakKeyDictionary[DataFrame, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _assignment_metric(metric: str) -> str:
+    """Cell-ASSIGNMENT objective for a quantizer trained under
+    ``metric``: l2 and ip both assign under L2 (an ip index ranks
+    cells by inner product at PROBE time only — a max-IP assignment is
+    degenerate, see ``store_ivf_index``); cosine stays spherical."""
+    return "l2" if metric in ("l2", "ip") else "cosine"
+
+
+def _index_metric(centroids: DataFrame) -> str:
+    """The quantizer's TRAINING metric, read from the ``_metric`` tag
+    on the centroid sidecar (r11). Absent tag = ``cosine`` (every
+    pre-r11 index and every default store). Same index-open-metadata
+    class and per-frame memo as ``_routing``'s ``_coarse`` scalar —
+    the drain's persisted handle reads it once per drain."""
+    if "_metric" not in centroids.columns:
+        return "cosine"
+    metric = _METRIC_MEMO.get(centroids)
+    if metric is None:
+        metric = centroids.select("_metric").first()[0]
+        _METRIC_MEMO[centroids] = metric
+    return metric
 
 
 def _routing(centroids: DataFrame, nprobe: int | None = None):
@@ -1348,14 +1452,25 @@ def _probes(
     R=256 at 20×), because a general query's true neighbors are not
     constrained to its routed group the way a near-copy's parent is.
     Regime rule: symmetric for dedup/near-copy probing, flat for broad
-    retrieval at nprobe ≤ √K; above √K the two coincide."""
+    retrieval at nprobe ≤ √K; above √K the two coincide.
+
+    Cell RANKING runs under the quantizer's TRAINING metric (the
+    ``_metric`` sidecar tag, r11): a metric-trained quantizer's cells
+    tile the space under that metric's geometry, so probing them with
+    cosine ranking would re-open the same asymmetry class the routed/
+    flat finding measured (assignment and probe must be the same
+    function). Untagged (cosine/spherical) indexes are unchanged."""
     if route not in ("symmetric", "flat"):
         raise ValueError(f"route must be 'symmetric' or 'flat': {route!r}")
     coarse = (
         _routing(centroids, nprobe) if route == "symmetric" else None
     )
     return _nearest_cell(
-        _with_n2(queries), centroids, keep=nprobe, coarse=coarse
+        _with_n2(queries),
+        centroids,
+        keep=nprobe,
+        coarse=coarse,
+        metric=_index_metric(centroids),
     ).select(
         F.col("id").alias("query_id"),
         F.col("emb").alias("q_emb"),
@@ -1471,15 +1586,18 @@ def query_ivf_index(
     (emb, n2, codes, recon_n2), so every metric is one scoring
     expression away on the same pruned scan shapes — float, ADC, and
     rerank tiers all honor it (ip/l2 output column ``score``; l2 is
-    the SQUARED distance — monotone in true L2). Honesty: the COARSE
-    quantizer is spherical (cosine) for every metric — full probe is
-    exact under any metric (all cells scanned; pinned row-for-row
-    against brute force per metric), and a scale-invariant or exact
-    near-copy routes with its parent, so near-dup probing holds at
-    small nprobe (pinned); a broad L2/IP retrieval at small nprobe
-    inherits the spherical cell shapes (use ``route="flat"`` /
-    wider nprobe, same regime rule as cosine — an L2-trained
-    quantizer is a rebuild decision, not a query-time one)."""
+    the SQUARED distance — monotone in true L2). The COARSE quantizer
+    defaults to spherical (cosine) — full probe is exact under any
+    metric (all cells scanned; pinned row-for-row against brute force
+    per metric), and a scale-invariant or exact near-copy routes with
+    its parent, so near-dup probing holds at small nprobe (pinned); a
+    broad L2/IP retrieval at small nprobe inherits the spherical cell
+    shapes on a NORM-SPREAD corpus. That boundary is closable as of
+    r11: rebuild with ``store_ivf_index(metric="l2"|"ip")`` — the
+    metric-TRAINED quantizer (tagged on the sidecar; probes here rank
+    cells under the trained metric automatically, keeping assignment
+    and probe one function) — and small-nprobe l2/ip recall recovers
+    (norm-spread fixture test + tools/metric_quantizer_r11.json)."""
     if metric not in _METRICS:
         raise ValueError(f"metric must be one of {_METRICS}: {metric!r}")
     spark = queries.sparkSession

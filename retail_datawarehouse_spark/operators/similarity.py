@@ -674,13 +674,31 @@ def _norm2_expr(a: F.Column) -> F.Column:
     )
 
 
+def _assign_key(metric: str, dot: F.Column, an2: F.Column, bn2: F.Column):
+    """ASCENDING sort key (smaller = nearer) for cell assignment under
+    the quantizer's training metric — the r11 metric-trained-quantizer
+    knob. ``cosine`` (default, the historical spherical quantizer):
+    −cos; ``l2``: the squared distance an2 − 2·dot + bn2 (the exact
+    Lloyd assignment whose mean-update ``_fixed_point_centroids``
+    already performs); ``ip``: −dot (the k-means-style MIPS heuristic —
+    FAISS's METRIC_INNER_PRODUCT assignment, mean update)."""
+    if metric == "ip":
+        return -dot
+    if metric == "l2":
+        return an2 - F.lit(2.0) * dot + bn2
+    return -(dot / (F.sqrt(an2) * F.sqrt(bn2)))
+
+
 def _nearest_cell(
     vectors: DataFrame,
     centroids: DataFrame,
     keep: int,
     coarse=None,  # int, None, or a Column on ``centroids`` (auto mode)
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Rank centroid cells by cosine for every vector; keep the top
+    """Rank centroid cells for every vector under ``metric`` (cosine
+    default — the spherical quantizer; ``l2``/``ip`` are the r11
+    metric-trained variants, see ``_assign_key``); keep the top
     ``keep`` cells. ``vectors`` needs (id, emb) and may carry a
     precomputed ``n2`` norm² column (reused if present).
 
@@ -733,18 +751,19 @@ def _nearest_cell(
             F.collect_list(F.struct("rep", "rep_c", "rep_n2")).alias("_reps")
         )
         # Group each centroid under its nearest rep (tiny K×coarse pass,
-        # fully in-plan, broadcast both ways).
+        # fully in-plan, broadcast both ways) — under the SAME metric as
+        # the vector routing below, or routed groups would not match.
         grouped = with_n2.crossJoin(F.broadcast(packed_reps)).withColumn(
             "_group",
             F.array_min(
                 F.transform(
                     "_reps",
                     lambda s: F.struct(
-                        (
-                            -(
-                                _dot_expr(F.col("centroid"), s.rep_c)
-                                / (F.sqrt(F.col("_cn2")) * F.sqrt(s["rep_n2"]))
-                            )
+                        _assign_key(
+                            metric,
+                            _dot_expr(F.col("centroid"), s.rep_c),
+                            F.col("_cn2"),
+                            s["rep_n2"],
                         ).alias("negcos"),
                         s.rep.alias("rep"),
                     ),
@@ -772,11 +791,11 @@ def _nearest_cell(
             F.transform(
                 "_reps",
                 lambda s: F.struct(
-                    (
-                        -(
-                            _dot_expr(F.col("emb"), s.rep_c)
-                            / (F.sqrt(F.col("n2")) * F.sqrt(s["rep_n2"]))
-                        )
+                    _assign_key(
+                        metric,
+                        _dot_expr(F.col("emb"), s.rep_c),
+                        F.col("n2"),
+                        s["rep_n2"],
                     ).alias("negcos"),
                     s.rep.alias("rep"),
                 ),
@@ -788,11 +807,11 @@ def _nearest_cell(
                 F.transform(
                     cand_set,
                     lambda s: F.struct(
-                        (
-                            -(
-                                _dot_expr(F.col("emb"), s.centroid)
-                                / (F.sqrt(F.col("n2")) * F.sqrt(s["_cn2"]))
-                            )
+                        _assign_key(
+                            metric,
+                            _dot_expr(F.col("emb"), s.centroid),
+                            F.col("n2"),
+                            s["_cn2"],
                         ).alias("negcos"),
                         s.cell.alias("cell"),
                     ),
@@ -819,11 +838,11 @@ def _nearest_cell(
             F.transform(
                 "_cents",
                 lambda s: F.struct(
-                    (
-                        -(
-                            _dot_expr(F.col("emb"), s.centroid)
-                            / (F.sqrt(F.col("n2")) * F.sqrt(s["_cn2"]))
-                        )
+                    _assign_key(
+                        metric,
+                        _dot_expr(F.col("emb"), s.centroid),
+                        F.col("n2"),
+                        s["_cn2"],
                     ).alias("negcos"),
                     s.cell.alias("cell"),
                 ),
@@ -1099,8 +1118,67 @@ _DUCK_L2 = (
 )
 
 
+# pq_k="auto" (r11; r10 verdict #3): candidate code budgets and the
+# acceptance rule, mirroring the recorded dialing rule
+# (tools/pqk_axis_r10.json / COVERAGE.md) as a STORE-TIME decision on
+# the bounded training sample — the same in-plan discipline as
+# cells="auto". Candidates stop at 64 because the r10 axis measured 256
+# saturating against the PQ_TRAIN_N=256 sample (64 centroids/subspace
+# is the last tier the sample can train meaningfully). The decision
+# statistic is the mean reconstruction cosine over the sample; the
+# wider budget wins only when it buys at least GAIN_PER_BIT per extra
+# code BIT (log2(64)−log2(16) = 2 bits) — the per-byte framing of the
+# knee rule. Threshold calibrated on the knee fixtures (see
+# test_pq_k_auto_*): near-isotropic embeddings gain ~0.1/bit at 64
+# (dial up), a 16-pattern subspace corpus gains ~0 (stay at 16).
+PQ_K_AUTO_CANDIDATES = (16, 64)
+PQ_K_AUTO_GAIN_PER_BIT = 0.01
+
+
+def _auto_pq_k(train: DataFrame) -> tuple[int, DataFrame]:
+    """Choose the PQ code budget from the bounded training sample:
+    train BOTH candidate codebooks (constant work — two seeded Lloyd
+    passes over ≤PQ_TRAIN_N rows), self-encode the sample against
+    each, and keep the wider budget only if its mean reconstruction
+    cosine clears the per-bit gain rule. Returns (pq_k, packed
+    codebook) so the winner is never retrained. The two 1-row
+    aggregates are driver-side ``first()`` calls of the same
+    store-time-metadata class as the routing scalar — constant in
+    corpus size (the sample is bounded), never a per-row action."""
+    lo, hi = PQ_K_AUTO_CANDIDATES
+    packed_lo = _pq_codebook(train, train=train, pq_k=lo)
+    packed_hi = _pq_codebook(train, train=train, pq_k=hi)
+
+    def mrc(packed: DataFrame) -> float:
+        cand = train.select(
+            "candidate_id", "c_emb", F.col("c_emb").alias("_orig")
+        )
+        coded = _pq_encode(train, cand, packed=packed, persist=False)
+        dot = F.expr(_SPARK_DOT.format(a="_orig", b="recon"))
+        on2 = F.expr(_SPARK_NORM2.format(a="_orig"))
+        row = (
+            coded.withColumn("_on2", on2)
+            .filter((F.col("_on2") > 0) & (F.col("recon_n2") > 0))
+            .agg(
+                F.avg(
+                    dot / (F.sqrt(F.col("_on2")) * F.sqrt(F.col("recon_n2")))
+                ).alias("m")
+            )
+            .first()
+        )
+        return 0.0 if row.m is None else float(row.m)
+
+    import math
+
+    gain = mrc(packed_hi) - mrc(packed_lo)
+    need = PQ_K_AUTO_GAIN_PER_BIT * (math.log2(hi) - math.log2(lo))
+    return (hi, packed_hi) if gain >= need else (lo, packed_lo)
+
+
 def _pq_codebook(
-    c: DataFrame, train: DataFrame | None = None, pq_k: int | None = None
+    c: DataFrame,
+    train: DataFrame | None = None,
+    pq_k: int | str | None = None,
 ) -> DataFrame:
     """Train the PQ_M × PQ_K codebook over the bounded training sample
     (``_pq_train_sample``'s hash-ranked PQ_TRAIN_N rows, or a caller-
@@ -1121,6 +1199,11 @@ def _pq_codebook(
     deterministic in both engines)."""
     if train is None:
         train = _pq_train_sample(c)
+    if isinstance(pq_k, str):
+        if pq_k != "auto":
+            raise ValueError(f"pq_k must be an int or 'auto': {pq_k!r}")
+        _, packed = _auto_pq_k(train)
+        return packed
     explode_s = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s")
     sub = (
         train.select("candidate_id", "c_emb", explode_s)
@@ -1390,7 +1473,9 @@ def _residualize(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def _residual_codebook(
-    assigned: DataFrame, centroids: DataFrame, pq_k: int | None = None
+    assigned: DataFrame,
+    centroids: DataFrame,
+    pq_k: int | str | None = None,
 ) -> DataFrame:
     """PQ codebook trained on the RESIDUALS of the standard
     hash-ranked sample (same sampled ids as the raw-PQ codebook — the

@@ -2044,3 +2044,104 @@ def test_rebuild_inherits_codebook_mode_and_budget(
     # explicit override still wins
     rebuild_ivf_index(spark, idx, pq_mode="residual", pq_k=16)
     assert knobs() == ("residual", 16)
+
+
+def test_pq_k_auto_dials_by_sample_reconstruction_gain(spark, tmp_path):
+    """pq_k="auto" (r11; r10 verdict #3): the store-time twin of the
+    recorded dialing rule (tools/pqk_axis_r10.json). Both candidate
+    codebooks train on the SAME bounded sample; the wider budget wins
+    only when its mean reconstruction cosine clears the per-bit gain
+    rule. Two planted regimes: a corpus whose 8-dim subvectors take
+    only FOUR distinct patterns saturates at pq_k=16 (16 seeds cover 4
+    patterns, recon cosine 1.0 at both tiers — stay low); a
+    near-isotropic corpus gains ~0.1/bit at 64 (dial up). End-to-end:
+    store_ivf_index(pq_k="auto") persists the CHOSEN budget on the
+    codebook sidecar — which is also what a bare rebuild inherits, so
+    autopilot maintenance keeps the auto-dialed value."""
+    import numpy as np
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        open_ivf_index,
+    )
+    from retail_datawarehouse_spark.operators.similarity import (
+        PQ_M,
+        _auto_pq_k,
+        _pq_train_sample,
+    )
+
+    rng = np.random.default_rng(3)
+    pats = rng.normal(size=(4, 8))
+    low_rows = [
+        (
+            i,
+            np.concatenate(
+                [pats[rng.integers(0, 4)] for _ in range(8)]
+            ).tolist(),
+        )
+        for i in range(400)
+    ]
+    low = spark.createDataFrame(
+        low_rows, "candidate_id long, c_emb array<double>"
+    )
+    k_low, _ = _auto_pq_k(_pq_train_sample(low))
+    assert k_low == 16, "4-pattern subspaces saturate at 16 codes"
+
+    iso = rng.normal(size=(400, 64))
+    iso_rows = [(i, iso[i].tolist()) for i in range(400)]
+    hi = spark.createDataFrame(
+        iso_rows, "candidate_id long, c_emb array<double>"
+    )
+    k_hi, _ = _auto_pq_k(_pq_train_sample(hi))
+    assert k_hi == 64, "near-isotropic sample gains a tier at 64"
+
+    idx = str(tmp_path / "ivf_auto_k")
+    emb = spark.createDataFrame(iso_rows, "id long, emb array<double>")
+    store_ivf_index(emb, idx, cells=8, pq=True, pq_k="auto")
+    h = open_ivf_index(spark, idx, persist=False)
+    stored_k = h.codebook.select(
+        (F.size("_cb") / F.lit(PQ_M)).cast("int")
+    ).first()[0]
+    assert stored_k == 64
+    assert "_residual" in h.codebook.columns  # default mode unchanged
+    # the auto index serves: full probe returns TOP_K rows per query
+    q = spark.createDataFrame(iso_rows[:5], "id long, emb array<double>")
+    got = query_ivf_index(q, idx, nprobe="all", pq=True)
+    assert got.groupBy("query_id").count().filter("count != 3").count() == 0
+
+    with pytest.raises(ValueError, match="auto"):
+        store_ivf_index(
+            emb, str(tmp_path / "bad"), cells=8, pq=True, pq_k="bogus"
+        )
+
+
+@pytest.mark.skipif(
+    "SPARK_GRAFT_SCALEUP" not in __import__("os").environ,
+    reason="20x auto-pq_k knee agreement is opt-in: SPARK_GRAFT_SCALEUP=1",
+)
+def test_pq_k_auto_matches_hand_dialed_knee_at_20x(spark, tmp_path):
+    """The done-criterion from the r10 verdict: on the 20x probe corpus
+    the store-time auto rule must agree with the hand-dialed knee the
+    r10 axis recorded (pq_k=64 — R=16 recall 0.633→0.867, 256
+    saturates against the 256-row train sample)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.scale_probe import generate
+
+    from retail_datawarehouse_spark.operators.similarity import (
+        N_QUERIES,
+        _auto_pq_k,
+        _pq_train_sample,
+    )
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    out = str(tmp_path / "scale20")
+    generate(20, out)
+    emb = load_table(spark, out, "embeddings")
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    k, _ = _auto_pq_k(_pq_train_sample(cand))
+    assert k == 64, f"auto picked {k}, the recorded knee is 64"
