@@ -80,10 +80,14 @@ rewriting, the staged output is discarded and
 ``ConcurrentMaintenanceError`` raised — committing it would lose
 appends now landing in the new current generation). Appends hold the
 same lock across their write, so the fold-or-flip decision is
-race-free on a POSIX filesystem (appends serialize with each other —
-the honest cost; multi-writer appends on an object store need a table
-format or an external coordinator, which is exactly what
-Delta/Iceberg are for, and is out of scope here).
+race-free under the default POSIX coordinator (appends serialize with
+each other — the honest cost). As of r11 the lock, the pointer
+commit, and every listing are INJECTABLE (``coordinator=`` on every
+public API; ``operators/index_fs.py``): an object-store deployment
+passes ``ArrowFsCoordinator`` (single-writer safe as shipped) or
+subclasses it with a real lease/commit protocol for multi-writer
+operation — the Delta/Iceberg-style coordination point as a plug
+rather than a fork.
 
 Incremental add is the FAISS `add`-after-`train` discipline: arriving
 vectors are assigned against the STORED (frozen) centroids — and, for
@@ -103,16 +107,24 @@ mode) over the grown corpus.
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
-import time
 import weakref
-from contextlib import contextmanager
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from retail_datawarehouse_spark.operators.index_fs import (
+    ArrowFsCoordinator,
+    PosixCoordinator,
+)
+
+# The default control plane: POSIX semantics, byte-identical to the
+# pre-r11 inlined code (r10 verdict #6 made the coordinator injectable
+# — every public maintenance/serving API takes ``coordinator=`` and an
+# object-store deployment passes an ``ArrowFsCoordinator`` or its own
+# lease-backed subclass; see operators/index_fs.py).
+_POSIX = PosixCoordinator()
 
 from retail_datawarehouse_spark.operators.similarity import (
     PQ_M,
@@ -371,11 +383,20 @@ def store_ivf_index(
     pq_mode: str = "residual",
     pq_k: int | str | None = None,
     metric: str = "cosine",
+    coordinator: PosixCoordinator | None = None,
 ) -> None:
     """Build the IVF index over (id, emb) and persist it as a
     cell-partitioned parquet table + a centroid sidecar. One-time
     train/assign cost; every later query and append reads only what it
     touches.
+
+    ``coordinator`` (r11, r10 verdict #6): the index's control plane —
+    pointer reads/commits, listings, markers, the maintenance lock.
+    Default POSIX (byte-identical to pre-r11); an object-store
+    deployment passes ``ArrowFsCoordinator`` (or a lease-backed
+    subclass — see ``operators/index_fs.py`` for the semantics it must
+    supply). One index = one coordinator: every later call on this
+    ``index_dir`` must pass the same one.
 
     ``cells``: ``"auto"`` (default) derives k ≈ √N in-plan with
     id-layout-free hash seeding; an explicit int uses the generalized
@@ -464,11 +485,15 @@ def store_ivf_index(
     cells scanned)."""
     if metric not in _METRICS:
         raise ValueError(f"metric must be one of {_METRICS}: {metric!r}")
-    existing = os.path.isdir(
-        f"{_gen_root(index_dir, _cells_generation(index_dir))}/centroids"
+    co = coordinator or _POSIX
+    existing = co.isdir(
+        f"{_gen_root(index_dir, _cells_generation(index_dir, co), co)}"
+        "/centroids"
     )
     if not existing:
-        _write_index(corpus, index_dir, cells, pq, pq_mode, pq_k, metric)
+        _write_index(
+            corpus, index_dir, cells, pq, pq_mode, pq_k, metric, co
+        )
         return
     # Entry window under the lock (r10, ADVICE r9 #1/#2): (a) the
     # source-generation snapshot serializes with in-flight appends —
@@ -478,28 +503,28 @@ def store_ivf_index(
     # drop those rows from the new generation; (b) the destination
     # generation is RESERVED here, so two concurrent maintainers can
     # never bulk-write into the same gen directory.
-    with _maintenance_lock(index_dir):
-        src_gen = _cells_generation(index_dir)
-        src_cells = f"{_gen_root(index_dir, src_gen)}/cells"
-        snapshot = _list_cell_files(src_cells)
-        gen, root = _reserve_generation(index_dir, src_gen)
-    _write_index(corpus, root, cells, pq, pq_mode, pq_k, metric)
+    with co.lock(index_dir):
+        src_gen = _cells_generation(index_dir, co)
+        src_cells = f"{_gen_root(index_dir, src_gen, co)}/cells"
+        snapshot = co.list_cell_files(src_cells)
+        gen, root = _reserve_generation(index_dir, src_gen, co)
+    _write_index(corpus, root, cells, pq, pq_mode, pq_k, metric, co)
     spark = corpus.sparkSession
-    with _maintenance_lock(index_dir):
-        _abort_if_superseded(index_dir, src_gen, root)
-        late = sorted(_list_cell_files(src_cells) - snapshot)
+    with co.lock(index_dir):
+        _abort_if_superseded(index_dir, src_gen, root, co)
+        late = sorted(co.list_cell_files(src_cells) - snapshot)
         if late:
             # Appends that raced the rebuild: their (id, emb) rows are
             # re-assigned/re-encoded against the NEW generation's
             # quantizer — copying rows wholesale would pair old cell
             # ids with new centroids.
             rows = (
-                spark.read.option("basePath", src_cells)
-                .parquet(*late)
+                spark.read.option("basePath", co.spark_path(src_cells))
+                .parquet(*[co.spark_path(p) for p in late])
                 .select("id", "emb")
             )
-            _append_rows(rows, root)
-        _commit_generation(index_dir, gen)
+            _append_rows(rows, root, co)
+        _commit_generation(index_dir, gen, co)
 
 
 def _write_index(
@@ -510,6 +535,7 @@ def _write_index(
     pq_mode: str = "residual",
     pq_k: int | str | None = None,
     metric: str = "cosine",
+    co: PosixCoordinator = _POSIX,
 ) -> None:
     """One full index generation under ``root``: the cell-partitioned
     table plus the centroid (and, with ``pq``, codebook) sidecars —
@@ -543,7 +569,9 @@ def _write_index(
         centroids = centroids.withColumn("_metric", F.lit(metric))
     if pq and pq_mode == "residual":
         packed = _residual_codebook(assigned, centroids, pq_k=pq_k)
-        packed.write.mode("overwrite").parquet(f"{root}/codebook")
+        packed.write.mode("overwrite").parquet(
+            co.spark_path(f"{root}/codebook")
+        )
         rows = _encode_assigned(assigned, packed, centroids)
     elif pq:
         as_cand = withn2.select(
@@ -552,12 +580,18 @@ def _write_index(
         packed = _pq_codebook(
             as_cand, train=_pq_train_sample(as_cand), pq_k=pq_k
         )
-        packed.write.mode("overwrite").parquet(f"{root}/codebook")
+        packed.write.mode("overwrite").parquet(
+            co.spark_path(f"{root}/codebook")
+        )
         rows = _encode_assigned(assigned, packed)
     else:
         rows = assigned.select("id", "emb", "n2", "cell")
-    rows.write.mode("overwrite").partitionBy("cell").parquet(f"{root}/cells")
-    centroids.write.mode("overwrite").parquet(f"{root}/centroids")
+    rows.write.mode("overwrite").partitionBy("cell").parquet(
+        co.spark_path(f"{root}/cells")
+    )
+    centroids.write.mode("overwrite").parquet(
+        co.spark_path(f"{root}/centroids")
+    )
     # Every build mode persists its centroid frame (the Lloyd boundary
     # both the assignment and the sidecar write reuse); release it once
     # both consumers have run — a long-lived serving session otherwise
@@ -576,9 +610,12 @@ class ConcurrentMaintenanceError(RuntimeError):
     the current generation if this op is still wanted."""
 
 
-def _reserve_generation(index_dir: str, src_gen: int) -> tuple[int, str]:
+def _reserve_generation(
+    index_dir: str, src_gen: int, co: PosixCoordinator = _POSIX
+) -> tuple[int, str]:
     """Allocate the next generation number + directory. MUST be called
-    under ``_maintenance_lock`` (r10, ADVICE r9 #1): two maintainers
+    under the coordinator's maintenance lock (r10, ADVICE r9 #1): two
+    maintainers
     racing each other previously both computed ``src_gen + 1`` outside
     any lock and bulk-wrote into the SAME ``gen-{N+1}`` directory — the
     second's ``mode("overwrite")`` clobbered files the first had already
@@ -591,20 +628,22 @@ def _reserve_generation(index_dir: str, src_gen: int) -> tuple[int, str]:
     maintainer removes its own reservation): the protocol needs the
     pointer to only move FORWARD, not to be dense."""
     taken = [src_gen]
-    for path in glob.glob(f"{index_dir}/gen-*"):
+    for path in co.list_gen_dirs(index_dir):
         tail = os.path.basename(path)[len("gen-") :]
         if tail.isdigit():
             taken.append(int(tail))
     gen = max(taken) + 1
     root = f"{index_dir}/gen-{gen}"
-    os.makedirs(root)
-    with open(f"{root}/.staging", "w", encoding="ascii") as f:
-        f.write(f"src={src_gen}\n")
+    co.makedirs(root)
+    co.write_text(f"{root}/.staging", f"src={src_gen}\n")
     return gen, root
 
 
 def _abort_if_superseded(
-    index_dir: str, src_gen: int, staged_root: str
+    index_dir: str,
+    src_gen: int,
+    staged_root: str,
+    co: PosixCoordinator = _POSIX,
 ) -> None:
     """Commit-window guard (r10): under the maintenance lock, verify
     the committed generation is still the one this maintainer rewrote
@@ -614,9 +653,9 @@ def _abort_if_superseded(
     the only safe moves are abort (here: discard our own staged
     directory, which no one else can hold, and raise) or a full
     re-run."""
-    current = _cells_generation(index_dir)
+    current = _cells_generation(index_dir, co)
     if current != src_gen:
-        shutil.rmtree(staged_root, ignore_errors=True)
+        co.rmtree(staged_root, ignore_errors=True)
         raise ConcurrentMaintenanceError(
             f"{index_dir} moved to generation {current} while this "
             f"maintainer was rewriting generation {src_gen}; staged "
@@ -624,19 +663,20 @@ def _abort_if_superseded(
         )
 
 
-def _cells_generation(index_dir: str) -> int:
+def _cells_generation(
+    index_dir: str, co: PosixCoordinator = _POSIX
+) -> int:
     """Committed index generation. 0 = the original flat layout from a
     fresh ``store_ivf_index`` (``{index_dir}/{cells,centroids,
     codebook}``); N>0 = ``{index_dir}/gen-N/...`` written by a
     compaction or rebuild (the CDC one-pointer-swap protocol)."""
-    try:
-        with open(f"{index_dir}/CURRENT", "r", encoding="ascii") as f:
-            return int(f.read().strip())
-    except FileNotFoundError:
-        return 0
+    text = co.read_text(f"{index_dir}/CURRENT")
+    return 0 if text is None else int(text.strip())
 
 
-def _gen_root(index_dir: str, gen: int) -> str:
+def _gen_root(
+    index_dir: str, gen: int, co: PosixCoordinator = _POSIX
+) -> str:
     """Root of a COMMITTED generation. Detects the pre-r9 on-disk
     layout explicitly (ADVICE r9 #3): an index compacted under r8 wrote
     ``CURRENT=N`` pointing at ``{index_dir}/cells-gen-N`` with
@@ -649,9 +689,7 @@ def _gen_root(index_dir: str, gen: int) -> str:
     if gen == 0:
         return index_dir
     root = f"{index_dir}/gen-{gen}"
-    if not os.path.isdir(root) and os.path.isdir(
-        f"{index_dir}/cells-gen-{gen}"
-    ):
+    if not co.isdir(root) and co.isdir(f"{index_dir}/cells-gen-{gen}"):
         raise RuntimeError(
             f"{index_dir} uses the pre-r9 legacy index layout "
             f"(CURRENT={gen} → cells-gen-{gen} with non-generational "
@@ -661,80 +699,41 @@ def _gen_root(index_dir: str, gen: int) -> str:
     return root
 
 
-def _cells_path(index_dir: str) -> str:
-    return f"{_gen_root(index_dir, _cells_generation(index_dir))}/cells"
+def _cells_path(index_dir: str, co: PosixCoordinator = _POSIX) -> str:
+    return f"{_gen_root(index_dir, _cells_generation(index_dir, co), co)}/cells"
 
 
-def _is_pq_index(index_dir: str) -> bool:
-    return os.path.isdir(
-        f"{_gen_root(index_dir, _cells_generation(index_dir))}/codebook"
+def _is_pq_index(index_dir: str, co: PosixCoordinator = _POSIX) -> bool:
+    return co.isdir(
+        f"{_gen_root(index_dir, _cells_generation(index_dir, co), co)}"
+        "/codebook"
     )
 
 
-def _list_cell_files(cells_dir: str) -> set[str]:
-    return set(glob.glob(f"{cells_dir}/cell=*/*.parquet"))
-
-
-def _strip_file_scheme(uri: str) -> str:
-    """'file:///x/y' (DataFrame.inputFiles) → '/x/y' (glob paths)."""
-    if uri.startswith("file://"):
-        return uri[len("file://") :]
-    if uri.startswith("file:"):
-        return uri[len("file:") :]
-    return uri
-
-
-@contextmanager
-def _maintenance_lock(index_dir: str, timeout: float = 120.0):
-    """POSIX ``O_EXCL`` mutual exclusion between index writers: an
-    append holds it across its write; compaction/rebuild hold it only
-    for the commit window (late-file fold + pointer flip) so the bulk
-    rewrite never blocks appends. Local-filesystem semantics only — an
-    object-store deployment gets no atomic create-exclusive and needs
-    a table format or external coordinator instead (module
-    docstring)."""
-    path = f"{index_dir}/MAINTENANCE.lock"
-    deadline = time.monotonic() + timeout
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"could not acquire {path} within {timeout}s — a "
-                    "crashed maintainer may have leaked it; remove the "
-                    "file once no writer is live"
-                )
-            time.sleep(0.05)
-    try:
-        yield
-    finally:
-        os.close(fd)
-        os.unlink(path)
-
-
-def _commit_generation(index_dir: str, gen: int) -> None:
-    """The one atomic commit: fsync a tmp pointer file, POSIX-rename
-    it over ``CURRENT``. Everything before this is invisible to
-    readers; a crash before it leaves the old generation serving. The
-    ``.staging`` reservation marker comes off FIRST (still invisible —
-    readers resolve through the pointer), so a committed generation is
-    never marker-bearing and ``reap`` can tell superseded generations
-    from in-flight rewrites."""
+def _commit_generation(
+    index_dir: str, gen: int, co: PosixCoordinator = _POSIX
+) -> None:
+    """The one atomic commit: fsync a tmp pointer file, rename it over
+    ``CURRENT`` (``co.commit_pointer`` — POSIX rename by default; an
+    object-store coordinator supplies its own commit semantics).
+    Everything before this is invisible to readers; a crash before it
+    leaves the old generation serving. The ``.staging`` reservation
+    marker comes off FIRST (still invisible — readers resolve through
+    the pointer), so a committed generation is never marker-bearing
+    and ``reap`` can tell superseded generations from in-flight
+    rewrites."""
     marker = f"{index_dir}/gen-{gen}/.staging"
-    if gen > 0 and os.path.exists(marker):
-        os.unlink(marker)
-    tmp = f"{index_dir}/CURRENT.tmp-{gen}"
-    with open(tmp, "w", encoding="ascii") as f:
-        f.write(str(gen))
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, f"{index_dir}/CURRENT")
+    if gen > 0 and co.exists(marker):
+        co.remove(marker)
+    co.commit_pointer(index_dir, gen)
 
 
 def ivf_index_stats(
-    spark, index_dir: str, mode: str = "footer", filesystem=None
+    spark,
+    index_dir: str,
+    mode: str = "footer",
+    filesystem=None,
+    coordinator: PosixCoordinator | None = None,
 ) -> DataFrame:
     """Serving-health panel: one row per cell — (cell, n_rows,
     n_files). Occupancy skew is the quantizer-staleness signal the
@@ -774,6 +773,17 @@ def ivf_index_stats(
     and per-row it IS well-defined (the split the row came from)."""
     if mode not in ("footer", "scan"):
         raise ValueError(f"mode must be 'footer' or 'scan': {mode!r}")
+    co = coordinator or _POSIX
+    if (
+        filesystem is None
+        and mode == "footer"
+        and isinstance(co, ArrowFsCoordinator)
+    ):
+        # a coordinator-backed index's footer stats route through the
+        # coordinator's own filesystem handle (r11 — one handle, one
+        # path namespace for control plane and health panel alike);
+        # scan mode instead reads through the mapped Spark paths below
+        filesystem = co.fs
     if filesystem is not None:
         if mode != "footer":
             raise ValueError(
@@ -782,9 +792,9 @@ def ivf_index_stats(
                 "via spark.hadoop.* instead)"
             )
         return _ivf_index_stats_fs(spark, index_dir, filesystem)
-    cells_path = _cells_path(index_dir)
+    cells_path = _cells_path(index_dir, co)
     if mode == "scan":
-        cells = spark.read.parquet(cells_path).select(
+        cells = spark.read.parquet(co.spark_path(cells_path)).select(
             "cell", F.input_file_name().alias("_file")
         )
         return cells.groupBy("cell").agg(
@@ -800,7 +810,7 @@ def ivf_index_stats(
         return os.path.basename(os.path.dirname(path))[len("cell=") :]
 
     listing = [
-        (_cell_of(p), p) for p in sorted(_list_cell_files(cells_path))
+        (_cell_of(p), p) for p in sorted(co.list_cell_files(cells_path))
     ]
 
     def _read_footers(batches):
@@ -905,6 +915,7 @@ def maintain_ivf_index(
     max_files_per_cell: int = 8,
     skew_ratio: float = 8.0,
     auto_rebuild: bool = False,
+    coordinator: PosixCoordinator | None = None,
 ) -> dict:
     """The maintenance POLICY sweep — the autopilot loop a long-lived
     serving index runs between drains, turning the ``ivf_index_stats``
@@ -943,15 +954,16 @@ def maintain_ivf_index(
     counts OCCUPIED cells (the stats panel's rows); ``k`` is the
     quantizer's centroid count; a growing ``empty_cells`` gap is
     wasted quantizer capacity, another staleness signal."""
-    rows = ivf_index_stats(spark, index_dir).collect()
+    co = coordinator or _POSIX
+    rows = ivf_index_stats(spark, index_dir, coordinator=co).collect()
     n_cells = len(rows)
     # the stats panel sees only NON-EMPTY cells (they are the only cell
     # directories); k is the quantizer's true size — empty cells are
     # wasted quantizer capacity, another staleness signal (r10, found
     # by the autopilot test: this auto build had 30 centroids, 28
     # occupied cells)
-    root = _gen_root(index_dir, _cells_generation(index_dir))
-    k = spark.read.parquet(f"{root}/centroids").count()
+    root = _gen_root(index_dir, _cells_generation(index_dir, co), co)
+    k = spark.read.parquet(co.spark_path(f"{root}/centroids")).count()
     max_files = max((r.n_files for r in rows), default=0)
     mean_rows = (
         sum(r.n_rows for r in rows) / n_cells if n_cells else 0.0
@@ -967,13 +979,13 @@ def maintain_ivf_index(
     rebuilt = False
     if rebuild_recommended and auto_rebuild:
         try:
-            rebuild_ivf_index(spark, index_dir)
+            rebuild_ivf_index(spark, index_dir, coordinator=co)
             rebuilt = True
         except ConcurrentMaintenanceError:
             superseded = True
     elif max_files > max_files_per_cell:
         try:
-            compact_ivf_index(spark, index_dir)
+            compact_ivf_index(spark, index_dir, coordinator=co)
             compacted = True
         except ConcurrentMaintenanceError:
             # Another maintainer (a second autopilot, a drift-triggered
@@ -982,11 +994,11 @@ def maintain_ivf_index(
             # next sweep re-reads stats against the new generation; an
             # autopilot must never die on losing this race.
             superseded = True
-    current = _cells_generation(index_dir)
+    current = _cells_generation(index_dir, co)
     stale_staging = sorted(
         path
-        for path in glob.glob(f"{index_dir}/gen-*")
-        if os.path.exists(f"{path}/.staging")
+        for path in co.list_gen_dirs(index_dir)
+        if co.exists(f"{path}/.staging")
         and os.path.basename(path)[len("gen-") :].isdigit()
         and int(os.path.basename(path)[len("gen-") :]) < current
     )
@@ -1012,6 +1024,7 @@ def rebuild_ivf_index(
     pq_mode: str | None = None,
     pq_k: int | None = None,
     metric: str | None = None,
+    coordinator: PosixCoordinator | None = None,
 ) -> None:
     """Execute the rebuild ``maintain_ivf_index`` recommends: retrain
     the quantizer on the index's OWN current contents and commit the
@@ -1040,26 +1053,26 @@ def rebuild_ivf_index(
     non-PQ index falls back to the ``store_ivf_index`` defaults). Same
     abort contract as every maintainer: ``ConcurrentMaintenanceError``
     if another maintainer commits first."""
+    co = coordinator or _POSIX
     if pq is None:
-        pq = _is_pq_index(index_dir)
-    with _maintenance_lock(index_dir):
-        src_gen = _cells_generation(index_dir)
-        src_cells = f"{_gen_root(index_dir, src_gen)}/cells"
+        pq = _is_pq_index(index_dir, co)
+    with co.lock(index_dir):
+        src_gen = _cells_generation(index_dir, co)
+        src_root = _gen_root(index_dir, src_gen, co)
+        src_cells = f"{src_root}/cells"
         if metric is None:
             # metric inheritance (r11), read under the lock like the
             # pq knobs: the sidecar is the same generation the corpus
             # listing pins
             metric = _index_metric(
-                spark.read.parquet(
-                    f"{_gen_root(index_dir, src_gen)}/centroids"
-                )
+                spark.read.parquet(co.spark_path(f"{src_root}/centroids"))
             )
         if pq and (pq_mode is None or pq_k is None):
             # knob inheritance, read under the lock so the sidecar is
             # the same generation the corpus listing pins
-            cb_path = f"{_gen_root(index_dir, src_gen)}/codebook"
-            if os.path.isdir(cb_path):
-                cb = spark.read.parquet(cb_path)
+            cb_path = f"{src_root}/codebook"
+            if co.isdir(cb_path):
+                cb = spark.read.parquet(co.spark_path(cb_path))
                 if pq_mode is None:
                     pq_mode = (
                         "residual" if "_residual" in cb.columns else "raw"
@@ -1070,30 +1083,39 @@ def rebuild_ivf_index(
                     ).first()[0]
         if pq_mode is None:
             pq_mode = "residual"
-        spark.catalog.refreshByPath(src_cells)
-        reader = spark.read.parquet(src_cells)
+        spark.catalog.refreshByPath(co.spark_path(src_cells))
+        reader = spark.read.parquet(co.spark_path(src_cells))
         # corpus ≡ snapshot: the reader's pinned file index is both
-        snapshot = {_strip_file_scheme(f) for f in reader.inputFiles()}
-        gen, root = _reserve_generation(index_dir, src_gen)
+        snapshot = {co.from_spark_path(f) for f in reader.inputFiles()}
+        gen, root = _reserve_generation(index_dir, src_gen, co)
     _write_index(
-        reader.select("id", "emb"), root, cells, pq, pq_mode, pq_k, metric
+        reader.select("id", "emb"),
+        root,
+        cells,
+        pq,
+        pq_mode,
+        pq_k,
+        metric,
+        co,
     )
-    with _maintenance_lock(index_dir):
-        _abort_if_superseded(index_dir, src_gen, root)
-        late = sorted(_list_cell_files(src_cells) - snapshot)
+    with co.lock(index_dir):
+        _abort_if_superseded(index_dir, src_gen, root, co)
+        late = sorted(co.list_cell_files(src_cells) - snapshot)
         if late:
             # landed after the pinned corpus listing: re-assign against
             # the NEW generation's quantizer
             rows = (
-                spark.read.option("basePath", src_cells)
-                .parquet(*late)
+                spark.read.option("basePath", co.spark_path(src_cells))
+                .parquet(*[co.spark_path(p) for p in late])
                 .select("id", "emb")
             )
-            _append_rows(rows, root)
-        _commit_generation(index_dir, gen)
+            _append_rows(rows, root, co)
+        _commit_generation(index_dir, gen, co)
 
 
-def reap_ivf_generations(index_dir: str) -> list[str]:
+def reap_ivf_generations(
+    index_dir: str, coordinator: PosixCoordinator | None = None
+) -> list[str]:
     """Delete SUPERSEDED generations — the out-of-band reclamation the
     compaction/rebuild docstrings defer to. Returns the paths removed.
 
@@ -1111,15 +1133,16 @@ def reap_ivf_generations(index_dir: str) -> list[str]:
     whose source IS the current generation (never a reaped one — they
     read the generation committed at their entry, and the pointer only
     moves forward)."""
+    co = coordinator or _POSIX
     removed: list[str] = []
-    with _maintenance_lock(index_dir):
-        current = _cells_generation(index_dir)
+    with co.lock(index_dir):
+        current = _cells_generation(index_dir, co)
         if current == 0:
             return removed
         for name in ("cells", "centroids", "codebook"):
             path = f"{index_dir}/{name}"
-            if os.path.isdir(path):
-                shutil.rmtree(path)
+            if co.isdir(path):
+                co.rmtree(path)
                 removed.append(path)
         for gen in range(1, current):
             path = f"{index_dir}/gen-{gen}"
@@ -1130,15 +1153,18 @@ def reap_ivf_generations(index_dir: str) -> list[str]:
             # CRASHED mid-rewrite leaks its reservation the same way a
             # crashed lock holder leaks MAINTENANCE.lock: remove it by
             # hand once no maintainer is live.
-            if os.path.isdir(path) and not os.path.exists(
-                f"{path}/.staging"
-            ):
-                shutil.rmtree(path)
+            if co.isdir(path) and not co.exists(f"{path}/.staging"):
+                co.rmtree(path)
                 removed.append(path)
     return removed
 
 
-def compact_ivf_index(spark, index_dir: str, _before_commit=None) -> None:
+def compact_ivf_index(
+    spark,
+    index_dir: str,
+    _before_commit=None,
+    coordinator: PosixCoordinator | None = None,
+) -> None:
     """Rewrite the cell-partitioned table at ONE file per cell and
     commit it with a single atomic pointer rename — the serving-tier
     twin of the warehouse compaction (S4) and the standard maintenance
@@ -1185,54 +1211,61 @@ def compact_ivf_index(spark, index_dir: str, _before_commit=None) -> None:
     # directory, and creating the reader here serializes its pinned
     # file listing with any in-flight append — the listing sees whole
     # appends only.
-    with _maintenance_lock(index_dir):
-        src_gen = _cells_generation(index_dir)
-        src_root = _gen_root(index_dir, src_gen)
+    co = coordinator or _POSIX
+    with co.lock(index_dir):
+        src_gen = _cells_generation(index_dir, co)
+        src_root = _gen_root(index_dir, src_gen, co)
         src_cells = f"{src_root}/cells"
-        gen, dst_root = _reserve_generation(index_dir, src_gen)
-        spark.catalog.refreshByPath(src_cells)
-        reader = spark.read.parquet(src_cells)
+        gen, dst_root = _reserve_generation(index_dir, src_gen, co)
+        spark.catalog.refreshByPath(co.spark_path(src_cells))
+        reader = spark.read.parquet(co.spark_path(src_cells))
         # The snapshot is the EXACT file set the rewrite reads — taken
         # from the reader's own resolved file index (Spark pins the
         # listing at read time), not a separate directory walk: a
         # racing append landing between a walk and the read would
         # otherwise be BOTH rewritten and late-folded, i.e. duplicated.
-        snapshot = {_strip_file_scheme(f) for f in reader.inputFiles()}
+        snapshot = {co.from_spark_path(f) for f in reader.inputFiles()}
     (
         reader.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{dst_root}/cells")
+        .parquet(co.spark_path(f"{dst_root}/cells"))
     )
     # Sidecars ride the generation: a parquet roundtrip of the K-row
     # centroid table (and 1-row codebook) is lossless and negligible
     # next to the cells rewrite, and it buys the whole-index pointer.
-    spark.read.parquet(f"{src_root}/centroids").write.mode(
+    spark.read.parquet(co.spark_path(f"{src_root}/centroids")).write.mode(
         "overwrite"
-    ).parquet(f"{dst_root}/centroids")
-    if os.path.isdir(f"{src_root}/codebook"):
-        spark.read.parquet(f"{src_root}/codebook").write.mode(
-            "overwrite"
-        ).parquet(f"{dst_root}/codebook")
+    ).parquet(co.spark_path(f"{dst_root}/centroids"))
+    if co.isdir(f"{src_root}/codebook"):
+        spark.read.parquet(
+            co.spark_path(f"{src_root}/codebook")
+        ).write.mode("overwrite").parquet(
+            co.spark_path(f"{dst_root}/codebook")
+        )
     if _before_commit is not None:
         _before_commit()
-    with _maintenance_lock(index_dir):
-        _abort_if_superseded(index_dir, src_gen, dst_root)
-        late = sorted(_list_cell_files(src_cells) - snapshot)
+    with co.lock(index_dir):
+        _abort_if_superseded(index_dir, src_gen, dst_root, co)
+        late = sorted(co.list_cell_files(src_cells) - snapshot)
         if late:
             # Same quantizer generation -> the rows' cell assignments
             # and codes are already correct; fold them forward as-is.
             (
-                spark.read.option("basePath", src_cells)
-                .parquet(*late)
+                spark.read.option("basePath", co.spark_path(src_cells))
+                .parquet(*[co.spark_path(p) for p in late])
                 .write.mode("append")
                 .partitionBy("cell")
-                .parquet(f"{dst_root}/cells")
+                .parquet(co.spark_path(f"{dst_root}/cells"))
             )
-        _commit_generation(index_dir, gen)
+        _commit_generation(index_dir, gen, co)
 
 
-def append_to_ivf_index(new_vectors: DataFrame, index_dir: str) -> None:
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    coordinator: PosixCoordinator | None = None,
+) -> None:
     """Assign arriving (id, emb) vectors against the STORED frozen
     centroids — and, for a PQ index (auto-detected from the codebook
     sidecar), encode them against the STORED frozen codebook — one
@@ -1250,12 +1283,15 @@ def append_to_ivf_index(new_vectors: DataFrame, index_dir: str) -> None:
     whatever generation is current after both commit. Appends
     serialize with each other; see the module docstring for the
     multi-writer story."""
-    with _maintenance_lock(index_dir):
-        gen = _cells_generation(index_dir)
-        _append_rows(new_vectors, _gen_root(index_dir, gen))
+    co = coordinator or _POSIX
+    with co.lock(index_dir):
+        gen = _cells_generation(index_dir, co)
+        _append_rows(new_vectors, _gen_root(index_dir, gen, co), co)
 
 
-def _append_rows(new_vectors: DataFrame, root: str) -> None:
+def _append_rows(
+    new_vectors: DataFrame, root: str, co: PosixCoordinator = _POSIX
+) -> None:
     """The append body against one resolved generation ``root``.
 
     The index has ONE vector dtype (the FAISS contract): the batch's
@@ -1267,15 +1303,15 @@ def _append_rows(new_vectors: DataFrame, root: str) -> None:
     the table it extends (found by the r8 symmetry test: a ×2.0-scaled
     float batch arrives as array<double>)."""
     spark = new_vectors.sparkSession
-    stored_emb_type = spark.read.parquet(f"{root}/cells").schema[
-        "emb"
-    ].dataType
+    stored_emb_type = spark.read.parquet(
+        co.spark_path(f"{root}/cells")
+    ).schema["emb"].dataType
     # (id, emb) only, emb in the stored type — any caller-supplied n2
     # is dropped so the norm refolds on the exact stored values
     new_vectors = new_vectors.select(
         "id", F.col("emb").cast(stored_emb_type).alias("emb")
     )
-    centroids = spark.read.parquet(f"{root}/centroids")
+    centroids = spark.read.parquet(co.spark_path(f"{root}/centroids"))
     assigned = _nearest_cell(
         _with_n2(new_vectors),
         centroids,
@@ -1283,14 +1319,16 @@ def _append_rows(new_vectors: DataFrame, root: str) -> None:
         coarse=_routing(centroids),
         metric=_assignment_metric(_index_metric(centroids)),
     )
-    if os.path.isdir(f"{root}/codebook"):
-        packed = spark.read.parquet(f"{root}/codebook")
+    if co.isdir(f"{root}/codebook"):
+        packed = spark.read.parquet(co.spark_path(f"{root}/codebook"))
         # centroids double as the residual base when the codebook is
         # _residual-tagged; _encode_assigned ignores them otherwise
         rows = _encode_assigned(assigned, packed, centroids)
     else:
         rows = assigned.select("id", "emb", "n2", "cell")
-    rows.write.mode("append").partitionBy("cell").parquet(f"{root}/cells")
+    rows.write.mode("append").partitionBy("cell").parquet(
+        co.spark_path(f"{root}/cells")
+    )
 
 
 _COARSE_MEMO: "weakref.WeakKeyDictionary[DataFrame, int]" = (
@@ -1383,16 +1421,20 @@ class IvfIndexHandle:
     centroids: DataFrame
     codebook: DataFrame | None
     persisted: bool
+    coordinator: PosixCoordinator = field(default_factory=lambda: _POSIX)
 
     def refresh(self, spark: SparkSession) -> "IvfIndexHandle":
         """Current handle for this index: ``self`` while the committed
         generation is unchanged; otherwise closes this handle's caches
         and opens the new generation."""
-        if _cells_generation(self.index_dir) == self.gen:
+        if _cells_generation(self.index_dir, self.coordinator) == self.gen:
             return self
         self.close()
         return open_ivf_index(
-            spark, self.index_dir, persist=self.persisted
+            spark,
+            self.index_dir,
+            persist=self.persisted,
+            coordinator=self.coordinator,
         )
 
     def close(self) -> None:
@@ -1403,19 +1445,24 @@ class IvfIndexHandle:
 
 
 def open_ivf_index(
-    spark: SparkSession, index_dir: str, persist: bool = True
+    spark: SparkSession,
+    index_dir: str,
+    persist: bool = True,
+    coordinator: PosixCoordinator | None = None,
 ) -> IvfIndexHandle:
     """Resolve the committed generation ONCE and load its sidecars.
     ``persist=True`` caches the K-row centroid table (and the 1-row
     codebook, when present) for a multi-wave caller; ``persist=False``
     is the one-shot batch path (plain frames, no cache entry to
-    leak)."""
-    gen = _cells_generation(index_dir)
-    root = _gen_root(index_dir, gen)
-    centroids = spark.read.parquet(f"{root}/centroids")
+    leak). ``cells_path`` on the handle is a SPARK-resolvable path
+    (the coordinator's mapping already applied)."""
+    co = coordinator or _POSIX
+    gen = _cells_generation(index_dir, co)
+    root = _gen_root(index_dir, gen, co)
+    centroids = spark.read.parquet(co.spark_path(f"{root}/centroids"))
     codebook = (
-        spark.read.parquet(f"{root}/codebook")
-        if os.path.isdir(f"{root}/codebook")
+        spark.read.parquet(co.spark_path(f"{root}/codebook"))
+        if co.isdir(f"{root}/codebook")
         else None
     )
     if persist:
@@ -1425,10 +1472,11 @@ def open_ivf_index(
     return IvfIndexHandle(
         index_dir=index_dir,
         gen=gen,
-        cells_path=f"{root}/cells",
+        cells_path=co.spark_path(f"{root}/cells"),
         centroids=centroids,
         codebook=codebook,
         persisted=persist,
+        coordinator=co,
     )
 
 
@@ -1531,6 +1579,7 @@ def query_ivf_index(
     handle: IvfIndexHandle | None = None,
     route: str = "symmetric",
     metric: str = "cosine",
+    coordinator: PosixCoordinator | None = None,
 ) -> DataFrame:
     """Serve top-k from the stored index: route each query to its
     nprobe nearest cells (broadcast centroid pass), then score ONLY
@@ -1604,7 +1653,9 @@ def query_ivf_index(
     h = (
         handle
         if handle is not None
-        else open_ivf_index(spark, index_dir, persist=False)
+        else open_ivf_index(
+            spark, index_dir, persist=False, coordinator=coordinator
+        )
     )
     if nprobe == "all":
         nprobe = h.centroids.count()

@@ -1,0 +1,251 @@
+"""Index storage COORDINATORS (r11; r10 verdict #6): the stored IVF
+index's control plane — pointer reads, atomic commits, generation
+listings, staging markers, and the maintenance lock — behind one
+injectable object, so an object-store deployment can supply its own
+semantics without forking the maintenance protocol.
+
+Cite: the protocol itself is ``operators/ann_index.py``'s generation
+machinery (reserve → bulk write → locked fold + pointer flip). What
+varies by storage is only HOW those ~10 small operations execute:
+
+- ``PosixCoordinator`` (the default everywhere): byte-identical to the
+  pre-r11 inlined code — ``O_EXCL`` lock file, ``fsync`` + POSIX
+  ``rename`` pointer commit, ``glob`` listings. This is the
+  local/NFS/fuse deployment and the semantics every concurrency test
+  in ``tests/test_ann_index.py`` pins.
+- ``ArrowFsCoordinator(filesystem)``: routes every operation through a
+  ``pyarrow.fs.FileSystem`` (S3FileSystem, GcsFileSystem, fsspec via
+  ``PyFileSystem``, or a ``SubTreeFileSystem`` — the rebased-path
+  proxy the tests use), the same handle ``ivf_index_stats`` already
+  accepts. ``spark_path_fn`` maps coordinator paths to paths Spark's
+  Hadoop reader resolves (identity-under-root for SubTree; an
+  ``s3a://``-prefixer on a real object store).
+
+Honesty on object-store semantics, stated here rather than discovered
+in production: pyarrow exposes no create-exclusive, so
+``ArrowFsCoordinator.lock`` is CHECK-THEN-CREATE — a best-effort
+mutex, racy in the window between check and create. Likewise
+``commit_pointer`` uses ``filesystem.move``, which is an atomic rename
+on local/SubTree trees but copy+delete (non-atomic) on S3-class
+stores. Single-writer object-store deployments are safe as-is;
+MULTI-writer ones must subclass and back ``lock``/``commit_pointer``
+with a real lease (DynamoDB/ZooKeeper/a table format's commit
+protocol) — which is exactly the injection point this class exists to
+provide. The default POSIX deployment inherits none of these caveats.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+from contextlib import contextmanager
+
+
+class PosixCoordinator:
+    """Local-filesystem control plane — the default and the semantics
+    the concurrency tests pin. Method bodies are the pre-r11 inlined
+    code, moved verbatim."""
+
+    # -- small predicates / metadata -------------------------------
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path)
+
+    def read_text(self, path: str) -> str | None:
+        try:
+            with open(path, "r", encoding="ascii") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def write_text(self, path: str, text: str) -> None:
+        with open(path, "w", encoding="ascii") as f:
+            f.write(text)
+
+    def remove(self, path: str) -> None:
+        os.unlink(path)
+
+    def rmtree(self, path: str, ignore_errors: bool = False) -> None:
+        shutil.rmtree(path, ignore_errors=ignore_errors)
+
+    # -- listings ---------------------------------------------------
+    def list_gen_dirs(self, index_dir: str) -> list[str]:
+        return sorted(glob.glob(f"{index_dir}/gen-*"))
+
+    def list_cell_files(self, cells_dir: str) -> set[str]:
+        return set(glob.glob(f"{cells_dir}/cell=*/*.parquet"))
+
+    # -- the two protocol-critical ops ------------------------------
+    def commit_pointer(self, index_dir: str, gen: int) -> None:
+        """fsync a tmp pointer file, POSIX-rename it over CURRENT —
+        the one atomic commit every maintenance op funnels through."""
+        tmp = f"{index_dir}/CURRENT.tmp-{gen}"
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(str(gen))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, f"{index_dir}/CURRENT")
+
+    @contextmanager
+    def lock(self, index_dir: str, timeout: float = 120.0):
+        """POSIX ``O_EXCL`` mutual exclusion between index writers."""
+        path = f"{index_dir}/MAINTENANCE.lock"
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire {path} within {timeout}s — a "
+                        "crashed maintainer may have leaked it; remove "
+                        "the file once no writer is live"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.unlink(path)
+
+    # -- coordinator path <-> Spark path ----------------------------
+    def spark_path(self, path: str) -> str:
+        return path
+
+    def from_spark_path(self, uri: str) -> str:
+        """'file:///x/y' (DataFrame.inputFiles) → '/x/y'."""
+        if uri.startswith("file://"):
+            return uri[len("file://") :]
+        if uri.startswith("file:"):
+            return uri[len("file:") :]
+        return uri
+
+
+class ArrowFsCoordinator(PosixCoordinator):
+    """Control plane over any ``pyarrow.fs.FileSystem``. ``index_dir``
+    and every derived path are paths WITHIN that filesystem (e.g.
+    ``bucket/prefix/index``). ``spark_path_fn`` maps them to what
+    Spark's reader resolves — required unless the filesystem paths are
+    directly Spark-readable. See the module docstring for the lock /
+    pointer-commit semantics an S3-class deployment must override."""
+
+    def __init__(self, filesystem, spark_path_fn=None):
+        import pyarrow.fs as pafs
+
+        self.fs = filesystem
+        self._pafs = pafs
+        self._spark_path_fn = spark_path_fn
+
+    def _info(self, path: str):
+        return self.fs.get_file_info(path)
+
+    def exists(self, path: str) -> bool:
+        return self._info(path).type != self._pafs.FileType.NotFound
+
+    def isdir(self, path: str) -> bool:
+        return self._info(path).type == self._pafs.FileType.Directory
+
+    def makedirs(self, path: str) -> None:
+        if self.isdir(path):
+            raise FileExistsError(path)
+        self.fs.create_dir(path, recursive=True)
+
+    def read_text(self, path: str) -> str | None:
+        if self._info(path).type != self._pafs.FileType.File:
+            return None
+        with self.fs.open_input_stream(path) as f:
+            return f.read().decode("ascii")
+
+    def write_text(self, path: str, text: str) -> None:
+        with self.fs.open_output_stream(path) as f:
+            f.write(text.encode("ascii"))
+
+    def remove(self, path: str) -> None:
+        self.fs.delete_file(path)
+
+    def rmtree(self, path: str, ignore_errors: bool = False) -> None:
+        try:
+            self.fs.delete_dir(path)
+        except FileNotFoundError:
+            if not ignore_errors:
+                raise
+
+    def list_gen_dirs(self, index_dir: str) -> list[str]:
+        sel = self._pafs.FileSelector(index_dir, recursive=False)
+        try:
+            infos = self.fs.get_file_info(sel)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            i.path
+            for i in infos
+            if i.type == self._pafs.FileType.Directory
+            and i.base_name.startswith("gen-")
+        )
+
+    def list_cell_files(self, cells_dir: str) -> set[str]:
+        if not self.isdir(cells_dir):
+            return set()
+        sel = self._pafs.FileSelector(cells_dir, recursive=True)
+        return {
+            i.path
+            for i in self.fs.get_file_info(sel)
+            if i.type == self._pafs.FileType.File
+            and i.path.endswith(".parquet")
+            and "/cell=" in i.path
+        }
+
+    def commit_pointer(self, index_dir: str, gen: int) -> None:
+        # move() is an atomic rename on local/SubTree trees; on
+        # S3-class stores it is copy+delete — see the module
+        # docstring's override contract.
+        tmp = f"{index_dir}/CURRENT.tmp-{gen}"
+        self.write_text(tmp, str(gen))
+        self.fs.move(tmp, f"{index_dir}/CURRENT")
+
+    @contextmanager
+    def lock(self, index_dir: str, timeout: float = 120.0):
+        # check-then-create: best-effort without a create-exclusive
+        # primitive — the injection point a multi-writer object-store
+        # deployment overrides with a real lease.
+        path = f"{index_dir}/MAINTENANCE.lock"
+        deadline = time.monotonic() + timeout
+        while self.exists(path):
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not acquire {path} within {timeout}s — a "
+                    "crashed maintainer may have leaked it; remove the "
+                    "file once no writer is live"
+                )
+            time.sleep(0.05)
+        self.write_text(path, "")
+        try:
+            yield
+        finally:
+            self.fs.delete_file(path)
+
+    def spark_path(self, path: str) -> str:
+        if self._spark_path_fn is None:
+            return path
+        return self._spark_path_fn(path)
+
+    def from_spark_path(self, uri: str) -> str:
+        local = super().from_spark_path(uri)
+        if self._spark_path_fn is None:
+            return local
+        # invert the mapping by probing the index root prefix: the fn
+        # is required to be a pure prefix-join (SubTree root or an
+        # s3a:// scheme prefix), so stripping the mapped-empty prefix
+        # recovers the coordinator path.
+        prefix = super().from_spark_path(self._spark_path_fn(""))
+        if local.startswith(prefix):
+            return local[len(prefix) :].lstrip("/")
+        return local

@@ -94,6 +94,7 @@ def run_ann_serve_available_now(
     timeout: float | None = None,
     metric: str = "cosine",
     route: str = "symmetric",
+    coordinator=None,
 ) -> None:
     """Drain every landed-and-unanswered query wave through the stored
     index, writing (wave, query_id, candidate_id, cosine, rank) rows
@@ -108,12 +109,17 @@ def run_ann_serve_available_now(
     (r10): a drain serves one contract per deployment — ip/l2 result
     rows carry ``score`` instead of ``cosine`` (the metric's own value
     column; mixing both names in one results table would make the
-    reader's schema depend on the knob row-by-row)."""
+    reader's schema depend on the knob row-by-row). ``coordinator``
+    (r11) likewise passes through: a drain over a coordinator-backed
+    index opens and refreshes its handle through the same control
+    plane the maintainers use (``operators/index_fs.py``)."""
     # Sidecars are frozen index metadata between rebuilds: open the
     # index once per drain (persisted K-row frames; r7 verdict #4) and
     # refresh the handle per wave — sidecars re-read only when a
     # rebuild/compaction actually moved the generation (r9).
-    handle = open_ivf_index(spark, index_dir, persist=True)
+    handle = open_ivf_index(
+        spark, index_dir, persist=True, coordinator=coordinator
+    )
 
     def serve_batch(batch_df: DataFrame, epoch_id: int) -> None:
         nonlocal handle
