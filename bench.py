@@ -7,6 +7,15 @@ Timed action is a FULL-WIDTH checksum (``force_full``), not count():
 count() lets Catalyst prune computed columns out of the timed plan,
 under-measuring projection-shaped entries (r7 verdict #1 — rebaselined
 r8; the paired count/checksum run is in BASELINE.md).
+
+r11 rebaseline (r10 verdict #1): the record additionally times the
+STORED-INDEX serving path (two ``x_ann_serve_*`` rows inside
+``queries``/``value`` — bench builds one IVF×PQ index per run, see
+``bench_serving``) and carries a fixed-work calibration figure
+(``calib_sec``/``box_factor``) so a loaded-box record is
+self-interpreting without BASELINE.md archaeology (r10 verdict
+"what's wrong" #2). r11+ totals therefore sit ~1-2 s above the
+r8-r10 lineage by construction; per-row values stay comparable.
 """
 
 from __future__ import annotations
@@ -79,7 +88,30 @@ BENCH_SHARE_BUDGET = {
     "q_dedup_minhash_lsh": 0.24,
     "q_ann_topk_suite": 0.45,
     "q_text_metrics": 0.16,
+    # Stored-index SERVING rows (r11, r10 verdict #1): the decode-tax
+    # class — wave cost growing with a store-time knob — regressed
+    # invisibly in r10 because no BENCH record timed query_ivf_index.
+    # Bands ~2x the r11 quiet profile shares
+    # (tools/bench_profile_r11.json); note the committed-records replay
+    # checks these only on records that CONTAIN them (r11+).
+    "x_ann_serve_default": 0.20,
+    "x_ann_serve_adc": 0.10,
 }
+
+# Serving-row names (not catalog entries — they need a stored on-disk
+# index, which bench builds once per run; see bench_serving).
+SERVE_ROWS = ("x_ann_serve_default", "x_ann_serve_adc")
+
+# Quiet-box reference for the fixed calibration job (r10 verdict
+# "what's wrong" #2: a loaded-box BENCH record needed BASELINE.md
+# archaeology to read correctly). The calibration workload is
+# repo-code-independent (a fixed-size xxhash64 fold over range()), so
+# box_factor = calib_sec / CALIB_QUIET_SEC travels IN the record and
+# makes it self-interpreting: ~1.0 on a quiet box, >1.3 says the row
+# inflation is box load, not code. Re-measure deliberately if Spark or
+# the container image changes (recorded in BASELINE.md round 11).
+CALIB_QUIET_SEC = 0.55
+CALIB_N = 4_000_000_000
 
 
 def force_full(df) -> int:
@@ -103,6 +135,122 @@ def force_full(df) -> int:
         .collect()[0]
     )
     return row.n
+
+
+def calibration(spark) -> float:
+    """Best-of-3 of the fixed calibration job: a CALIB_N-row xxhash64
+    fold through range() — pure JVM, zero repo code, constant work —
+    so its ratio against CALIB_QUIET_SEC reports the box state INSIDE
+    the record (see the constant's comment)."""
+    best = None
+    for _ in range(BENCH_REPS):
+        t0 = time.perf_counter()
+        (
+            spark.range(CALIB_N)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.sum("h"))
+            .collect()
+        )
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
+
+
+def bench_serving(spark, sf_dir: str, timings: dict[str, float]) -> float:
+    """Time the STORED-INDEX serving path (r10 verdict #1: bench never
+    timed ``query_ivf_index``, so the decode-tax regression — ADC wave
+    cost growing O(PQ_M²·pq_k) with the store-time code budget — stayed
+    invisible to every BENCH record while all ten catalog rows stayed
+    green). Builds one IVF×PQ index per run over a deterministic 10×
+    expansion of the sf dir's embeddings (directional perturbations, so
+    the corpus isn't just scale-invariant copies), then times two waves
+    with the same warm + best-of-BENCH_REPS protocol as the catalog
+    rows:
+
+    - ``x_ann_serve_default``: the recommended operating point — ADC
+      nomination + exact rerank (nprobe=K//8, R=64).
+    - ``x_ann_serve_adc``: the pure-ADC wave (codes only, no float
+      reads) — the row that would have caught the decode tax.
+
+    Returns the one-time index build seconds (recorded in the JSON as
+    ``ann_index_build_sec`` — informational, not a budgeted row: it is
+    a once-per-deployment cost, not a wave cost)."""
+    import shutil
+    import tempfile
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        open_ivf_index,
+        query_ivf_index,
+        store_ivf_index,
+    )
+    from retail_datawarehouse_spark.operators.similarity import N_QUERIES
+    from retail_datawarehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    # 10× deterministic expansion: copy k perturbs each component by a
+    # k- and position-dependent sine, so copies spread directionally
+    # (pure scale copies would collapse into their parents' cells and
+    # understate probe fan-out). Offset base = max(id)+1 keeps ids
+    # collision-free at any sf.
+    base = corpus.agg(F.max("id")).first()[0] + 1
+    ks = spark.range(1, 10).select(F.col("id").cast("int").alias("k"))
+    expanded = corpus.select("id", "emb").unionByName(
+        corpus.crossJoin(ks).select(
+            (F.col("id") + F.col("k").cast("long") * F.lit(base)).alias(
+                "id"
+            ),
+            F.transform(
+                "emb",
+                lambda x, i: x
+                + F.lit(0.05)
+                * F.col("k")
+                * F.sin((i + 1) * (F.col("k") + 1)),
+            ).alias("emb"),
+        )
+    )
+    workdir = tempfile.mkdtemp(prefix="bench_ann_index_")
+    index_dir = f"{workdir}/index"
+    try:
+        t0 = time.perf_counter()
+        store_ivf_index(expanded, index_dir, pq=True)
+        build_sec = round(time.perf_counter() - t0, 4)
+        handle = open_ivf_index(spark, index_dir, persist=True)
+        k = handle.centroids.count()
+        nprobe = max(1, k // 8)
+        waves = {
+            "x_ann_serve_default": {"pq": True, "rerank": 64},
+            "x_ann_serve_adc": {"pq": True, "rerank": None},
+        }
+        for name, kw in waves.items():
+            run = lambda: force_full(  # noqa: E731
+                query_ivf_index(
+                    queries, index_dir, nprobe=nprobe, handle=handle, **kw
+                )
+            )
+            run()  # warm
+            best, n = None, 0
+            for _ in range(BENCH_REPS):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n = run()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 4)
+            print(
+                f"# {name}: {timings[name]:.3f}s rows={n} "
+                f"(K={k} nprobe={nprobe})",
+                file=sys.stderr,
+            )
+        handle.close()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return build_sec
 
 
 def check_budgets(timings: dict[str, float]) -> list[str]:
@@ -156,6 +304,9 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
+    build_sec = bench_serving(spark, sf_dir, timings)
+    calib_sec = calibration(spark)
+
     # budget canary: warn on stderr (stdout stays ONE JSON line for the
     # driver); the pytest canary turns these into failures
     for violation in check_budgets(timings):
@@ -170,6 +321,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "ann_index_build_sec": build_sec,
+                "calib_sec": calib_sec,
+                "box_factor": round(calib_sec / CALIB_QUIET_SEC, 3),
             }
         )
     )

@@ -215,7 +215,41 @@ def test_bench_budget_canary_mechanism_goes_red():
     slowed["q_text_metrics"] = 12.0  # a fixed-latency accretion
     violations = bench.check_budgets(slowed)
     assert violations and "q_text_metrics" in violations[0], violations
-    assert set(bench.BENCH_SHARE_BUDGET) == set(bench.HEADLINE)
+    assert set(bench.BENCH_SHARE_BUDGET) == set(bench.HEADLINE) | set(
+        bench.SERVE_ROWS
+    )
+
+
+def test_bench_serving_budget_canary_goes_red():
+    """r10 verdict #1's red test: the decode-tax class (serving-wave
+    cost growing with a store-time knob) regressed invisibly in r10
+    precisely because no budgeted BENCH row timed query_ivf_index. The
+    serving rows now carry their own share bands; this test replays a
+    decode-tax-SHAPED regression — the pure-ADC wave inflating to what
+    the r10 probe measured the O(PQ_M²·pq_k) filter-scan decode would
+    cost (≈2.8× the fixed wave) — over the recorded r11 quiet profile
+    and requires the canary to name the serving row. Also pins that
+    the recorded profile itself is green and actually CONTAINS the
+    serving rows (a profile re-record that drops them would quietly
+    retire this gate)."""
+    import json
+
+    import bench
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "bench_profile_r11.json",
+    )
+    with open(path) as f:
+        profiles = json.load(f)["profiles"]
+    for p in profiles:
+        assert set(bench.SERVE_ROWS) <= set(p), "profile lost serving rows"
+        assert bench.check_budgets(p) == [], p
+    taxed = dict(profiles[0])
+    taxed["x_ann_serve_adc"] = taxed["x_ann_serve_adc"] * 2.8
+    violations = bench.check_budgets(taxed)
+    assert violations and "x_ann_serve_adc" in violations[0], violations
 
 
 def test_bench_budget_holds_on_committed_bench_records():
