@@ -157,8 +157,56 @@ def _with_n2(vectors: DataFrame) -> DataFrame:
     )
 
 
+def _lloyd_rounds(
+    corpus: DataFrame,
+    assigned0: DataFrame,
+    iters: int,
+    metric: str,
+    coarse=None,
+    extra=None,
+) -> tuple[DataFrame, DataFrame]:
+    """``iters`` Lloyd rounds from a seed assignment: mean update
+    (``_fixed_point_centroids`` — exact int64 fixed point, so EVERY
+    round is bit-reproducible) then re-assignment under ``metric``.
+    From round 2 on, each round's K-row centroid frame is persisted
+    and MATERIALIZED (one ``count()`` — a bounded store-time action,
+    same class as the routing scalar, one per extra round) before the
+    previous round's cache is released: without the materialization
+    the unpersisted lineage chain re-derives round i from round 0 and
+    training goes O(iters²) corpus passes instead of O(iters) — the
+    graph.py per-round persist discipline. ``iters=1`` (the default)
+    is plan- and action-identical to the historical single-round
+    build. Returns ``(final_assignment, last round's persisted
+    centroids)``; the caller owns the final unpersist (the
+    ``_write_index`` contract). ``extra`` is a 1-row broadcast frame
+    (the auto build's ``_coarse`` scalar) cross-joined onto every
+    round's centroids so routing stays part of the quantizer."""
+    from retail_datawarehouse_spark.operators.similarity import (
+        _fixed_point_centroids,
+    )
+
+    centroids = None
+    assigned = assigned0
+    for _ in range(max(1, iters)):
+        new_c = _fixed_point_centroids(assigned)
+        if extra is not None:
+            new_c = new_c.crossJoin(F.broadcast(extra))
+        new_c = new_c.persist()
+        if centroids is not None:
+            new_c.count()
+            centroids.unpersist()
+        centroids = new_c
+        assigned = _nearest_cell(
+            corpus, centroids, keep=1, coarse=coarse, metric=metric
+        )
+    return assigned, centroids
+
+
 def _build_index(
-    corpus: DataFrame, cells: int, metric: str = "cosine"
+    corpus: DataFrame,
+    cells: int,
+    metric: str = "cosine",
+    iters: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Generalized index build at an arbitrary cell count: seed the
     ``cells`` smallest-HASH-RANK corpus vectors (r6 verdict #6: an
@@ -166,14 +214,11 @@ def _build_index(
     time/source; the salted LCG rank is equally deterministic and
     id-layout-free). orderBy+limit is a top-K TakeOrdered, not a
     global sort; the row_number window then runs over only ``cells``
-    rows. One Lloyd iteration, final assignment — the
-    `_ivf_index_over` recipe freed from the fixture-pinned IVF_CELLS,
-    so the build can follow the √N cell-count rule."""
+    rows. ``iters`` Lloyd rounds (default 1 — the historical build;
+    ``_lloyd_rounds``), final assignment — the `_ivf_index_over`
+    recipe freed from the fixture-pinned IVF_CELLS, so the build can
+    follow the √N cell-count rule."""
     from pyspark.sql import Window
-
-    from retail_datawarehouse_spark.operators.similarity import (
-        _fixed_point_centroids,
-    )
 
     w = Window.orderBy("_hrank", "id")
     seeds = (
@@ -184,15 +229,11 @@ def _build_index(
         .select("cell", F.col("emb").alias("centroid"))
     )
     assigned0 = _nearest_cell(corpus, seeds, keep=1, metric=metric)
-    centroids = _fixed_point_centroids(assigned0).persist()
-    return (
-        _nearest_cell(corpus, centroids, keep=1, metric=metric),
-        centroids,
-    )
+    return _lloyd_rounds(corpus, assigned0, iters, metric)
 
 
 def _auto_index(
-    corpus: DataFrame, metric: str = "cosine"
+    corpus: DataFrame, metric: str = "cosine", iters: int = 1
 ) -> tuple[DataFrame, DataFrame]:
     """√N-cell index build with the count derived IN-PLAN (1-row
     broadcast aggregate — no driver action): k = max(4, ceil(√N)).
@@ -224,7 +265,6 @@ def _auto_index(
 
     from retail_datawarehouse_spark.operators.similarity import (
         _TRAIN_M,
-        _fixed_point_centroids,
     )
 
     params = (
@@ -285,13 +325,13 @@ def _auto_index(
     assigned0 = _nearest_cell(
         corpus, seeds, keep=1, coarse=F.col("_coarse"), metric=metric
     )
-    centroids = (
-        _fixed_point_centroids(assigned0)
-        .crossJoin(F.broadcast(params.select("_coarse")))
-        .persist()
-    )
-    assigned = _nearest_cell(
-        corpus, centroids, keep=1, coarse=F.col("_coarse"), metric=metric
+    assigned, centroids = _lloyd_rounds(
+        corpus,
+        assigned0,
+        iters,
+        metric,
+        coarse=F.col("_coarse"),
+        extra=params.select("_coarse"),
     )
     # _coarse stays ON the centroid table: the two-level routing is
     # part of the quantizer, and the quantizer must be ONE function —
@@ -384,11 +424,26 @@ def store_ivf_index(
     pq_k: int | str | None = None,
     metric: str = "cosine",
     coordinator: PosixCoordinator | None = None,
+    train_iters: int = 1,
 ) -> None:
     """Build the IVF index over (id, emb) and persist it as a
     cell-partitioned parquet table + a centroid sidecar. One-time
     train/assign cost; every later query and append reads only what it
     touches.
+
+    ``train_iters`` (r11): Lloyd rounds for the coarse quantizer
+    (FAISS ``niter`` parity; default 1 — the historical build, byte-
+    identical). More rounds tighten the quantizer's fit to clustered
+    data — measured on the planted-cluster fixture: mean
+    within-cell cosine and small-nprobe recall improve monotonically
+    1→5 (test-pinned) — at O(iters) extra corpus passes, a one-time
+    build cost. Every round uses the exact fixed-point mean update,
+    so ANY iteration count is bit-reproducible. The value is tagged
+    on the centroid sidecar (``_train_iters``, absent = 1) purely so
+    autopilot rebuilds inherit the dialed depth; serving never reads
+    it. On near-isotropic data extra rounds buy little (Lloyd moves
+    centroids barely — measured in the fixture test's isotropic
+    control); the knob is for corpora with real cluster structure.
 
     ``coordinator`` (r11, r10 verdict #6): the index's control plane —
     pointer reads/commits, listings, markers, the maintenance lock.
@@ -485,6 +540,8 @@ def store_ivf_index(
     cells scanned)."""
     if metric not in _METRICS:
         raise ValueError(f"metric must be one of {_METRICS}: {metric!r}")
+    if not isinstance(train_iters, int) or train_iters < 1:
+        raise ValueError(f"train_iters must be an int >= 1: {train_iters!r}")
     co = coordinator or _POSIX
     existing = co.isdir(
         f"{_gen_root(index_dir, _cells_generation(index_dir, co), co)}"
@@ -492,7 +549,15 @@ def store_ivf_index(
     )
     if not existing:
         _write_index(
-            corpus, index_dir, cells, pq, pq_mode, pq_k, metric, co
+            corpus,
+            index_dir,
+            cells,
+            pq,
+            pq_mode,
+            pq_k,
+            metric,
+            co,
+            train_iters,
         )
         return
     # Entry window under the lock (r10, ADVICE r9 #1/#2): (a) the
@@ -508,7 +573,9 @@ def store_ivf_index(
         src_cells = f"{_gen_root(index_dir, src_gen, co)}/cells"
         snapshot = co.list_cell_files(src_cells)
         gen, root = _reserve_generation(index_dir, src_gen, co)
-    _write_index(corpus, root, cells, pq, pq_mode, pq_k, metric, co)
+    _write_index(
+        corpus, root, cells, pq, pq_mode, pq_k, metric, co, train_iters
+    )
     spark = corpus.sparkSession
     with co.lock(index_dir):
         _abort_if_superseded(index_dir, src_gen, root, co)
@@ -536,6 +603,7 @@ def _write_index(
     pq_k: int | str | None = None,
     metric: str = "cosine",
     co: PosixCoordinator = _POSIX,
+    train_iters: int = 1,
 ) -> None:
     """One full index generation under ``root``: the cell-partitioned
     table plus the centroid (and, with ``pq``, codebook) sidecars —
@@ -555,18 +623,32 @@ def _write_index(
     assign = _assignment_metric(metric)
     withn2 = _with_n2(corpus)
     if cells == "fixture":
-        if metric != "cosine":
+        if metric != "cosine" or train_iters != 1:
             raise ValueError(
                 "cells='fixture' is the oracle-mirrored cosine builder; "
-                f"metric={metric!r} needs cells='auto' or an explicit int"
+                f"metric={metric!r}/train_iters={train_iters} need "
+                "cells='auto' or an explicit int"
             )
         assigned, centroids = _ivf_index_over(withn2)
     elif cells == "auto":
-        assigned, centroids = _auto_index(withn2, metric=assign)
+        assigned, centroids = _auto_index(
+            withn2, metric=assign, iters=train_iters
+        )
     else:
-        assigned, centroids = _build_index(withn2, cells, metric=assign)
+        assigned, centroids = _build_index(
+            withn2, cells, metric=assign, iters=train_iters
+        )
+    # tag columns derive NEW frames — keep the persisted Lloyd
+    # boundary's own handle for the release below (unpersist on a
+    # withColumn derivative would silently leak the cached base; the
+    # ADVICE-r7 leak class)
+    cent_cache = centroids
     if metric != "cosine":
         centroids = centroids.withColumn("_metric", F.lit(metric))
+    if train_iters != 1:
+        centroids = centroids.withColumn(
+            "_train_iters", F.lit(train_iters)
+        )
     if pq and pq_mode == "residual":
         packed = _residual_codebook(assigned, centroids, pq_k=pq_k)
         packed.write.mode("overwrite").parquet(
@@ -598,7 +680,7 @@ def _write_index(
     # leaks one cached K-row frame per store/rebuild (the ADVICE-r7
     # _pq_encode leak class; readers re-open centroids from the
     # sidecar, never from this frame).
-    centroids.unpersist()
+    cent_cache.unpersist()
 
 
 class ConcurrentMaintenanceError(RuntimeError):
@@ -1025,6 +1107,7 @@ def rebuild_ivf_index(
     pq_k: int | None = None,
     metric: str | None = None,
     coordinator: PosixCoordinator | None = None,
+    train_iters: int | None = None,
 ) -> None:
     """Execute the rebuild ``maintain_ivf_index`` recommends: retrain
     the quantizer on the index's OWN current contents and commit the
@@ -1060,13 +1143,21 @@ def rebuild_ivf_index(
         src_gen = _cells_generation(index_dir, co)
         src_root = _gen_root(index_dir, src_gen, co)
         src_cells = f"{src_root}/cells"
-        if metric is None:
-            # metric inheritance (r11), read under the lock like the
-            # pq knobs: the sidecar is the same generation the corpus
-            # listing pins
-            metric = _index_metric(
-                spark.read.parquet(co.spark_path(f"{src_root}/centroids"))
+        if metric is None or train_iters is None:
+            # metric + train-depth inheritance (r11), read under the
+            # lock like the pq knobs: the sidecar is the same
+            # generation the corpus listing pins
+            side = spark.read.parquet(
+                co.spark_path(f"{src_root}/centroids")
             )
+            if metric is None:
+                metric = _index_metric(side)
+            if train_iters is None:
+                train_iters = (
+                    side.select("_train_iters").first()[0]
+                    if "_train_iters" in side.columns
+                    else 1
+                )
         if pq and (pq_mode is None or pq_k is None):
             # knob inheritance, read under the lock so the sidecar is
             # the same generation the corpus listing pins
@@ -1097,6 +1188,7 @@ def rebuild_ivf_index(
         pq_k,
         metric,
         co,
+        train_iters,
     )
     with co.lock(index_dir):
         _abort_if_superseded(index_dir, src_gen, root, co)

@@ -2145,3 +2145,92 @@ def test_pq_k_auto_matches_hand_dialed_knee_at_20x(spark, tmp_path):
     )
     k, _ = _auto_pq_k(_pq_train_sample(cand))
     assert k == 64, f"auto picked {k}, the recorded knee is 64"
+
+
+def test_train_iters_tightens_quantizer_fit_and_is_inherited(
+    spark, tmp_path
+):
+    """``train_iters`` (r11, FAISS ``niter`` parity): more Lloyd
+    rounds tighten the quantizer's fit on structured data. The ring
+    fixture (400 points on a noisy circle, 8 cells) is the classic
+    Lloyd-convergence case — hash-ranked seeds start bunched along the
+    ring and successive mean-update/assign rounds spread them toward
+    equal arcs: measured mean within-cell cosine 0.893 → 0.917 →
+    0.943 at iters 1/2/5. Every round uses the exact fixed-point mean
+    update, so any depth is bit-reproducible (two iters=3 builds
+    carry identical cell tables). The depth is tagged on the sidecar
+    (``_train_iters``, absent = 1) and a bare autopilot rebuild
+    inherits it like pq_mode/pq_k/metric."""
+    import numpy as np
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        open_ivf_index,
+        rebuild_ivf_index,
+    )
+    from retail_datawarehouse_spark.operators.similarity import (
+        _cosine_expr,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 16
+    theta = rng.uniform(0, 2 * np.pi, n)
+    pts = np.zeros((n, dim))
+    pts[:, 0] = np.cos(theta)
+    pts[:, 1] = np.sin(theta)
+    pts += 0.05 * rng.normal(size=(n, dim))
+    cdf = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)],
+        "id long, emb array<double>",
+    )
+
+    def fit(idx):
+        h = open_ivf_index(spark, idx, persist=False)
+        cells = spark.read.parquet(h.cells_path).select("cell", "emb")
+        cents = h.centroids.select("cell", "centroid")
+        return (
+            cells.join(F.broadcast(cents), "cell")
+            .agg(F.avg(_cosine_expr(F.col("emb"), F.col("centroid"))))
+            .first()[0]
+        )
+
+    fits = {}
+    for it in (1, 2, 5):
+        idx = str(tmp_path / f"ring_{it}")
+        store_ivf_index(cdf, idx, cells=8, train_iters=it)
+        fits[it] = fit(idx)
+    assert fits[1] < fits[2] < fits[5], fits
+    assert fits[5] >= fits[1] + 0.03, fits
+
+    # bit-reproducible at any depth: same corpus, same iters -> the
+    # same cells table content
+    def table(idx):
+        h = open_ivf_index(spark, idx, persist=False)
+        return sorted(
+            (r.id, r.cell, tuple(r.emb))
+            for r in spark.read.parquet(h.cells_path)
+            .select("id", "cell", "emb")
+            .collect()
+        )
+
+    idx_b = str(tmp_path / "ring_5b")
+    store_ivf_index(cdf, idx_b, cells=8, train_iters=5)
+    assert table(idx_b) == table(str(tmp_path / "ring_5"))
+
+    # sidecar tag + bare-rebuild inheritance; default stays untagged
+    h1 = open_ivf_index(spark, str(tmp_path / "ring_1"), persist=False)
+    assert "_train_iters" not in h1.centroids.columns
+    h5 = open_ivf_index(spark, str(tmp_path / "ring_5"), persist=False)
+    assert h5.centroids.select("_train_iters").first()[0] == 5
+    rebuild_ivf_index(spark, str(tmp_path / "ring_5"), cells=8)
+    h5r = open_ivf_index(spark, str(tmp_path / "ring_5"), persist=False)
+    assert h5r.gen == 1
+    assert h5r.centroids.select("_train_iters").first()[0] == 5
+
+    with pytest.raises(ValueError, match="train_iters"):
+        store_ivf_index(
+            cdf, str(tmp_path / "bad"), cells=8, train_iters=0
+        )
+    with pytest.raises(ValueError, match="fixture"):
+        store_ivf_index(
+            cdf, str(tmp_path / "bad2"), cells="fixture", train_iters=3
+        )
