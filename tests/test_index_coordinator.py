@@ -149,3 +149,53 @@ def test_subtree_coordinator_lock_and_staging_semantics(spark, tmp_path):
             with co.lock(idx, timeout=0.3):
                 pass
     assert not co.exists(f"{idx}/MAINTENANCE.lock")
+
+
+def test_ann_serve_drain_through_subtree_coordinator(spark, tmp_path):
+    """The streaming ANN drain serves a coordinator-backed index: the
+    handle opens/refreshes through the same control plane the
+    maintainers use, waves land idempotently, and the drained results
+    equal the batch query row-for-row (the drain ≡ batch contract,
+    now under a SubTreeFileSystem-rooted index)."""
+    from retail_datawarehouse_spark.streaming.ann_serve import (
+        read_ann_results,
+        run_ann_serve_available_now,
+    )
+
+    root = tmp_path / "store"
+    co = _subtree_co(root)
+    rows = _corpus_rows()
+    corpus = spark.createDataFrame(rows, "id long, emb array<double>")
+    queries = spark.createDataFrame(
+        rows[:5], "id long, emb array<double>"
+    )
+    idx = "idx"
+    store_ivf_index(corpus, idx, cells=6, coordinator=co)
+
+    landing = str(tmp_path / "landing")
+    results = str(tmp_path / "results")
+    queries.select(
+        F.lit(0).cast("long").alias("wave"),
+        "id",
+        F.col("emb").cast("array<float>").alias("emb"),
+    ).coalesce(1).write.mode("append").parquet(landing)
+    run_ann_serve_available_now(
+        spark,
+        landing,
+        idx,
+        results,
+        nprobe=3,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        coordinator=co,
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.candidate_id)
+        for r in read_ann_results(spark, results).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.candidate_id)
+        for r in query_ivf_index(
+            queries, idx, nprobe=3, coordinator=co
+        ).collect()
+    )
+    assert got == want and got
