@@ -144,3 +144,18 @@ def test_metric_store_validation(spark, tmp_path):
     h = open_ivf_index(spark, idx, persist=False)
     assert "_metric" not in h.centroids.columns
     assert _index_metric(h.centroids) == "cosine"
+
+
+def test_metric_training_no_regression_on_concentrated_corpus(spark):
+    """The boundary claim runs in both directions: on a
+    norm-CONCENTRATED corpus (all ‖x‖≈1 — the regime the r10 routing
+    receipt certified for the spherical quantizer) metric training
+    must not LOSE recall. Receipt: spherical 0.533, l2-trained 0.567
+    at nprobe=2/16 (within noise of each other; both quantizers see
+    near-identical geometry when norms don't spread)."""
+    from tools.metric_quantizer_probe import concentrated_fixture
+
+    corpus, queries = concentrated_fixture()
+    sph = recall_at_nprobe(spark, corpus, queries, "l2", trained=False)
+    trn = recall_at_nprobe(spark, corpus, queries, "l2", trained=True)
+    assert trn >= sph - 0.1, (sph, trn)

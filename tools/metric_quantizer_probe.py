@@ -116,8 +116,26 @@ def _true_topk(corpus: list, queries: list, metric: str) -> dict[int, set]:
     return out
 
 
+def concentrated_fixture() -> tuple[list, list]:
+    """Norm-CONCENTRATED control (all ‖x‖≈1): the regime the r10
+    routing receipt already certified for the spherical quantizer —
+    the metric-trained quantizer must not REGRESS here (the boundary
+    claim runs in both directions)."""
+    rng = np.random.default_rng(21)
+    mat = _unit(rng, 400)
+    qs = _unit(rng, 10)
+    corpus = [(100 + i, mat[i].tolist()) for i in range(400)]
+    queries = [(i, qs[i].tolist()) for i in range(10)]
+    return corpus, queries
+
+
 def recall_at_nprobe(
-    spark, corpus: list, queries: list, metric: str, trained: bool
+    spark,
+    corpus: list,
+    queries: list,
+    metric: str,
+    trained: bool,
+    nprobe: int = NPROBE,
 ) -> float:
     cdf = spark.createDataFrame(corpus, "id long, emb array<double>")
     qdf = spark.createDataFrame(queries, "id long, emb array<double>")
@@ -128,7 +146,7 @@ def recall_at_nprobe(
         store_ivf_index(
             cdf, idx, cells=CELLS, metric=metric if trained else "cosine"
         )
-        got = query_ivf_index(qdf, idx, nprobe=NPROBE, metric=metric)
+        got = query_ivf_index(qdf, idx, nprobe=nprobe, metric=metric)
         hits, total = 0, 0
         by_q: dict[int, set] = {}
         for r in got.collect():
@@ -161,12 +179,38 @@ def main() -> None:
         corpus, queries = fixture()
         sph = recall_at_nprobe(spark, corpus, queries, metric, trained=False)
         trn = recall_at_nprobe(spark, corpus, queries, metric, trained=True)
+        curve = {
+            f"nprobe_{np_}": {
+                "spherical": recall_at_nprobe(
+                    spark, corpus, queries, metric, False, nprobe=np_
+                ),
+                "metric_trained": recall_at_nprobe(
+                    spark, corpus, queries, metric, True, nprobe=np_
+                ),
+            }
+            for np_ in (1, 4)
+        }
         report[metric] = {
             "spherical_recall": sph,
             "metric_trained_recall": trn,
             "gain": round(trn - sph, 4),
+            "curve": curve,
         }
         print(f"# {metric}: spherical={sph} metric-trained={trn}", file=sys.stderr)
+    # no-regression control: on a norm-concentrated corpus (the regime
+    # the spherical quantizer already serves well) metric training must
+    # not LOSE recall
+    ccorpus, cqueries = concentrated_fixture()
+    report["concentrated_control_l2"] = {
+        "spherical": recall_at_nprobe(spark, ccorpus, cqueries, "l2", False),
+        "metric_trained": recall_at_nprobe(
+            spark, ccorpus, cqueries, "l2", True
+        ),
+    }
+    print(
+        f"# concentrated l2 control: {report['concentrated_control_l2']}",
+        file=sys.stderr,
+    )
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
         f.write("\n")
