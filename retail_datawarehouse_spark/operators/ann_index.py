@@ -925,44 +925,15 @@ def _ivf_index_stats_fs(spark, index_dir: str, filesystem) -> DataFrame:
     resolution mirrors ``_cells_generation``/``_gen_root`` including
     the pre-r9 legacy-layout detection — an unsupported layout must
     fail loudly here too, not with a missing-path error mid-scan."""
-    import pyarrow.fs as pafs
-
-    def _info(path: str):
-        return filesystem.get_file_info(path)
-
-    cur = _info(f"{index_dir}/CURRENT")
-    if cur.type == pafs.FileType.File:
-        with filesystem.open_input_stream(f"{index_dir}/CURRENT") as f:
-            gen = int(f.read().decode("ascii").strip())
-    else:
-        gen = 0
-    if gen == 0:
-        root = index_dir
-    else:
-        root = f"{index_dir}/gen-{gen}"
-        if (
-            _info(root).type != pafs.FileType.Directory
-            and _info(f"{index_dir}/cells-gen-{gen}").type
-            == pafs.FileType.Directory
-        ):
-            raise RuntimeError(
-                f"{index_dir} uses the pre-r9 legacy index layout "
-                f"(CURRENT={gen} → cells-gen-{gen}); no in-place "
-                "migration exists — rebuild with store_ivf_index"
-            )
-    cells_dir = f"{root}/cells"
-    if _info(cells_dir).type != pafs.FileType.Directory:
+    # the coordinator IS the resolution layer (r11): pointer read,
+    # legacy-layout detection, and the recursive cell listing all run
+    # through the same code every maintenance op uses — one resolution
+    # path per filesystem, never a hand-rolled twin
+    co = ArrowFsCoordinator(filesystem)
+    cells_dir = _cells_path(index_dir, co)
+    if not co.isdir(cells_dir):
         raise FileNotFoundError(f"no cells table at {cells_dir}")
-    infos = filesystem.get_file_info(
-        pafs.FileSelector(cells_dir, recursive=True)
-    )
-    files = sorted(
-        i.path
-        for i in infos
-        if i.type == pafs.FileType.File
-        and i.path.endswith(".parquet")
-        and "/cell=" in i.path
-    )
+    files = sorted(co.list_cell_files(cells_dir))
 
     def _cell_of(path: str) -> str:
         part = path.rsplit("/", 2)[-2]
