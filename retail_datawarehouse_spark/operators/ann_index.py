@@ -542,6 +542,13 @@ def store_ivf_index(
         raise ValueError(f"metric must be one of {_METRICS}: {metric!r}")
     if not isinstance(train_iters, int) or train_iters < 1:
         raise ValueError(f"train_iters must be an int >= 1: {train_iters!r}")
+    if isinstance(pq_k, str) and pq_k != "auto":
+        # validated HERE, not first inside _pq_codebook (r11 review):
+        # the codebook trains AFTER the full coarse-quantizer build, so
+        # a late raise would leak the persisted centroid frame (the
+        # ADVICE-r7 class) and orphan a reserved .staging generation on
+        # the rebuild path
+        raise ValueError(f"pq_k must be an int or 'auto': {pq_k!r}")
     co = coordinator or _POSIX
     existing = co.isdir(
         f"{_gen_root(index_dir, _cells_generation(index_dir, co), co)}"
@@ -862,10 +869,11 @@ def ivf_index_stats(
         and isinstance(co, ArrowFsCoordinator)
     ):
         # a coordinator-backed index's footer stats route through the
-        # coordinator's own filesystem handle (r11 — one handle, one
-        # path namespace for control plane and health panel alike);
-        # scan mode instead reads through the mapped Spark paths below
-        filesystem = co.fs
+        # CALLER'S coordinator — never a fresh base-class wrap of its
+        # filesystem, which would bypass a lease-backed subclass's
+        # overridden resolution semantics (r11 review); scan mode
+        # instead reads through the mapped Spark paths below
+        return _ivf_index_stats_fs(spark, index_dir, co)
     if filesystem is not None:
         if mode != "footer":
             raise ValueError(
@@ -873,7 +881,9 @@ def ivf_index_stats(
                 "reads through Spark's Hadoop FS layer — configure that "
                 "via spark.hadoop.* instead)"
             )
-        return _ivf_index_stats_fs(spark, index_dir, filesystem)
+        return _ivf_index_stats_fs(
+            spark, index_dir, ArrowFsCoordinator(filesystem)
+        )
     cells_path = _cells_path(index_dir, co)
     if mode == "scan":
         cells = spark.read.parquet(co.spark_path(cells_path)).select(
@@ -914,26 +924,26 @@ def ivf_index_stats(
     )
 
 
-def _ivf_index_stats_fs(spark, index_dir: str, filesystem) -> DataFrame:
-    """Footer-mode stats through an explicit ``pyarrow.fs.FileSystem``
-    (the object-store path of ``ivf_index_stats``): the CURRENT pointer
-    read, the recursive cell-file listing, and the executor-side footer
-    opens all route through the handle — nothing touches the local
-    OS filesystem, so ``index_dir`` may live in any store pyarrow can
-    reach. Same output contract and exact values as the default modes
-    (pinned by the SubTreeFileSystem value-identity test). Generation
-    resolution mirrors ``_cells_generation``/``_gen_root`` including
-    the pre-r9 legacy-layout detection — an unsupported layout must
-    fail loudly here too, not with a missing-path error mid-scan."""
-    # the coordinator IS the resolution layer (r11): pointer read,
-    # legacy-layout detection, and the recursive cell listing all run
-    # through the same code every maintenance op uses — one resolution
-    # path per filesystem, never a hand-rolled twin
-    co = ArrowFsCoordinator(filesystem)
+def _ivf_index_stats_fs(
+    spark, index_dir: str, co: ArrowFsCoordinator
+) -> DataFrame:
+    """Footer-mode stats through an ``ArrowFsCoordinator`` (the
+    object-store path of ``ivf_index_stats``): the CURRENT pointer
+    read, the cell-file listing, and the executor-side footer opens
+    all route through the coordinator and its filesystem handle —
+    nothing touches the local OS filesystem, so ``index_dir`` may live
+    in any store pyarrow can reach. Same output contract and exact
+    values as the default modes (pinned by the SubTreeFileSystem
+    value-identity test). The coordinator IS the resolution layer
+    (r11): pointer read, legacy-layout detection, and the listing are
+    the same code every maintenance op uses — and the CALLER'S
+    coordinator instance is honored, so a lease-backed subclass's
+    overridden resolution applies here too (r11 review)."""
     cells_dir = _cells_path(index_dir, co)
     if not co.isdir(cells_dir):
         raise FileNotFoundError(f"no cells table at {cells_dir}")
     files = sorted(co.list_cell_files(cells_dir))
+    filesystem = co.fs
 
     def _cell_of(path: str) -> str:
         part = path.rsplit("/", 2)[-2]
@@ -1108,6 +1118,19 @@ def rebuild_ivf_index(
     abort contract as every maintainer: ``ConcurrentMaintenanceError``
     if another maintainer commits first."""
     co = coordinator or _POSIX
+    # validate caller-supplied knobs BEFORE any work (r11 review:
+    # store_ivf_index validates these but rebuild previously did not —
+    # a typo'd metric would be tagged onto the sidecar, silently
+    # degrade to cosine via _assignment_metric/_assign_key fallbacks,
+    # and then be INHERITED by every later bare rebuild)
+    if metric is not None and metric not in _METRICS:
+        raise ValueError(f"metric must be one of {_METRICS}: {metric!r}")
+    if train_iters is not None and (
+        not isinstance(train_iters, int) or train_iters < 1
+    ):
+        raise ValueError(
+            f"train_iters must be an int >= 1: {train_iters!r}"
+        )
     if pq is None:
         pq = _is_pq_index(index_dir, co)
     with co.lock(index_dir):
@@ -1570,18 +1593,31 @@ def _probes(
     tile the space under that metric's geometry, so probing them with
     cosine ranking would re-open the same asymmetry class the routed/
     flat finding measured (assignment and probe must be the same
-    function). Untagged (cosine/spherical) indexes are unchanged."""
+    function). Untagged (cosine/spherical) indexes are unchanged.
+
+    An ``ip``-trained index probes FLAT always (r11 review): its
+    assignments routed under L2 (``_assignment_metric`` — max-IP
+    grouping is degenerate), so two-level IP routing at probe time
+    would regroup the reps under a DIFFERENT function than assignment
+    used — the exact asymmetry class above. Flat q·centroid ranking
+    over all K cells is also the semantically right shape: MIPS
+    queries are broad retrieval (the r8 regime rule), not near-copy
+    probes, and the per-query K-fold costs nothing next to the scan."""
     if route not in ("symmetric", "flat"):
         raise ValueError(f"route must be 'symmetric' or 'flat': {route!r}")
-    coarse = (
-        _routing(centroids, nprobe) if route == "symmetric" else None
-    )
+    metric = _index_metric(centroids)
+    if metric == "ip":
+        coarse = None
+    else:
+        coarse = (
+            _routing(centroids, nprobe) if route == "symmetric" else None
+        )
     return _nearest_cell(
         _with_n2(queries),
         centroids,
         keep=nprobe,
         coarse=coarse,
-        metric=_index_metric(centroids),
+        metric=metric,
     ).select(
         F.col("id").alias("query_id"),
         F.col("emb").alias("q_emb"),

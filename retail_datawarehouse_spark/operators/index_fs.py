@@ -172,9 +172,14 @@ class ArrowFsCoordinator(PosixCoordinator):
         self.fs.delete_file(path)
 
     def rmtree(self, path: str, ignore_errors: bool = False) -> None:
+        # shutil.rmtree(ignore_errors=True) swallows EVERYTHING, and
+        # _abort_if_superseded depends on that: its rmtree must never
+        # mask the ConcurrentMaintenanceError it is about to raise
+        # (an autopilot catches that error by design; an uncaught
+        # store-layer OSError here would kill the sweep instead).
         try:
             self.fs.delete_dir(path)
-        except FileNotFoundError:
+        except Exception:
             if not ignore_errors:
                 raise
 
@@ -192,16 +197,28 @@ class ArrowFsCoordinator(PosixCoordinator):
         )
 
     def list_cell_files(self, cells_dir: str) -> set[str]:
+        # EXACTLY the Posix glob's shape: cell=*/<file>.parquet, one
+        # directory level deep. A recursive '/cell=' substring match
+        # would also sweep up Spark _temporary staging debris
+        # (.../_temporary/attempt_x/cell=3/part-*.parquet) from a
+        # crashed write and feed it to the maintenance late-fold as if
+        # it were committed data (r11 review).
         if not self.isdir(cells_dir):
             return set()
         sel = self._pafs.FileSelector(cells_dir, recursive=True)
-        return {
-            i.path
-            for i in self.fs.get_file_info(sel)
-            if i.type == self._pafs.FileType.File
-            and i.path.endswith(".parquet")
-            and "/cell=" in i.path
-        }
+        out = set()
+        prefix = f"{cells_dir}/"
+        for i in self.fs.get_file_info(sel):
+            if i.type != self._pafs.FileType.File:
+                continue
+            parts = i.path[len(prefix):].split("/")
+            if (
+                len(parts) == 2
+                and parts[0].startswith("cell=")
+                and parts[1].endswith(".parquet")
+            ):
+                out.add(i.path)
+        return out
 
     def commit_pointer(self, index_dir: str, gen: int) -> None:
         # move() is an atomic rename on local/SubTree trees; on

@@ -203,7 +203,15 @@ def read_ann_results(
     always said ``cosine``, so an ip/l2 reader keyed on the empty-case
     schema broke the moment the first wave landed). Once waves exist
     the stored schema is authoritative; a mismatch between it and
-    ``metric`` raises rather than silently renaming a column."""
+    ``metric`` raises rather than silently renaming a column — the
+    deliberate trade against the pre-r11 auto-detection (a reader must
+    declare its deployment's contract; silently adapting to whatever
+    column is present is how an ip reader ends up ranking a
+    cosine-labeled score)."""
+    if metric not in ("cosine", "ip", "l2"):
+        raise ValueError(
+            f"metric must be one of ('cosine', 'ip', 'l2'): {metric!r}"
+        )
     value_col = "cosine" if metric == "cosine" else "score"
     if not os.path.isdir(results_dir) or not any(
         d.startswith("wave=") for d in os.listdir(results_dir)

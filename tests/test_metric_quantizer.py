@@ -72,17 +72,12 @@ def test_metric_trained_full_probe_is_exact(spark, tmp_path):
     idx = str(tmp_path / "idx_l2")
     store_ivf_index(cdf, idx, cells=CELLS, metric="l2")
     for metric in ("l2", "cosine"):
-        truth = _true_topk(corpus, queries, "l2" if metric == "l2" else "ip")
+        truth = _true_topk(corpus, queries, metric)
         got = query_ivf_index(qdf, idx, nprobe="all", metric=metric)
         by_q: dict[int, set] = {}
         for r in got.collect():
             by_q.setdefault(r.query_id, set()).add(r.candidate_id)
-        if metric == "l2":
-            assert by_q == truth
-        else:
-            # cosine truth: every query/candidate is normalized within
-            # its shell, so just assert full coverage + k rows per query
-            assert all(len(v) == 3 for v in by_q.values())
+        assert by_q == truth, metric
 
 
 def test_metric_tag_inherited_by_append_and_rebuild(spark, tmp_path):
@@ -159,3 +154,30 @@ def test_metric_training_no_regression_on_concentrated_corpus(spark):
     sph = recall_at_nprobe(spark, corpus, queries, "l2", trained=False)
     trn = recall_at_nprobe(spark, corpus, queries, "l2", trained=True)
     assert trn >= sph - 0.1, (sph, trn)
+
+
+def test_ip_probe_is_flat_on_routed_auto_index(spark, tmp_path):
+    """r11 review finding: an ip-trained AUTO-built index assigns its
+    corpus through L2 two-level routing (``_assignment_metric``), so a
+    probe that re-ran the two-level router under IP would regroup the
+    reps under a DIFFERENT function than assignment used — the exact
+    asymmetry class the r8 routed/flat finding measured at 15% recall
+    loss. ip probes therefore rank all K cells FLAT by q·centroid
+    (MIPS is broad retrieval; the per-query K-fold is negligible).
+    Pinned at nprobe=2 ≤ coarse on the auto build, where the pre-fix
+    path would have routed."""
+    corpus, queries = ip_fixture()
+    cdf = spark.createDataFrame(corpus, "id long, emb array<double>")
+    qdf = spark.createDataFrame(queries, "id long, emb array<double>")
+    idx = str(tmp_path / "idx_ip_auto")
+    store_ivf_index(cdf, idx, cells="auto", metric="ip")
+    h = open_ivf_index(spark, idx, persist=False)
+    assert "_coarse" in h.centroids.columns  # the routed build
+    truth = _true_topk(corpus, queries, "ip")
+    got = query_ivf_index(qdf, idx, nprobe=2, metric="ip")
+    by_q: dict[int, set] = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, set()).add(r.candidate_id)
+    hits = sum(len(truth[q] & by_q.get(q, set())) for q in truth)
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.5, recall

@@ -109,6 +109,11 @@ def _true_topk(corpus: list, queries: list, metric: str) -> dict[int, set]:
         if metric == "l2":
             key = ((mat - q) ** 2).sum(axis=1)
             order = np.lexsort((ids, key))
+        elif metric == "cosine":
+            key = (mat @ q) / (
+                np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+            )
+            order = np.lexsort((ids, -key))
         else:  # ip: larger better
             key = mat @ q
             order = np.lexsort((ids, -key))
