@@ -1844,3 +1844,96 @@ def query_ivf_index(
         F.broadcast(shortlist), ["cell", "candidate_id"]
     ).withColumn(score_col, _metric_score(metric, "c_emb", "c_n2"))
     return _metric_topk(refined, metric)
+
+
+def admit_novel_vectors(
+    batch: DataFrame,
+    index_dir: str,
+    threshold: float = 0.99,
+    nprobe: int | str = 4,
+    metric: str = "cosine",
+    route: str = "symmetric",
+    coordinator: PosixCoordinator | None = None,
+) -> DataFrame:
+    """ONLINE near-dup admission (r11): gate an arriving (id, emb)
+    batch against the stored index BEFORE it joins the corpus — the
+    ingestion-time dedup primitive a continuously-fed training-data
+    pipeline runs on every batch (probe-then-admit; the FineWeb-class
+    "is this document already in the corpus?" question answered from
+    the index, never from a corpus scan). Each batch vector probes its
+    ``nprobe`` cells (symmetric by default — the near-copy contract:
+    an exact or scale-invariant copy probes its parent's cell), its
+    rank-1 stored neighbor is compared against ``threshold`` under
+    ``metric`` (cosine/ip: duplicate when score ≥ threshold; l2:
+    duplicate when the squared distance ≤ threshold), and ONLY the
+    novel rows are appended (``append_to_ivf_index`` — frozen
+    quantizer, landed cells only). Returns the admission report
+    ``(id, nearest_id, score, admitted)``, one row per batch vector
+    (``nearest_id``/``score`` null when the probed cells held no
+    candidates — admitted). The report is LOCAL-CHECKPOINTED (eager,
+    batch-sized) before the append, and MUST be: the append writes
+    into the same cells path the probe reads, and Spark's insert
+    refreshes that path — a merely persisted report would be
+    invalidated by its own append and silently RE-PROBE the grown
+    index, reporting every just-admitted vector as a duplicate of
+    itself (found live by the admission test's first run).
+    Checkpointing truncates the lineage to computed rows, so the
+    returned report states the PRE-append world by construction.
+
+    Semantics, stated honestly:
+    - Admission is a FILTER, not a uniqueness constraint: a writer
+      racing between this call's probe and its append can admit the
+      same content twice (at-least-once ingestion's nature); the
+      batch/oracle dedup suite (exact/minhash/semdedup) remains the
+      corpus-level guarantee.
+    - INTRA-batch duplicates both probe the stored corpus only, so two
+      novel copies of the same content in ONE batch are both admitted
+      — run the exact-dedup hash-groupBy on the batch first (the
+      standard stage order).
+    - Recall is nprobe-bounded exactly like every probe: a duplicate
+      whose parent sits outside the probed cells is admitted. At the
+      symmetric default this cannot happen for exact or
+      scale-invariant copies (pinned — they probe the parent's cell);
+      perturbed near-dups inherit the operating curve's recall.
+
+    Shape at 100 TB: one batch-sized probe (broadcast centroid pass +
+    DPP-pruned scan of the probed cells) + one batch-sized append —
+    the corpus is never scanned, never shuffled."""
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {_METRICS}: {metric!r}")
+    score_col = "cosine" if metric == "cosine" else "score"
+    top1 = query_ivf_index(
+        batch.select("id", "emb"),
+        index_dir,
+        nprobe=nprobe,
+        metric=metric,
+        route=route,
+        coordinator=coordinator,
+    ).filter(F.col("rank") == 1)
+    is_dup = (
+        F.col("score") <= F.lit(threshold)
+        if metric == "l2"
+        else F.col("score") >= F.lit(threshold)
+    )
+    report = (
+        batch.select("id", "emb")
+        .join(
+            top1.select(
+                F.col("query_id").alias("id"),
+                F.col("candidate_id").alias("nearest_id"),
+                F.col(score_col).alias("score"),
+            ),
+            "id",
+            "left",
+        )
+        .withColumn(
+            "admitted",
+            F.when(F.col("score").isNull(), F.lit(True)).otherwise(
+                ~is_dup
+            ),
+        )
+        .localCheckpoint()
+    )
+    novel = report.filter(F.col("admitted")).select("id", "emb")
+    append_to_ivf_index(novel, index_dir, coordinator=coordinator)
+    return report.select("id", "nearest_id", "score", "admitted")

@@ -2234,3 +2234,56 @@ def test_train_iters_tightens_quantizer_fit_and_is_inherited(
         store_ivf_index(
             cdf, str(tmp_path / "bad2"), cells="fixture", train_iters=3
         )
+
+
+def test_admit_novel_vectors_gates_near_duplicates(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Online near-dup admission (r11): an exact copy and a
+    scale-invariant copy of stored vectors are REJECTED at the default
+    symmetric probe (they probe their parents' cells — the pinned
+    near-copy contract), a genuinely novel vector is ADMITTED and
+    becomes immediately retrievable, and re-submitting the same
+    content under fresh ids is rejected against the now-stored copy —
+    the convergence property an ingestion gate needs."""
+    import numpy as np
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        admit_novel_vectors,
+    )
+
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "admit_idx")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    base = {r.id: list(r.emb) for r in corpus.limit(30).collect()}
+    a_id, b_id = sorted(base)[0], sorted(base)[1]
+    novel_emb = np.random.default_rng(9).normal(size=64).tolist()
+    batch = spark.createDataFrame(
+        [
+            (9001, base[a_id]),  # exact copy
+            (9002, [x * 0.5 for x in base[b_id]]),  # scale-invariant
+            (9003, novel_emb),
+        ],
+        "id long, emb array<double>",
+    )
+    n_before = spark.read.parquet(f"{idx}/cells").count()
+    report = admit_novel_vectors(batch, idx, threshold=0.99, nprobe=4)
+    rows = {r.id: r for r in report.collect()}
+    assert not rows[9001].admitted and rows[9001].nearest_id == a_id
+    assert not rows[9002].admitted and rows[9002].nearest_id == b_id
+    assert rows[9001].score >= 0.999999  # exact copy: cosine 1.0
+    assert rows[9003].admitted
+    grown = spark.read.parquet(f"{idx}/cells")
+    assert grown.count() == n_before + 1
+    assert grown.filter(F.col("id") == 9003).count() == 1
+    # re-submission of the SAME content under fresh ids converges:
+    # the previously-admitted vector now rejects its own copy
+    batch2 = spark.createDataFrame(
+        [(9103, novel_emb)], "id long, emb array<double>"
+    )
+    report2 = admit_novel_vectors(batch2, idx, threshold=0.99, nprobe=4)
+    r2 = report2.collect()[0]
+    assert not r2.admitted and r2.nearest_id == 9003
+    assert spark.read.parquet(f"{idx}/cells").count() == n_before + 1
+    with pytest.raises(ValueError, match="metric"):
+        admit_novel_vectors(batch2, idx, metric="dot")
