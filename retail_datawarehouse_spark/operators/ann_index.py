@@ -549,6 +549,13 @@ def store_ivf_index(
         # ADVICE-r7 class) and orphan a reserved .staging generation on
         # the rebuild path
         raise ValueError(f"pq_k must be an int or 'auto': {pq_k!r}")
+    # same hoist for the pq_mode and fixture-conflict checks (ADVICE
+    # r11 #1): _write_index re-checks them, but on the rebuild path it
+    # runs only AFTER _reserve_generation — a late ValueError would
+    # orphan a .staging generation above CURRENT that reap skips
+    # (marker-bearing) and stale_staging only flags after a later
+    # commit passes it
+    _validate_build_knobs(cells, pq_mode, metric, train_iters)
     co = coordinator or _POSIX
     existing = co.isdir(
         f"{_gen_root(index_dir, _cells_generation(index_dir, co), co)}"
@@ -601,6 +608,23 @@ def store_ivf_index(
         _commit_generation(index_dir, gen, co)
 
 
+def _validate_build_knobs(
+    cells: int | str, pq_mode: str, metric: str, train_iters: int
+) -> None:
+    """The build-knob combination checks, callable BEFORE a generation
+    is reserved (ADVICE r11 #1): ``_write_index`` enforces the same
+    rules, but by the time it runs on a rebuild path the ``.staging``
+    reservation already exists — raising there orphans it."""
+    if pq_mode not in ("residual", "raw"):
+        raise ValueError(f"pq_mode must be 'residual' or 'raw': {pq_mode!r}")
+    if cells == "fixture" and (metric != "cosine" or train_iters != 1):
+        raise ValueError(
+            "cells='fixture' is the oracle-mirrored cosine builder; "
+            f"metric={metric!r}/train_iters={train_iters} need "
+            "cells='auto' or an explicit int"
+        )
+
+
 def _write_index(
     corpus: DataFrame,
     root: str,
@@ -625,17 +649,10 @@ def _write_index(
     ``store_ivf_index``). The cosine default writes NO tag, so every
     pre-r11 index and every default store stays byte-identical (absent
     tag ≡ cosine)."""
-    if pq_mode not in ("residual", "raw"):
-        raise ValueError(f"pq_mode must be 'residual' or 'raw': {pq_mode!r}")
+    _validate_build_knobs(cells, pq_mode, metric, train_iters)
     assign = _assignment_metric(metric)
     withn2 = _with_n2(corpus)
     if cells == "fixture":
-        if metric != "cosine" or train_iters != 1:
-            raise ValueError(
-                "cells='fixture' is the oracle-mirrored cosine builder; "
-                f"metric={metric!r}/train_iters={train_iters} need "
-                "cells='auto' or an explicit int"
-            )
         assigned, centroids = _ivf_index_over(withn2)
     elif cells == "auto":
         assigned, centroids = _auto_index(
@@ -862,6 +879,17 @@ def ivf_index_stats(
     and per-row it IS well-defined (the split the row came from)."""
     if mode not in ("footer", "scan"):
         raise ValueError(f"mode must be 'footer' or 'scan': {mode!r}")
+    if filesystem is not None and coordinator is not None:
+        # conflicting control planes (ADVICE r11 #2): silently
+        # wrapping the raw filesystem in a fresh base-class
+        # ArrowFsCoordinator would bypass a lease-backed subclass's
+        # overridden resolution — the exact bypass the
+        # coordinator-only path closed in r11
+        raise ValueError(
+            "pass filesystem= OR coordinator=, not both — a "
+            "coordinator already owns its filesystem and resolution "
+            "semantics"
+        )
     co = coordinator or _POSIX
     if (
         filesystem is None
@@ -1131,6 +1159,15 @@ def rebuild_ivf_index(
         raise ValueError(
             f"train_iters must be an int >= 1: {train_iters!r}"
         )
+    if isinstance(pq_k, str):
+        # rebuild inherits the sidecar's INTEGER (an "auto" store
+        # already resolved to one); a string here would raise deep in
+        # codebook training, after the generation reservation
+        raise ValueError(
+            f"rebuild pq_k must be an int (or None to inherit): {pq_k!r}"
+        )
+    if pq_mode is not None and pq_mode not in ("residual", "raw"):
+        raise ValueError(f"pq_mode must be 'residual' or 'raw': {pq_mode!r}")
     if pq is None:
         pq = _is_pq_index(index_dir, co)
     with co.lock(index_dir):
@@ -1168,6 +1205,12 @@ def rebuild_ivf_index(
                     ).first()[0]
         if pq_mode is None:
             pq_mode = "residual"
+        # validate the RESOLVED combination before reserving (ADVICE
+        # r11 #1): the explicit-arg checks above can't see inherited
+        # knobs — e.g. cells='fixture' onto a metric-trained index
+        # resolves to a conflict only here, and _write_index's own
+        # raise would orphan the .staging reservation
+        _validate_build_knobs(cells, pq_mode, metric, train_iters)
         spark.catalog.refreshByPath(co.spark_path(src_cells))
         reader = spark.read.parquet(co.spark_path(src_cells))
         # corpus ≡ snapshot: the reader's pinned file index is both

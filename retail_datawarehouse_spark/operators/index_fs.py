@@ -40,7 +40,22 @@ import glob
 import os
 import shutil
 import time
+import uuid
 from contextlib import contextmanager
+
+
+class LockLostError(RuntimeError):
+    """A second writer overwrote this holder's ``MAINTENANCE.lock``
+    while it was held (ADVICE r11 #3): the check-then-create lock is
+    single-writer-safe by deployment contract, and before this error a
+    misdeployed second writer would LOSE COMMITS silently — two
+    maintainers both believing they held the lock, the later pointer
+    flip clobbering the earlier. The holder-token re-read turns that
+    misdeployment into this loud failure. Recovery is operational, not
+    programmatic: the index may now hold both writers' staged output —
+    audit CURRENT against the staged generations before trusting
+    either, then fix the deployment (one writer, or a lease-backed
+    coordinator subclass)."""
 
 
 class PosixCoordinator:
@@ -184,11 +199,16 @@ class ArrowFsCoordinator(PosixCoordinator):
                 raise
 
     def list_gen_dirs(self, index_dir: str) -> list[str]:
-        sel = self._pafs.FileSelector(index_dir, recursive=False)
-        try:
-            infos = self.fs.get_file_info(sel)
-        except FileNotFoundError:
-            return []
+        # allow_not_found handles the missing base path IN the
+        # selector (ADVICE r11 #5): catching FileNotFoundError was
+        # filesystem-specific — some pyarrow filesystems surface a
+        # missing directory as other OSError subclasses, which would
+        # crash _reserve_generation / maintenance sweeps on a fresh
+        # index dir instead of returning the empty listing.
+        sel = self._pafs.FileSelector(
+            index_dir, recursive=False, allow_not_found=True
+        )
+        infos = self.fs.get_file_info(sel)
         return sorted(
             i.path
             for i in infos
@@ -232,22 +252,56 @@ class ArrowFsCoordinator(PosixCoordinator):
     def lock(self, index_dir: str, timeout: float = 120.0):
         # check-then-create: best-effort without a create-exclusive
         # primitive — the injection point a multi-writer object-store
-        # deployment overrides with a real lease.
+        # deployment overrides with a real lease. A unique HOLDER
+        # TOKEN is written into the file and re-read after creation
+        # (and again before release), so a lost race — two writers
+        # both passing the exists() check — is detected loudly
+        # instead of corrupting commits silently (ADVICE r11 #3):
+        # last-write-wins on the token means at most one writer's
+        # re-read confirms; the loser re-queues (acquire window) or
+        # raises LockLostError (release window — its critical section
+        # already ran unprotected, which the deployment must hear).
         path = f"{index_dir}/MAINTENANCE.lock"
+        token = uuid.uuid4().hex
         deadline = time.monotonic() + timeout
-        while self.exists(path):
+        while True:
+            while self.exists(path):
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire {path} within {timeout}s — "
+                        "a crashed maintainer may have leaked it; "
+                        "remove the file once no writer is live"
+                    )
+                time.sleep(0.05)
+            self.write_text(path, token)
+            if self.read_text(path) == token:
+                break
+            # lost the create race — the other writer holds it now
             if time.monotonic() > deadline:
                 raise TimeoutError(
-                    f"could not acquire {path} within {timeout}s — a "
-                    "crashed maintainer may have leaked it; remove the "
-                    "file once no writer is live"
+                    f"could not acquire {path} within {timeout}s — "
+                    "lost the create race repeatedly (a second writer "
+                    "is live; this coordinator is single-writer-only)"
                 )
             time.sleep(0.05)
-        self.write_text(path, "")
+        body_raised = False
         try:
             yield
+        except BaseException:
+            body_raised = True
+            raise
         finally:
-            self.fs.delete_file(path)
+            if self.read_text(path) == token:
+                self.fs.delete_file(path)
+            elif not body_raised:
+                # never delete another holder's lock; and if the body
+                # already raised, ITS error is the primary signal —
+                # masking it with LockLostError would hide the cause
+                raise LockLostError(
+                    f"{path} no longer holds this writer's token — a "
+                    "second writer acquired it mid-hold; the critical "
+                    "section ran unprotected (see LockLostError docs)"
+                )
 
     def spark_path(self, path: str) -> str:
         if self._spark_path_fn is None:

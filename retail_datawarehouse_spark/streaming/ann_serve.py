@@ -188,7 +188,7 @@ def run_ann_serve_available_now(
 
 
 def read_ann_results(
-    spark: SparkSession, results_dir: str, metric: str = "cosine"
+    spark: SparkSession, results_dir: str, metric: str | None = "cosine"
 ) -> DataFrame:
     """Result table, wave-partitioned. Replay consistency comes from
     the WRITE side (dynamic overwrite replaces a replayed wave's
@@ -207,12 +207,23 @@ def read_ann_results(
     deliberate trade against the pre-r11 auto-detection (a reader must
     declare its deployment's contract; silently adapting to whatever
     column is present is how an ip reader ends up ranking a
-    cosine-labeled score)."""
-    if metric not in ("cosine", "ip", "l2"):
+    cosine-labeled score).
+
+    ``metric=None`` is the explicit MIGRATION opt-in to the pre-r11
+    auto-detection (ADVICE r11 #4 — call sites outside this repo that
+    relied on it broke at the r11 default change): the stored schema
+    decides the value column, and the empty table (no waves yet) says
+    ``cosine``, exactly the legacy behavior — opted into by name, so
+    the foot-gun the r11 change closed stays closed for everyone who
+    doesn't ask for it."""
+    if metric is not None and metric not in ("cosine", "ip", "l2"):
         raise ValueError(
-            f"metric must be one of ('cosine', 'ip', 'l2'): {metric!r}"
+            "metric must be one of ('cosine', 'ip', 'l2') or None "
+            f"(legacy auto-detect): {metric!r}"
         )
-    value_col = "cosine" if metric == "cosine" else "score"
+    value_col = (
+        "cosine" if metric == "cosine" or metric is None else "score"
+    )
     if not os.path.isdir(results_dir) or not any(
         d.startswith("wave=") for d in os.listdir(results_dir)
     ):
@@ -223,6 +234,8 @@ def read_ann_results(
         )
     raw = spark.read.parquet(results_dir)
     stored_col = "cosine" if "cosine" in raw.columns else "score"
+    if metric is None:
+        value_col = stored_col
     if stored_col != value_col:
         raise ValueError(
             f"results at {results_dir} store value column "

@@ -2287,3 +2287,82 @@ def test_admit_novel_vectors_gates_near_duplicates(
     assert spark.read.parquet(f"{idx}/cells").count() == n_before + 1
     with pytest.raises(ValueError, match="metric"):
         admit_novel_vectors(batch2, idx, metric="dot")
+
+
+def test_build_knob_conflicts_raise_before_reserving_a_generation(
+    spark, sf_correctness_dir, tmp_path
+):
+    """ADVICE r11 #1: the cells='fixture' vs metric/train_iters
+    conflict (and pq_mode validation) previously raised inside
+    _write_index — which, on the store-over-existing and rebuild
+    paths, runs AFTER _reserve_generation, orphaning a ``.staging``
+    generation above CURRENT that ``reap`` skips (marker-bearing) and
+    ``stale_staging`` only flags after a later commit passes it. The
+    validation is now hoisted before the reservation: a rejected knob
+    combination must leave ZERO ``gen-*`` directories behind."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        rebuild_ivf_index,
+    )
+
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "knob_idx")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    for bad in (
+        dict(cells="fixture", metric="l2"),
+        dict(cells="fixture", train_iters=3),
+        dict(pq=True, pq_mode="nope"),
+    ):
+        with pytest.raises(ValueError):
+            store_ivf_index(corpus, idx, **bad)
+    with pytest.raises(ValueError, match="pq_mode"):
+        rebuild_ivf_index(spark, idx, pq_mode="nope")
+    with pytest.raises(ValueError, match="pq_k"):
+        rebuild_ivf_index(spark, idx, pq_k="auto")
+    assert glob.glob(f"{idx}/gen-*") == [], "orphaned staging generation"
+    # the INHERITED-conflict case: cells='fixture' onto a
+    # metric-trained index resolves to a conflict only after the
+    # sidecar read — still before the reservation
+    idx2 = str(tmp_path / "metric_knob_idx")
+    store_ivf_index(corpus, idx2, cells=IVF_CELLS, metric="l2")
+    with pytest.raises(ValueError, match="fixture"):
+        rebuild_ivf_index(spark, idx2, cells="fixture")
+    assert glob.glob(f"{idx2}/gen-*") == [], "orphaned staging generation"
+
+
+def test_stats_rejects_conflicting_filesystem_and_coordinator(
+    spark, sf_correctness_dir, tmp_path
+):
+    """ADVICE r11 #2: ivf_index_stats with BOTH filesystem= and a
+    coordinator= silently wrapped the raw filesystem in a fresh
+    base-class ArrowFsCoordinator, bypassing a lease-backed subclass's
+    overridden resolution. Conflicting control planes now raise."""
+    import pyarrow.fs as pafs
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        ivf_index_stats,
+    )
+    from retail_datawarehouse_spark.operators.index_fs import (
+        ArrowFsCoordinator,
+    )
+
+    root = str(tmp_path / "conflict_idx")
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    co = ArrowFsCoordinator(
+        fs, spark_path_fn=lambda p: f"{tmp_path}/{p}" if p else str(tmp_path)
+    )
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    store_ivf_index(corpus, "conflict_idx", cells=IVF_CELLS, coordinator=co)
+    with pytest.raises(ValueError, match="not both"):
+        ivf_index_stats(spark, "conflict_idx", filesystem=fs, coordinator=co)
+    # each control plane alone still works, value-identically
+    alone = {
+        (r.cell, r.n_rows)
+        for r in ivf_index_stats(
+            spark, "conflict_idx", coordinator=co
+        ).collect()
+    }
+    posix = {
+        (r.cell, r.n_rows)
+        for r in ivf_index_stats(spark, root).collect()
+    }
+    assert alone == posix and alone

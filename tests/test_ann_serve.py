@@ -500,3 +500,39 @@ def test_read_ann_results_empty_schema_matches_metric(spark, tmp_path):
         assert read_ann_results(spark, missing, metric=metric).columns == [
             "wave", "query_id", "candidate_id", "score", "rank",
         ]
+
+
+def test_read_ann_results_metric_none_is_legacy_autodetect(
+    spark, sf_correctness_dir, tmp_path
+):
+    """ADVICE r11 #4: the r11 declared-metric contract broke external
+    call sites that relied on the pre-r11 auto-detection.
+    ``metric=None`` is the explicit migration opt-in: the stored schema
+    decides the value column (and the empty table says ``cosine``, the
+    legacy default) — while the default-argument path keeps the
+    declared-metric raise."""
+    root = str(tmp_path)
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = f"{root}/idx"
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    landing = f"{root}/landing"
+    results = f"{root}/results"
+    _land_wave(spark, root, landing, 0, queries)
+    run_ann_serve_available_now(
+        spark, landing, idx, results, nprobe=IVF_NPROBE, metric="l2"
+    )
+    # declared wrong metric still raises; None auto-detects 'score'
+    with pytest.raises(ValueError, match="one metric per results"):
+        read_ann_results(spark, results)
+    auto = read_ann_results(spark, results, metric=None)
+    assert "score" in auto.columns and auto.count() > 0
+    declared = read_ann_results(spark, results, metric="l2")
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, declared.collect())
+    )
+    # empty table under None = the legacy cosine schema
+    assert read_ann_results(
+        spark, str(tmp_path / "nowaves"), metric=None
+    ).columns == ["wave", "query_id", "candidate_id", "cosine", "rank"]
+    with pytest.raises(ValueError, match="legacy auto-detect"):
+        read_ann_results(spark, results, metric="dot")

@@ -199,3 +199,44 @@ def test_ann_serve_drain_through_subtree_coordinator(spark, tmp_path):
         ).collect()
     )
     assert got == want and got
+
+
+def test_arrowfs_lock_holder_token_detects_stolen_lock(tmp_path):
+    """ADVICE r11 #3: the check-then-create lock is single-writer-safe
+    by deployment contract, but a misdeployed SECOND writer previously
+    failed silently (lost commits). The lock now writes a unique holder
+    token and re-reads it before release: a stolen lock raises
+    ``LockLostError`` loudly and never deletes the thief's lock file."""
+    from retail_datawarehouse_spark.operators.index_fs import (
+        LockLostError,
+    )
+
+    co = _subtree_co(tmp_path)
+    co.makedirs("idx")
+    lock_path = "idx/MAINTENANCE.lock"
+    # normal hold/release: token written, file removed at exit
+    with co.lock("idx"):
+        assert len(co.read_text(lock_path)) == 32  # a real holder token
+    assert not co.exists(lock_path)
+    # a second writer overwrites the lock mid-hold: loud error, and
+    # the thief's lock file survives (we must not release THEIR lock)
+    with pytest.raises(LockLostError, match="second writer"):
+        with co.lock("idx"):
+            co.write_text(lock_path, "intruder-token")
+    assert co.read_text(lock_path) == "intruder-token"
+    co.remove(lock_path)
+    # a body exception is NOT masked by the lost-lock check: the
+    # body's error is the primary signal
+    with pytest.raises(RuntimeError, match="body failure"):
+        with co.lock("idx"):
+            co.write_text(lock_path, "intruder-token")
+            raise RuntimeError("body failure")
+    co.remove(lock_path)
+
+
+def test_arrowfs_list_gen_dirs_tolerates_missing_base_path(tmp_path):
+    """ADVICE r11 #5: a fresh index dir (no base path yet) must list as
+    empty through allow_not_found — not depend on which OSError
+    subclass a particular pyarrow filesystem raises."""
+    co = _subtree_co(tmp_path)
+    assert co.list_gen_dirs("never/created/index") == []
