@@ -16,6 +16,14 @@ STORED-INDEX serving path (two ``x_ann_serve_*`` rows inside
 self-interpreting without BASELINE.md archaeology (r10 verdict
 "what's wrong" #2). r11+ totals therefore sit ~1-2 s above the
 r8-r10 lineage by construction; per-row values stay comparable.
+
+r12 measurement tightening (r11 verdict #3/#4): calibration samples
+BOTH ends of the run (``calib_pre``/``calib_post``; ``box_factor`` =
+max — a burst at either boundary can no longer self-report quiet) and
+the two serving rows report MEDIAN-of-``SERVE_REPS``=5 instead of
+best-of-3 (they are ~1.5 s quantities with ~2x quiet spread under
+min-of-3; the median is the two-sided robust estimator the decode-tax
+canary needs). Catalog rows keep the exact r8+ protocol.
 """
 
 from __future__ import annotations
@@ -58,6 +66,15 @@ HEADLINE = [
 # Pinned by tests/test_oracle_parity.py — lowering it back to 1 would
 # silently re-expose the driver BENCH rows to box noise.
 BENCH_REPS = 3
+
+# Serving rows get a WIDER protocol (r12; r11 verdict #4): the
+# decode-tax canary keys on a ~1.5 s row that showed ~2x spread across
+# quiet runs under best-of-3 (r11 verdict "what's wrong" #2 — job
+# latency noise on a small quantity, while catalog rows move ±20%).
+# MEDIAN of SERVE_REPS=5 is robust to one slow rep in either direction
+# where min-of-3 keeps whichever tail the box hands it; bands re-derived
+# from the r12 quiet profiles (tools/bench_profile_r12.json).
+SERVE_REPS = 5
 
 # Per-entry driver-protocol budget (r6 verdict #2): the SHARE of the
 # headline total each row may spend. Shares, not seconds, because box
@@ -227,6 +244,8 @@ def bench_serving(spark, sf_dir: str, timings: dict[str, float]) -> float:
             "x_ann_serve_default": {"pq": True, "rerank": 64},
             "x_ann_serve_adc": {"pq": True, "rerank": None},
         }
+        import statistics
+
         for name, kw in waves.items():
             run = lambda: force_full(  # noqa: E731
                 query_ivf_index(
@@ -234,23 +253,45 @@ def bench_serving(spark, sf_dir: str, timings: dict[str, float]) -> float:
                 )
             )
             run()  # warm
-            best, n = None, 0
-            for _ in range(BENCH_REPS):
+            # median of SERVE_REPS (r12): robust two-sided estimator
+            # for the small-magnitude serving rows the decode-tax
+            # canary keys on — see the SERVE_REPS constant's comment
+            reps, n = [], 0
+            for _ in range(SERVE_REPS):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 n = run()
-                dt = time.perf_counter() - t0
-                best = dt if best is None or dt < best else best
-            timings[name] = round(best, 4)
+                reps.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(reps), 4)
             print(
                 f"# {name}: {timings[name]:.3f}s rows={n} "
-                f"(K={k} nprobe={nprobe})",
+                f"(K={k} nprobe={nprobe} reps={[round(r, 3) for r in reps]})",
                 file=sys.stderr,
             )
         handle.close()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     return build_sec
+
+
+def box_fields(calib_pre: float, calib_post: float) -> dict:
+    """Self-interpretation fields for the record (r12; r11 verdict
+    #3): the calibration samples BOTH ends of the run — the r11
+    single end-of-run sample let a 40.29 s burst record self-report
+    quiet (box_factor 1.101) because the burst ended before the
+    calibration ran. ``box_factor`` is the MAX of the two ratios, so a
+    burst present at either boundary shows; a burst strictly interior
+    to the run remains the documented residual (catching it needs
+    per-row calibration, which would dwarf the rows it measures).
+    ``calib_sec`` stays in the record as max(pre, post) so the r11
+    lineage field keeps its meaning (worst observed box state)."""
+    worst = max(calib_pre, calib_post)
+    return {
+        "calib_pre": calib_pre,
+        "calib_post": calib_post,
+        "calib_sec": worst,
+        "box_factor": round(worst / CALIB_QUIET_SEC, 3),
+    }
 
 
 def check_budgets(timings: dict[str, float]) -> list[str]:
@@ -282,6 +323,8 @@ def main() -> None:
             "Renamed entries must be updated here, never skipped."
         )
 
+    calib_pre = calibration(spark)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         builder = cat[name].builder
@@ -305,7 +348,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     build_sec = bench_serving(spark, sf_dir, timings)
-    calib_sec = calibration(spark)
+    calib_post = calibration(spark)
 
     # budget canary: warn on stderr (stdout stays ONE JSON line for the
     # driver); the pytest canary turns these into failures
@@ -322,8 +365,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf else None,
                 "ann_index_build_sec": build_sec,
-                "calib_sec": calib_sec,
-                "box_factor": round(calib_sec / CALIB_QUIET_SEC, 3),
+                **box_fields(calib_pre, calib_post),
             }
         )
     )

@@ -584,7 +584,8 @@ def store_ivf_index(
     # never bulk-write into the same gen directory.
     with co.lock(index_dir):
         src_gen = _cells_generation(index_dir, co)
-        src_cells = f"{_gen_root(index_dir, src_gen, co)}/cells"
+        src_root = _gen_root(index_dir, src_gen, co)
+        src_cells = f"{src_root}/cells"
         snapshot = co.list_cell_files(src_cells)
         gen, root = _reserve_generation(index_dir, src_gen, co)
     _write_index(
@@ -605,6 +606,22 @@ def store_ivf_index(
                 .select("id", "emb")
             )
             _append_rows(rows, root, co)
+        # Tombstones carry forward WHOLESALE here (r12): unlike
+        # rebuild/compact, this path's corpus is CALLER-supplied — the
+        # call can't know whether it was read through the serving
+        # filter or raw, so the deletes stay logical in the new
+        # generation (the anti-join masks any resurrected rows) until
+        # the next compaction/rebuild physically applies them.
+        all_ts = sorted(
+            co.list_parquet_files(f"{src_root}/tombstones")
+        )
+        if all_ts:
+            (
+                spark.read.schema("id long")
+                .parquet(*[co.spark_path(p) for p in all_ts])
+                .write.mode("append")
+                .parquet(co.spark_path(f"{root}/tombstones"))
+            )
         _commit_generation(index_dir, gen, co)
 
 
@@ -1007,6 +1024,7 @@ def maintain_ivf_index(
     skew_ratio: float = 8.0,
     auto_rebuild: bool = False,
     coordinator: PosixCoordinator | None = None,
+    max_tombstones: int | None = None,
 ) -> dict:
     """The maintenance POLICY sweep — the autopilot loop a long-lived
     serving index runs between drains, turning the ``ivf_index_stats``
@@ -1030,6 +1048,14 @@ def maintain_ivf_index(
       schedule. When a skew rebuild runs, the small-files compaction
       is SKIPPED — the rebuild rewrites every cell at one file anyway,
       so compacting first would burn a full extra rewrite.
+    - tombstone debt (r12): ``tombstones`` reports the logical-delete
+      sidecar's row count — every probe pays a broadcast anti-join
+      proportional to it, so unbounded debt slowly taxes serving.
+      With ``max_tombstones=`` set, debt above it triggers the same
+      ``compact_ivf_index`` (which physically drops the rows and
+      clears the sidecar); a skew rebuild clears it too. Default
+      ``None`` reports without acting — deletes are rare enough on
+      most deployments that the small-files trigger compacts first.
     - crash debris: ``stale_staging`` lists ``.staging``-marked
       generation directories BELOW the committed generation — a
       crashed maintainer's leaked reservation (a live one below
@@ -1055,6 +1081,8 @@ def maintain_ivf_index(
     # occupied cells)
     root = _gen_root(index_dir, _cells_generation(index_dir, co), co)
     k = spark.read.parquet(co.spark_path(f"{root}/centroids")).count()
+    tomb = _load_tombstones(spark, root, co)
+    n_tombstones = tomb.count() if tomb is not None else 0
     max_files = max((r.n_files for r in rows), default=0)
     mean_rows = (
         sum(r.n_rows for r in rows) / n_cells if n_cells else 0.0
@@ -1068,13 +1096,16 @@ def maintain_ivf_index(
     compacted = False
     superseded = False
     rebuilt = False
+    tombstone_debt = (
+        max_tombstones is not None and n_tombstones > max_tombstones
+    )
     if rebuild_recommended and auto_rebuild:
         try:
             rebuild_ivf_index(spark, index_dir, coordinator=co)
             rebuilt = True
         except ConcurrentMaintenanceError:
             superseded = True
-    elif max_files > max_files_per_cell:
+    elif max_files > max_files_per_cell or tombstone_debt:
         try:
             compact_ivf_index(spark, index_dir, coordinator=co)
             compacted = True
@@ -1104,6 +1135,7 @@ def maintain_ivf_index(
         "rebuild_recommended": rebuild_recommended,
         "rebuilt": rebuilt,
         "stale_staging": stale_staging,
+        "tombstones": n_tombstones,
     }
 
 
@@ -1215,9 +1247,26 @@ def rebuild_ivf_index(
         reader = spark.read.parquet(co.spark_path(src_cells))
         # corpus ≡ snapshot: the reader's pinned file index is both
         snapshot = {co.from_spark_path(f) for f in reader.inputFiles()}
+        # tombstone snapshot (r12): the rebuild corpus EXCLUDES every
+        # id tombstoned as of this locked listing — the rebuild is a
+        # physical delete + quantizer retrain in one pass, and the new
+        # generation starts with a clear sidecar (late tombstones are
+        # carried in the commit window, same as compaction)
+        ts_dir = f"{src_root}/tombstones"
+        ts_snapshot = co.list_parquet_files(ts_dir)
+        tombstones = (
+            spark.read.schema("id long").parquet(
+                *[co.spark_path(p) for p in sorted(ts_snapshot)]
+            )
+            if ts_snapshot
+            else None
+        )
         gen, root = _reserve_generation(index_dir, src_gen, co)
+    corpus = reader.select("id", "emb")
+    if tombstones is not None:
+        corpus = corpus.join(F.broadcast(tombstones), "id", "left_anti")
     _write_index(
-        reader.select("id", "emb"),
+        corpus,
         root,
         cells,
         pq,
@@ -1232,13 +1281,26 @@ def rebuild_ivf_index(
         late = sorted(co.list_cell_files(src_cells) - snapshot)
         if late:
             # landed after the pinned corpus listing: re-assign against
-            # the NEW generation's quantizer
+            # the NEW generation's quantizer (minus snapshot-tombstoned
+            # ids — a late re-append must not resurrect a masked id)
             rows = (
                 spark.read.option("basePath", co.spark_path(src_cells))
                 .parquet(*[co.spark_path(p) for p in late])
                 .select("id", "emb")
             )
+            if tombstones is not None:
+                rows = rows.join(
+                    F.broadcast(tombstones), "id", "left_anti"
+                )
             _append_rows(rows, root, co)
+        late_ts = sorted(co.list_parquet_files(ts_dir) - ts_snapshot)
+        if late_ts:
+            (
+                spark.read.schema("id long")
+                .parquet(*[co.spark_path(p) for p in late_ts])
+                .write.mode("append")
+                .parquet(co.spark_path(f"{root}/tombstones"))
+            )
         _commit_generation(index_dir, gen, co)
 
 
@@ -1268,7 +1330,7 @@ def reap_ivf_generations(
         current = _cells_generation(index_dir, co)
         if current == 0:
             return removed
-        for name in ("cells", "centroids", "codebook"):
+        for name in ("cells", "centroids", "codebook", "tombstones"):
             path = f"{index_dir}/{name}"
             if co.isdir(path):
                 co.rmtree(path)
@@ -1354,8 +1416,28 @@ def compact_ivf_index(
         # racing append landing between a walk and the read would
         # otherwise be BOTH rewritten and late-folded, i.e. duplicated.
         snapshot = {co.from_spark_path(f) for f in reader.inputFiles()}
+        # Tombstone snapshot (r12): compaction is where logical
+        # deletes become PHYSICAL — the rewrite drops every row whose
+        # id is tombstoned as of this listing (including masked
+        # re-appended copies), and the new generation starts with a
+        # CLEAR sidecar. The file listing is pinned under the same
+        # lock hold as the cells snapshot, so a racing delete is
+        # either wholly in the filter or wholly in the commit
+        # window's late-tombstone carry — never split.
+        ts_dir = f"{src_root}/tombstones"
+        ts_snapshot = co.list_parquet_files(ts_dir)
+        tombstones = (
+            spark.read.schema("id long").parquet(
+                *[co.spark_path(p) for p in sorted(ts_snapshot)]
+            )
+            if ts_snapshot
+            else None
+        )
+    rows = reader
+    if tombstones is not None:
+        rows = rows.join(F.broadcast(tombstones), "id", "left_anti")
     (
-        reader.repartition("cell")
+        rows.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(co.spark_path(f"{dst_root}/cells"))
@@ -1379,13 +1461,31 @@ def compact_ivf_index(
         late = sorted(co.list_cell_files(src_cells) - snapshot)
         if late:
             # Same quantizer generation -> the rows' cell assignments
-            # and codes are already correct; fold them forward as-is.
+            # and codes are already correct; fold them forward as-is
+            # (minus snapshot-tombstoned ids — a late re-append of a
+            # masked id must not resurrect it through the fold).
+            late_rows = spark.read.option(
+                "basePath", co.spark_path(src_cells)
+            ).parquet(*[co.spark_path(p) for p in late])
+            if tombstones is not None:
+                late_rows = late_rows.join(
+                    F.broadcast(tombstones), "id", "left_anti"
+                )
             (
-                spark.read.option("basePath", co.spark_path(src_cells))
-                .parquet(*[co.spark_path(p) for p in late])
-                .write.mode("append")
+                late_rows.write.mode("append")
                 .partitionBy("cell")
                 .parquet(co.spark_path(f"{dst_root}/cells"))
+            )
+        # Tombstones that landed DURING the rewrite were not in the
+        # filter — carry them into the new generation's sidecar so the
+        # delete survives the compaction (logical until the NEXT one).
+        late_ts = sorted(co.list_parquet_files(ts_dir) - ts_snapshot)
+        if late_ts:
+            (
+                spark.read.schema("id long")
+                .parquet(*[co.spark_path(p) for p in late_ts])
+                .write.mode("append")
+                .parquet(co.spark_path(f"{dst_root}/tombstones"))
             )
         _commit_generation(index_dir, gen, co)
 
@@ -1457,6 +1557,106 @@ def _append_rows(
         rows = assigned.select("id", "emb", "n2", "cell")
     rows.write.mode("append").partitionBy("cell").parquet(
         co.spark_path(f"{root}/cells")
+    )
+
+
+def delete_from_ivf_index(
+    ids: DataFrame,
+    index_dir: str,
+    coordinator: PosixCoordinator | None = None,
+) -> int:
+    """Logical deletion — the index learns to FORGET (r12; r11 verdict
+    #1): takedown, retraction, and right-to-be-forgotten requests are
+    routine operations on a 100 TB training corpus, and until now the
+    only recourse was a caller-orchestrated full rebuild from a
+    filtered corpus. ``ids`` is a DataFrame with an ``id`` column (the
+    request batch); the call writes a TOMBSTONE sidecar
+    (``{gen_root}/tombstones`` — an id-only parquet table) under the
+    SAME generation + lock protocol every maintainer uses, and returns
+    the number of NEW tombstones recorded (already-tombstoned ids
+    dedupe to zero — idempotent by construction; deleting an id the
+    index never held is a harmless no-op, so the call never scans the
+    corpus to validate existence).
+
+    Semantics (the Lucene/Delta delete-vector discipline):
+    - Deletion is LOGICAL first: every serving probe
+      (``query_ivf_index`` — float, ADC, and rerank tiers) anti-joins
+      the tombstone set (a broadcast of the debt-bounded sidecar), so
+      a deleted id stops being served the moment this call returns —
+      and ``admit_novel_vectors`` therefore stops treating the deleted
+      parent as a blocker: re-submitted content is admitted fresh.
+    - Physical removal happens at the next ``compact_ivf_index`` or
+      ``rebuild_ivf_index``: both filter tombstoned rows out of the
+      rewrite and CLEAR the sidecar in the new generation (tombstones
+      that land DURING the rewrite are carried forward, never lost —
+      same late-fold discipline as racing appends).
+    - ``maintain_ivf_index`` reports the debt (``tombstones``) and,
+      with ``max_tombstones=`` set, triggers the compaction — the
+      policy loop that keeps the anti-join broadcast small.
+    - Deletion is BY ID: re-appending the SAME id before a compaction
+      clears its tombstone leaves the new row masked too (the sidecar
+      can't tell the copies apart). Re-admit content under a fresh id
+      (what ``admit_novel_vectors`` does naturally), or compact first.
+
+    Crash story: the sidecar write is one Spark parquet append —
+    committed files appear only at job commit, and a crash mid-write
+    leaves ``_temporary`` debris no reader matches (the tombstone
+    reader uses a declared schema and the flat committed listing), so
+    the index keeps serving its pre-delete state. The lock serializes
+    the write against maintainers exactly like an append: a compaction
+    committing concurrently either sees these tombstone files in its
+    locked re-list (and carries them forward) or they land against the
+    generation it already committed.
+
+    Shape at 100 TB: O(request batch + tombstone debt) — one distinct
+    + one anti-join against the debt-bounded sidecar, one batch-sized
+    write. The corpus is never read."""
+    spark = ids.sparkSession
+    co = coordinator or _POSIX
+    with co.lock(index_dir):
+        gen = _cells_generation(index_dir, co)
+        root = _gen_root(index_dir, gen, co)
+        ts_dir = f"{root}/tombstones"
+        new = ids.select(F.col("id").cast("long").alias("id")).distinct()
+        existing = _load_tombstones(spark, root, co)
+        if existing is not None:
+            new = new.join(existing, "id", "left_anti")
+        # eager, batch-sized: the append below writes into the very
+        # path `existing` reads, so a lazy frame would re-plan over
+        # the grown sidecar (the admit_novel_vectors self-invalidation
+        # class) — and the count must state the PRE-append world
+        new = new.localCheckpoint()
+        n = new.count()
+        if n:
+            new.write.mode("append").parquet(co.spark_path(ts_dir))
+    return n
+
+
+def _load_tombstones(
+    spark: SparkSession, root: str, co: PosixCoordinator = _POSIX
+):
+    """The generation's tombstone sidecar as an id-frame, or None when
+    no deletes are recorded. Declared schema, so crash debris (a
+    ``_temporary``-only directory from a delete that died mid-write)
+    reads as the empty set instead of failing schema inference."""
+    ts_dir = f"{root}/tombstones"
+    if not co.isdir(ts_dir):
+        return None
+    return spark.read.schema("id long").parquet(co.spark_path(ts_dir))
+
+
+def _without_tombstones(
+    stored: DataFrame, tombstones: DataFrame | None
+) -> DataFrame:
+    """Serving-side logical delete: broadcast anti-join of the stored
+    candidates against the (debt-bounded) tombstone set. None — the
+    overwhelmingly common case — is a no-op, zero plan change."""
+    if tombstones is None:
+        return stored
+    return stored.join(
+        F.broadcast(tombstones.withColumnRenamed("id", "candidate_id")),
+        "candidate_id",
+        "left_anti",
     )
 
 
@@ -1804,13 +2004,26 @@ def query_ivf_index(
     elif not isinstance(nprobe, int):
         raise ValueError(f"nprobe must be an int or 'all': {nprobe!r}")
     probes = _probes(queries, h.centroids, nprobe, route=route)
+    # logical deletes (r12): the generation's tombstone sidecar is
+    # re-read PER CALL (deletes land within a generation — a handle
+    # cache would hide them until the next rebuild), and every tier
+    # anti-joins it; the rerank tier inherits the screen through its
+    # shortlist. None (no deletes ever) is a zero-cost no-op.
+    tombstones = _load_tombstones(
+        spark,
+        _gen_root(h.index_dir, h.gen, h.coordinator),
+        h.coordinator,
+    )
     score_col = "cosine" if metric == "cosine" else "score"
     if not pq:
-        stored = spark.read.parquet(h.cells_path).select(
-            F.col("id").alias("candidate_id"),
-            F.col("emb").alias("c_emb"),
-            F.col("n2").alias("c_n2"),
-            "cell",
+        stored = _without_tombstones(
+            spark.read.parquet(h.cells_path).select(
+                F.col("id").alias("candidate_id"),
+                F.col("emb").alias("c_emb"),
+                F.col("n2").alias("c_n2"),
+                "cell",
+            ),
+            tombstones,
         )
         scored = stored.join(F.broadcast(probes), "cell").withColumn(
             score_col, _metric_score(metric, "c_emb", "c_n2")
@@ -1820,8 +2033,11 @@ def query_ivf_index(
         raise ValueError(
             f"{index_dir} was stored without pq=True — no codebook sidecar"
         )
-    stored = spark.read.parquet(h.cells_path).select(
-        F.col("id").alias("candidate_id"), "codes", "recon_n2", "cell"
+    stored = _without_tombstones(
+        spark.read.parquet(h.cells_path).select(
+            F.col("id").alias("candidate_id"), "codes", "recon_n2", "cell"
+        ),
+        tombstones,
     )
     # Position-indexed decode (r10): the packed codebook is COMPLETE
     # (every (s, cell) trained — seeds guarantee non-empty cells) so
@@ -1938,6 +2154,11 @@ def admit_novel_vectors(
       symmetric default this cannot happen for exact or
       scale-invariant copies (pinned — they probe the parent's cell);
       perturbed near-dups inherit the operating curve's recall.
+    - A DELETED parent stops blocking re-admission (r12): the probe
+      runs through the tombstone anti-join, so content whose only
+      stored copy was removed by ``delete_from_ivf_index`` is
+      admitted fresh — the takedown-then-resubmit flow works without
+      waiting for a compaction.
 
     Shape at 100 TB: one batch-sized probe (broadcast centroid pass +
     DPP-pruned scan of the probed cells) + one batch-sized append —

@@ -92,10 +92,23 @@ class PosixCoordinator:
 
     # -- listings ---------------------------------------------------
     def list_gen_dirs(self, index_dir: str) -> list[str]:
-        return sorted(glob.glob(f"{index_dir}/gen-*"))
+        # directories only (r12 contract kit): the ArrowFs twin always
+        # filtered to FileType.Directory; a stray FILE named gen-* was
+        # harmless on the reservation path (numbers may skip) but made
+        # the two coordinators disagree on the listing clause
+        return sorted(
+            p for p in glob.glob(f"{index_dir}/gen-*") if os.path.isdir(p)
+        )
 
     def list_cell_files(self, cells_dir: str) -> set[str]:
         return set(glob.glob(f"{cells_dir}/cell=*/*.parquet"))
+
+    def list_parquet_files(self, dir_path: str) -> set[str]:
+        """Flat (non-recursive) committed-parquet listing — the
+        tombstone sidecar's shape (r12). Spark job-commit debris
+        (``_temporary``, ``_SUCCESS``) never matches the suffix or
+        depth, same discipline as ``list_cell_files``."""
+        return set(glob.glob(f"{dir_path}/*.parquet"))
 
     # -- the two protocol-critical ops ------------------------------
     def commit_pointer(self, index_dir: str, gen: int) -> None:
@@ -240,6 +253,17 @@ class ArrowFsCoordinator(PosixCoordinator):
                 out.add(i.path)
         return out
 
+    def list_parquet_files(self, dir_path: str) -> set[str]:
+        if not self.isdir(dir_path):
+            return set()
+        sel = self._pafs.FileSelector(dir_path, recursive=False)
+        return {
+            i.path
+            for i in self.fs.get_file_info(sel)
+            if i.type == self._pafs.FileType.File
+            and i.path.endswith(".parquet")
+        }
+
     def commit_pointer(self, index_dir: str, gen: int) -> None:
         # move() is an atomic rename on local/SubTree trees; on
         # S3-class stores it is copy+delete — see the module
@@ -309,14 +333,151 @@ class ArrowFsCoordinator(PosixCoordinator):
         return self._spark_path_fn(path)
 
     def from_spark_path(self, uri: str) -> str:
-        local = super().from_spark_path(uri)
+        local = PosixCoordinator.from_spark_path(self, uri)
         if self._spark_path_fn is None:
             return local
         # invert the mapping by probing the index root prefix: the fn
         # is required to be a pure prefix-join (SubTree root or an
         # s3a:// scheme prefix), so stripping the mapped-empty prefix
         # recovers the coordinator path.
-        prefix = super().from_spark_path(self._spark_path_fn(""))
+        prefix = PosixCoordinator.from_spark_path(
+            self, self._spark_path_fn("")
+        )
         if local.startswith(prefix):
             return local[len(prefix) :].lstrip("/")
         return local
+
+
+class TokenLeaseCoordinator(ArrowFsCoordinator):
+    """Reference LEASE-backed coordinator (r12; the r11 verdict's
+    "prove the subclass point is real" stretch): a fencing-token lease
+    file over any ``pyarrow.fs.FileSystem``, with the two properties a
+    multi-writer object-store deployment actually needs and the plain
+    check-then-create lock cannot give:
+
+    - LIVENESS under crashed holders: the lease file carries
+      ``token expires_at``; an EXPIRED lease is broken and taken over
+      at acquisition, so a writer that died mid-hold stalls the fleet
+      for at most ``lease_ttl`` seconds instead of forever (the POSIX
+      lock's leaked-file story requires an operator).
+    - FENCED COMMITS: ``commit_pointer`` re-reads the lease while this
+      instance believes it holds it and raises ``LockLostError`` if
+      the token is no longer ours or the lease expired — a holder
+      paused past its TTL (GC stall, network partition) whose lease a
+      peer took over can no longer flip the pointer over the new
+      holder's work; its commit dies loudly instead. This is the
+      fencing-token discipline (Kleppmann, DDIA ch. 8): the CHECK
+      rides the commit, not just the acquisition.
+
+    Honest residual races, stated up front: acquisition is still
+    write-then-confirm over a non-atomic store (two breakers of the
+    same expired lease race on last-write-wins; the ``settle`` delay
+    plus the confirm re-read shrinks but cannot close the window —
+    closing it needs a conditional-put primitive, e.g. S3
+    If-None-Match, which a deployment adds by overriding ``_take``),
+    and expiry compares WALL-CLOCK time across writers, so clocks
+    skewed beyond ``lease_ttl`` margins undermine takeover. Both are
+    the standard limits of file-based leases; the contract kit plus
+    the lease tests pin everything this class does guarantee.
+
+    One instance serves ONE writer process (held-lease state lives on
+    the instance — the same one-coordinator-per-writer deployment
+    shape every maintenance API already assumes)."""
+
+    def __init__(
+        self,
+        filesystem,
+        spark_path_fn=None,
+        lease_ttl: float = 30.0,
+        settle: float = 0.05,
+        clock=time.time,
+    ):
+        super().__init__(filesystem, spark_path_fn=spark_path_fn)
+        self.lease_ttl = float(lease_ttl)
+        self._settle = float(settle)
+        self._clock = clock
+        self._held: dict[str, tuple[str, str]] = {}
+
+    # -- lease file format: "<token> <expires_at>" (ascii) ----------
+    def _parse(self, text: str | None):
+        if not text:
+            return None
+        parts = text.split()
+        if len(parts) != 2:
+            return None
+        try:
+            return parts[0], float(parts[1])
+        except ValueError:
+            return None
+
+    def _take(self, path: str, token: str) -> bool:
+        """One acquisition attempt: write our lease, settle, confirm
+        by re-read (last-write-wins ⇒ at most one confirmer). The
+        override point for a store with conditional puts."""
+        self.write_text(path, f"{token} {self._clock() + self.lease_ttl}")
+        time.sleep(self._settle)
+        got = self._parse(self.read_text(path))
+        return got is not None and got[0] == token
+
+    @contextmanager
+    def lock(self, index_dir: str, timeout: float = 120.0):
+        path = f"{index_dir}/MAINTENANCE.lock"
+        token = uuid.uuid4().hex
+        deadline = time.monotonic() + timeout
+        while True:
+            cur = self._parse(self.read_text(path))
+            if cur is not None and cur[1] > self._clock():
+                # live lease held by someone — wait for expiry/release
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire lease {path} within "
+                        f"{timeout}s — held and unexpired (holder "
+                        f"token {cur[0][:8]}…, {cur[1] - self._clock():.1f}s "
+                        "of TTL left)"
+                    )
+                time.sleep(self._settle)
+                continue
+            # free, expired, or unparseable: attempt takeover
+            if self._take(path, token):
+                break
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not acquire lease {path} within {timeout}s "
+                    "— lost the takeover race repeatedly"
+                )
+        self._held[index_dir] = (path, token)
+        body_raised = False
+        try:
+            yield
+        except BaseException:
+            body_raised = True
+            raise
+        finally:
+            self._held.pop(index_dir, None)
+            got = self._parse(self.read_text(path))
+            if got is not None and got[0] == token:
+                self.fs.delete_file(path)
+            elif not body_raised:
+                raise LockLostError(
+                    f"lease {path} no longer holds this writer's token "
+                    "— it expired mid-hold and a peer took it over; "
+                    "the critical section ran unprotected past the TTL"
+                )
+
+    def commit_pointer(self, index_dir: str, gen: int) -> None:
+        held = self._held.get(index_dir)
+        if held is not None:
+            path, token = held
+            got = self._parse(self.read_text(path))
+            if (
+                got is None
+                or got[0] != token
+                or got[1] <= self._clock()
+            ):
+                raise LockLostError(
+                    f"lease for {index_dir} lost or expired at pointer "
+                    f"commit (gen {gen}) — commit FENCED: a peer may "
+                    "hold the lease now and this writer's staged "
+                    "output must not supersede theirs"
+                )
+        super().commit_pointer(index_dir, gen)
