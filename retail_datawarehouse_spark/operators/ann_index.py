@@ -2113,6 +2113,7 @@ def admit_novel_vectors(
     metric: str = "cosine",
     route: str = "symmetric",
     coordinator: PosixCoordinator | None = None,
+    handle: "IvfIndexHandle | None" = None,
 ) -> DataFrame:
     """ONLINE near-dup admission (r11): gate an arriving (id, emb)
     batch against the stored index BEFORE it joins the corpus — the
@@ -2173,6 +2174,12 @@ def admit_novel_vectors(
         metric=metric,
         route=route,
         coordinator=coordinator,
+        # a multi-wave caller (the admission drain) probes through its
+        # persisted, per-wave-refreshed handle (r12); the append below
+        # stays within the handle's generation, so the handle needs no
+        # invalidation — only the cells listing grows, and that is
+        # re-read per query by construction
+        handle=handle,
     ).filter(F.col("rank") == 1)
     is_dup = (
         F.col("score") <= F.lit(threshold)

@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from retail_datawarehouse_spark.operators.ann_index import (
+    admit_novel_vectors,
     open_ivf_index,
     query_ivf_index,
 )
@@ -185,6 +186,150 @@ def run_ann_serve_available_now(
             )
     finally:
         handle.close()
+
+
+def run_admission_available_now(
+    spark: SparkSession,
+    landing_dir: str,
+    index_dir: str,
+    report_dir: str,
+    threshold: float = 0.99,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    route: str = "symmetric",
+    checkpoint_dir: str | None = None,
+    timeout: float | None = None,
+    coordinator=None,
+) -> None:
+    """Streaming INGESTION gate (r12; r11 verdict #5): compose
+    ``admit_novel_vectors`` into the availableNow drain — the
+    FineWeb-style continuous-ingest loop where every landed wave of
+    (wave, id, emb) candidates is probed against the stored index,
+    only the novel rows are appended, and the per-vector admission
+    verdicts land as a wave-partitioned report sidecar (the same
+    verdict-sidecar semantics as the classifier monitors). Drain ≡
+    sequential batch admission on the same waves (pinned by test).
+
+    Wave cost is admission's batch cost: one probe of the wave
+    (DPP-pruned, through the drain's persisted and per-wave-refreshed
+    handle) + one batch-sized append — the corpus is never scanned.
+
+    Replay semantics (at-least-once ``foreachBatch``, exactly-once
+    ADMISSION): a crash between the report write and the checkpoint
+    commit replays the wave — and the replayed wave's rows are now IN
+    the index (the original append committed), so each probes as an
+    exact duplicate OF ITSELF and is NOT re-appended: the index gains
+    each admitted vector exactly once without any dedup machinery,
+    because the gate's own predicate is idempotent. The report write
+    is wave-partitioned dynamic overwrite (replays replace the wave's
+    directory), and a replayed row whose nearest neighbor is ITS OWN
+    ID is reported ``admitted=true`` — it IS in the index because this
+    wave admitted it; reporting the literal re-probe verdict would
+    flip originally-admitted rows to rejected on every replay.
+    Corollary of that self-match rule, stated honestly: wave ids must
+    be unique against the existing corpus ids (they are fresh
+    ingestion ids by construction — same contract as every append).
+
+    ``timeout`` mirrors the other drains: None blocks; expiry stops
+    the query and raises rather than letting a partial report read as
+    a finished drain."""
+    handle = open_ivf_index(
+        spark, index_dir, persist=True, coordinator=coordinator
+    )
+
+    def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal handle
+        handle = handle.refresh(spark)
+        wave = batch_df.agg(
+            F.min("wave").cast("long").alias("_w"),
+            F.countDistinct("wave").alias("_nw"),
+        ).select(
+            F.when(F.col("_nw") <= 1, F.col("_w"))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "admission batch spans %d waves — "
+                        "one-file-per-wave contract broken",
+                        F.col("_nw"),
+                    )
+                ).cast("long")
+            )
+            .alias("wave")
+        )
+        # the batch frame lives in the micro-batch session (the
+        # foreachBatch foot-gun the monitors closed in r11) and
+        # admit_novel_vectors reads its session FROM the batch — so
+        # the probe, the report checkpoint, and the append all run in
+        # the right session by construction
+        report = admit_novel_vectors(
+            batch_df.select("id", "emb"),
+            index_dir,
+            threshold=threshold,
+            nprobe=nprobe,
+            metric=metric,
+            route=route,
+            coordinator=coordinator,
+            handle=handle,
+        )
+        out = (
+            report.withColumn(
+                "admitted",
+                # replay self-match (docstring): a row whose nearest
+                # stored neighbor is itself was admitted by THIS
+                # wave's original run
+                F.col("admitted") | (F.col("nearest_id") == F.col("id")),
+            )
+            .crossJoin(F.broadcast(wave))
+            .select("id", "nearest_id", "score", "admitted", "wave")
+        )
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("wave").parquet(report_dir)
+
+    writer = (
+        stream_query_landing(spark, landing_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(admit_batch)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        if timeout is None:
+            q.awaitTermination()
+        elif not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError(
+                f"admission drain did not terminate within {timeout}s — "
+                f"report at {report_dir} may be partial; not returning "
+                "control"
+            )
+    finally:
+        handle.close()
+
+
+def read_admission_reports(
+    spark: SparkSession, report_dir: str
+) -> DataFrame:
+    """The admission report table, wave-partitioned, deduped on
+    (wave, id) — the defensive screen against partially-committed
+    leftovers, same contract as ``read_ann_results`` (replay
+    consistency comes from the write side's dynamic overwrite)."""
+    if not os.path.isdir(report_dir) or not any(
+        d.startswith("wave=") for d in os.listdir(report_dir)
+    ):
+        return spark.createDataFrame(
+            [],
+            "wave long, id long, nearest_id long, score double, "
+            "admitted boolean",
+        )
+    return (
+        spark.read.parquet(report_dir)
+        .withColumn("wave", F.col("wave").cast("long"))
+        .select("wave", "id", "nearest_id", "score", "admitted")
+        .dropDuplicates(["wave", "id"])
+    )
 
 
 def read_ann_results(

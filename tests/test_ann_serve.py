@@ -536,3 +536,140 @@ def test_read_ann_results_metric_none_is_legacy_autodetect(
     ).columns == ["wave", "query_id", "candidate_id", "cosine", "rank"]
     with pytest.raises(ValueError, match="legacy auto-detect"):
         read_ann_results(spark, results, metric="dot")
+
+
+def _novel(seed, dim=64):
+    import numpy as np
+
+    return np.random.default_rng(seed).normal(size=dim).tolist()
+
+
+def test_admission_drain_equals_sequential_batch_admission(
+    spark, sf_correctness_dir, tmp_path
+):
+    """r11 verdict #5: the streaming ingestion gate must equal
+    sequential batch admission on the same waves — same per-vector
+    verdicts (id, nearest, score, admitted) and the same final index
+    contents. Wave 0 carries a corpus duplicate + a novel vector;
+    wave 1 a fresh-id copy of wave 0's novel (rejected against the
+    now-stored copy — the convergence property) + another novel."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        admit_novel_vectors,
+    )
+    from retail_datawarehouse_spark.streaming.ann_serve import (
+        read_admission_reports,
+        run_admission_available_now,
+    )
+
+    root = str(tmp_path)
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    idx, twin = f"{root}/idx", f"{root}/twin"
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    store_ivf_index(corpus, twin, cells=IVF_CELLS)
+    parent = corpus.limit(1).collect()[0]
+    w0 = [(9001, list(parent.emb)), (9002, _novel(3))]
+    w1 = [(9102, _novel(3)), (9103, _novel(4))]  # 9102 = copy of 9002
+
+    landing, reports = f"{root}/landing", f"{root}/reports"
+    ckpt = f"{root}/ckpt"
+    waves_f32 = {}
+    for wave, rows in ((0, w0), (1, w1)):
+        qdf = spark.createDataFrame(
+            rows, "id long, emb array<double>"
+        ).select("id", F.col("emb").cast("array<float>").alias("emb"))
+        waves_f32[wave] = qdf
+        _land_wave(spark, root, landing, wave, qdf)
+        run_admission_available_now(
+            spark, landing, idx, reports, threshold=0.99, nprobe=4,
+            checkpoint_dir=ckpt,
+        )
+
+    # batch twin: the same waves through the batch API, sequentially
+    want_rows = []
+    for wave, rows in ((0, w0), (1, w1)):
+        # the SAME float32-cast frames the drain consumed — the twin
+        # must see bit-identical inputs for score equality
+        rep = admit_novel_vectors(
+            waves_f32[wave], twin, threshold=0.99, nprobe=4,
+        )
+        want_rows += [
+            (wave, r.id, r.nearest_id, round(r.score, 9) if r.score is not None else None, r.admitted)
+            for r in rep.collect()
+        ]
+
+    got = sorted(
+        (r.wave, r.id, r.nearest_id,
+         round(r.score, 9) if r.score is not None else None, r.admitted)
+        for r in read_admission_reports(spark, reports).collect()
+    )
+    assert got == sorted(want_rows) and len(got) == 4
+    # verdict shape: corpus dup + re-submitted copy rejected, novels in
+    verdicts = {r[1]: r[4] for r in got}
+    assert verdicts == {9001: False, 9002: True, 9102: False, 9103: True}
+    # identical final index contents
+    ids_idx = {r.id for r in spark.read.parquet(f"{idx}/cells").collect()}
+    ids_twin = {r.id for r in spark.read.parquet(f"{twin}/cells").collect()}
+    assert ids_idx == ids_twin and 9002 in ids_idx and 9103 in ids_idx
+
+
+def test_admission_drain_restart_midfeed_admits_exactly_once(
+    spark, sf_correctness_dir, tmp_path
+):
+    """At-least-once replay, exactly-once ADMISSION: wiping the
+    checkpoint mid-feed forces a full replay of wave 0 — its rows now
+    probe as duplicates OF THEMSELVES, so nothing is re-appended, and
+    the replayed report still says admitted=true for the originally
+    admitted row (the self-match rule) instead of flipping it."""
+    import shutil as _shutil
+
+    from retail_datawarehouse_spark.streaming.ann_serve import (
+        read_admission_reports,
+        run_admission_available_now,
+    )
+
+    root = str(tmp_path)
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    idx = f"{root}/idx"
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    parent = corpus.limit(1).collect()[0]
+    landing, reports, ckpt = (
+        f"{root}/landing", f"{root}/reports", f"{root}/ckpt",
+    )
+    w0 = spark.createDataFrame(
+        [(9001, list(parent.emb)), (9002, _novel(7))],
+        "id long, emb array<double>",
+    ).select("id", F.col("emb").cast("array<float>").alias("emb"))
+    _land_wave(spark, root, landing, 0, w0)
+    run_admission_available_now(
+        spark, landing, idx, reports, threshold=0.99, nprobe=4,
+        checkpoint_dir=ckpt,
+    )
+    n_after_w0 = spark.read.parquet(f"{idx}/cells").count()
+
+    # crash-equivalent: checkpoint gone, wave 1 lands, full re-drain
+    _shutil.rmtree(ckpt)
+    w1 = spark.createDataFrame(
+        [(9103, _novel(8))], "id long, emb array<double>"
+    ).select("id", F.col("emb").cast("array<float>").alias("emb"))
+    _land_wave(spark, root, landing, 1, w1)
+    run_admission_available_now(
+        spark, landing, idx, reports, threshold=0.99, nprobe=4,
+        checkpoint_dir=ckpt,
+    )
+    # wave 0's novel admitted EXACTLY once across original + replay
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert cells.filter(F.col("id") == 9002).count() == 1
+    assert cells.count() == n_after_w0 + 1  # + wave 1's novel only
+    rep = {
+        (r.wave, r.id): r
+        for r in read_admission_reports(spark, reports).collect()
+    }
+    assert len(rep) == 3  # deduped on (wave, id)
+    assert rep[(0, 9002)].admitted  # self-match keeps the verdict
+    assert rep[(0, 9002)].nearest_id == 9002  # and says why
+    assert not rep[(0, 9001)].admitted
+    assert rep[(1, 9103)].admitted
+    # empty-report reader schema
+    assert read_admission_reports(spark, f"{root}/nowaves").columns == [
+        "wave", "id", "nearest_id", "score", "admitted",
+    ]
