@@ -378,3 +378,26 @@ def test_delete_lifecycle_byte_identical_through_arrowfs_coordinator(
     got2 = query_ivf_index(queries, "sub_idx", nprobe="all", coordinator=co)
     want2 = query_ivf_index(queries, posix_idx, nprobe="all")
     assert _full_rows(got2) == _full_rows(want2) == _full_rows(want)
+
+
+def test_tombstone_antijoin_is_broadcast_and_dpp_survives(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Scale shape of the logical delete: the tombstone screen must be
+    a BROADCAST left-anti hash join (the sidecar is debt-bounded by
+    the compaction policy — shuffling the corpus to apply it would be
+    the 100 TB anti-pattern), and the probe's dynamic partition
+    pruning on the cell scan must survive the added join."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "plan_idx")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    victims = [r.id for r in corpus.limit(2).collect()]
+    delete_from_ivf_index(_ids_df(spark, victims), idx)
+    served = query_ivf_index(queries, idx, nprobe=2)
+    plan = formatted_plan(served)
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "SortMergeJoin LeftAnti" not in plan
+    assert "ShuffledHashJoin LeftAnti" not in plan
+    assert "dynamicpruning" in plan.lower(), "DPP lost under the screen"
