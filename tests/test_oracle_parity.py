@@ -236,20 +236,20 @@ def test_bench_serving_budget_canary_goes_red():
 
     import bench
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "tools",
-        "bench_profile_r11.json",
-    )
-    with open(path) as f:
-        profiles = json.load(f)["profiles"]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    profiles = []
+    for name in ("bench_profile_r11.json", "bench_profile_r12.json"):
+        with open(os.path.join(root, "tools", name)) as f:
+            profiles += json.load(f)["profiles"]
+    assert len(profiles) >= 4  # r11 pair + r12 pair (median protocol)
     for p in profiles:
         assert set(bench.SERVE_ROWS) <= set(p), "profile lost serving rows"
         assert bench.check_budgets(p) == [], p
-    taxed = dict(profiles[0])
-    taxed["x_ann_serve_adc"] = taxed["x_ann_serve_adc"] * 2.8
-    violations = bench.check_budgets(taxed)
-    assert violations and "x_ann_serve_adc" in violations[0], violations
+    for base in (profiles[0], profiles[-1]):  # both protocol eras
+        taxed = dict(base)
+        taxed["x_ann_serve_adc"] = taxed["x_ann_serve_adc"] * 2.8
+        violations = bench.check_budgets(taxed)
+        assert violations and "x_ann_serve_adc" in violations[0], violations
 
 
 def test_bench_budget_holds_on_committed_bench_records():
@@ -345,13 +345,20 @@ def test_bench_calibration_samples_both_ends_max_wins():
 
     import bench
 
-    # the r11 failure shape: burst during the rows, gone by the end
-    fields = bench.box_fields(calib_pre=1.21, calib_post=0.56)
-    assert fields["box_factor"] == round(1.21 / bench.CALIB_QUIET_SEC, 3)
-    assert fields["box_factor"] > 2.0  # says LOADED, loudly
-    assert fields["calib_sec"] == 1.21  # lineage field: worst observed
-    # symmetric: burst arriving at the END still shows
-    assert bench.box_fields(0.56, 1.21)["box_factor"] == fields["box_factor"]
+    # the r11 failure shape: burst during the rows, gone by the end —
+    # the PRE sample (normalized against its own lifecycle-point quiet
+    # reference; the pre-run JVM is structurally slower, see
+    # CALIB_QUIET_PRE_SEC) must brand the record loaded
+    fields = bench.box_fields(calib_pre=1.6, calib_post=0.56)
+    assert fields["box_factor"] == round(
+        1.6 / bench.CALIB_QUIET_PRE_SEC, 3
+    )
+    assert fields["box_factor"] > 1.5  # says LOADED, loudly
+    assert fields["calib_sec"] == 0.56  # lineage field: the POST sample
+    # a burst arriving at the END shows through the post reference
+    assert bench.box_fields(0.78, 1.21)["box_factor"] > 2.0
+    # and a genuinely quiet pair reads ~1.0 under both references
+    assert bench.box_fields(0.78, 0.56)["box_factor"] < 1.1
     src = inspect.getsource(bench.main)
     assert (
         "calib_pre = calibration(spark)"
