@@ -89,6 +89,22 @@ subclasses it with a real lease/commit protocol for multi-writer
 operation — the Delta/Iceberg-style coordination point as a plug
 rather than a fork.
 
+DELETION (r12; r11 verdict #1) is the Lucene/Delta delete-vector
+discipline: ``delete_from_ivf_index`` records id-only TOMBSTONES in a
+per-generation sidecar under the same maintenance lock every writer
+holds — O(request batch + debt), the corpus never read. Deletes are
+LOGICAL first (every serving tier anti-joins the debt-bounded sidecar
+via one broadcast, re-read per call so they land mid-generation;
+``admit_novel_vectors`` therefore re-admits content whose deleted
+parent no longer blocks it) and PHYSICAL at the next compaction or
+rebuild (the anti-join folds into the rewrite those ops already do;
+the new generation starts with a clear sidecar; tombstones landing
+DURING a rewrite carry forward exactly like racing appends).
+``maintain_ivf_index`` reports the debt and ``max_tombstones=`` turns
+it into a compaction trigger. Deletion is BY ID — re-appending a
+tombstoned id before a compaction stays masked (documented; fresh ids
+are the re-admission path).
+
 Incremental add is the FAISS `add`-after-`train` discipline: arriving
 vectors are assigned against the STORED (frozen) centroids — and, for
 a PQ index, encoded against the STORED (frozen) codebook — a map-only
