@@ -401,3 +401,74 @@ def test_tombstone_antijoin_is_broadcast_and_dpp_survives(
     assert "SortMergeJoin LeftAnti" not in plan
     assert "ShuffledHashJoin LeftAnti" not in plan
     assert "dynamicpruning" in plan.lower(), "DPP lost under the screen"
+
+
+@pytest.mark.skipif(
+    "SPARK_GRAFT_SCALEUP" not in os.environ,
+    reason="20x deletion scale proof is opt-in: SPARK_GRAFT_SCALEUP=1",
+)
+def test_delete_probe_cost_is_debt_bounded_at_20x(spark, tmp_path):
+    """Deletion at the scale it exists for (gated 20×, N≈40k, auto
+    K≈200): a 500-id takedown batch against the big index (a) returns
+    without reading the corpus — the delete wall-time must be a small
+    fraction of the store time, because its only Spark work is
+    batch + debt sized; (b) excludes every victim from a planted
+    self-probe while their scale-invariant COPIES under fresh ids
+    still hit rank-1 (the probe quality is untouched by the screen);
+    (c) compaction physically drops exactly the tombstoned rows and
+    clears the debt. The probe-side cost model (broadcast anti-join
+    proportional to debt) is pinned structurally by the plan test;
+    this proves the end-to-end behavior at real cell counts."""
+    import sys
+    import time as _time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.scale_probe import generate
+
+    out = str(tmp_path / "scale20")
+    generate(20, out)
+    emb = load_table(spark, out, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    idx = str(tmp_path / "idx20")
+    t0 = _time.perf_counter()
+    store_ivf_index(corpus, idx)
+    store_sec = _time.perf_counter() - t0
+
+    victims = corpus.filter(F.col("id") % 79 == 0).limit(500).persist()
+    n_victims = victims.count()
+    assert n_victims == 500
+    t0 = _time.perf_counter()
+    assert (
+        delete_from_ivf_index(victims.select("id"), idx) == n_victims
+    )
+    delete_sec = _time.perf_counter() - t0
+    # (a) the takedown never scans the corpus: well under the build
+    assert delete_sec < store_sec / 4, (delete_sec, store_sec)
+
+    # (b) victims excluded from their own self-probe; fresh-id copies
+    # of the same vectors still hit rank-1 through the screen
+    self_probe = query_ivf_index(victims, idx, nprobe=4).filter(
+        (F.col("rank") == 1) & (F.col("candidate_id") == F.col("query_id"))
+    )
+    assert self_probe.count() == 0
+    copies = victims.select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"), "emb"
+    )
+    append_to_ivf_index(copies, idx)
+    hit = query_ivf_index(copies, idx, nprobe=4).filter(
+        (F.col("rank") == 1) & (F.col("candidate_id") == F.col("query_id"))
+    )
+    assert hit.count() == n_victims
+
+    # (c) compaction drops exactly the tombstoned rows, clears debt
+    n_rows = spark.read.parquet(f"{idx}/cells").count()
+    compact_ivf_index(spark, idx)
+    compacted = spark.read.parquet(f"{idx}/gen-1/cells")
+    assert compacted.count() == n_rows - n_victims
+    assert compacted.filter(
+        F.col("id").isin([r.id for r in victims.select("id").collect()])
+    ).count() == 0
+    assert maintain_ivf_index(spark, idx)["tombstones"] == 0
+    victims.unpersist()
