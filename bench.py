@@ -201,8 +201,9 @@ def bench_serving(spark, sf_dir: str, timings: dict[str, float]) -> float:
     green). Builds one IVF×PQ index per run over a deterministic 10×
     expansion of the sf dir's embeddings (directional perturbations, so
     the corpus isn't just scale-invariant copies), then times two waves
-    with the same warm + best-of-BENCH_REPS protocol as the catalog
-    rows:
+    with a warm rep + MEDIAN-of-SERVE_REPS protocol (r12 — the catalog
+    rows keep best-of-BENCH_REPS; see the SERVE_REPS comment for why
+    these two rows get the wider, two-sided estimator):
 
     - ``x_ann_serve_default``: the recommended operating point — ADC
       nomination + exact rerank (nprobe=K//8, R=64).

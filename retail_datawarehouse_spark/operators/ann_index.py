@@ -628,16 +628,12 @@ def store_ivf_index(
         # filter or raw, so the deletes stay logical in the new
         # generation (the anti-join masks any resurrected rows) until
         # the next compaction/rebuild physically applies them.
-        all_ts = sorted(
-            co.list_parquet_files(f"{src_root}/tombstones")
+        _carry_tombstones(
+            spark,
+            co.list_parquet_files(f"{src_root}/tombstones"),
+            root,
+            co,
         )
-        if all_ts:
-            (
-                spark.read.schema("id long")
-                .parquet(*[co.spark_path(p) for p in all_ts])
-                .write.mode("append")
-                .parquet(co.spark_path(f"{root}/tombstones"))
-            )
         _commit_generation(index_dir, gen, co)
 
 
@@ -1270,13 +1266,7 @@ def rebuild_ivf_index(
         # carried in the commit window, same as compaction)
         ts_dir = f"{src_root}/tombstones"
         ts_snapshot = co.list_parquet_files(ts_dir)
-        tombstones = (
-            spark.read.schema("id long").parquet(
-                *[co.spark_path(p) for p in sorted(ts_snapshot)]
-            )
-            if ts_snapshot
-            else None
-        )
+        tombstones = _tombstones_from_files(spark, ts_snapshot, co)
         gen, root = _reserve_generation(index_dir, src_gen, co)
     corpus = reader.select("id", "emb")
     if tombstones is not None:
@@ -1309,14 +1299,9 @@ def rebuild_ivf_index(
                     F.broadcast(tombstones), "id", "left_anti"
                 )
             _append_rows(rows, root, co)
-        late_ts = sorted(co.list_parquet_files(ts_dir) - ts_snapshot)
-        if late_ts:
-            (
-                spark.read.schema("id long")
-                .parquet(*[co.spark_path(p) for p in late_ts])
-                .write.mode("append")
-                .parquet(co.spark_path(f"{root}/tombstones"))
-            )
+        _carry_tombstones(
+            spark, co.list_parquet_files(ts_dir) - ts_snapshot, root, co
+        )
         _commit_generation(index_dir, gen, co)
 
 
@@ -1442,13 +1427,7 @@ def compact_ivf_index(
         # window's late-tombstone carry — never split.
         ts_dir = f"{src_root}/tombstones"
         ts_snapshot = co.list_parquet_files(ts_dir)
-        tombstones = (
-            spark.read.schema("id long").parquet(
-                *[co.spark_path(p) for p in sorted(ts_snapshot)]
-            )
-            if ts_snapshot
-            else None
-        )
+        tombstones = _tombstones_from_files(spark, ts_snapshot, co)
     rows = reader
     if tombstones is not None:
         rows = rows.join(F.broadcast(tombstones), "id", "left_anti")
@@ -1495,14 +1474,9 @@ def compact_ivf_index(
         # Tombstones that landed DURING the rewrite were not in the
         # filter — carry them into the new generation's sidecar so the
         # delete survives the compaction (logical until the NEXT one).
-        late_ts = sorted(co.list_parquet_files(ts_dir) - ts_snapshot)
-        if late_ts:
-            (
-                spark.read.schema("id long")
-                .parquet(*[co.spark_path(p) for p in late_ts])
-                .write.mode("append")
-                .parquet(co.spark_path(f"{dst_root}/tombstones"))
-            )
+        _carry_tombstones(
+            spark, co.list_parquet_files(ts_dir) - ts_snapshot, dst_root, co
+        )
         _commit_generation(index_dir, gen, co)
 
 
@@ -1646,6 +1620,87 @@ def delete_from_ivf_index(
         if n:
             new.write.mode("append").parquet(co.spark_path(ts_dir))
     return n
+
+
+def resident_ids(
+    batch: DataFrame,
+    index_dir: str,
+    handle: "IvfIndexHandle | None" = None,
+    coordinator: PosixCoordinator | None = None,
+) -> DataFrame:
+    """Which of the batch's (id, emb) rows are ALREADY stored (and not
+    tombstoned)? The replay-idempotency primitive the admission drain
+    needs (r12 review): a replayed wave's rows are in the index, and
+    asking "is this exact row stored?" must not depend on top-1 probe
+    TIE-BREAKING — two exact copies admitted in one wave tie at score
+    1.0 and the lower id wins rank-1, so a nearest_id==id heuristic
+    mislabels the higher-id copy as a rejected duplicate on replay.
+
+    Exact by construction instead: each row is assigned its cell with
+    the SAME frozen-quantizer pass its append used (same dtype cast,
+    same routing), then semi-joined on (cell, id) against the cell
+    table — a DPP-pruned scan of only the assigned cells, batch-sized
+    cost, zero reliance on score ordering. Returns a 1-column ``id``
+    frame."""
+    spark = batch.sparkSession
+    co = coordinator or _POSIX
+    h = (
+        handle
+        if handle is not None
+        else open_ivf_index(spark, index_dir, persist=False, coordinator=co)
+    )
+    stored = spark.read.parquet(h.cells_path)
+    rows = batch.select(
+        "id", F.col("emb").cast(stored.schema["emb"].dataType).alias("emb")
+    )
+    assigned = _nearest_cell(
+        _with_n2(rows),
+        h.centroids,
+        keep=1,
+        coarse=_routing(h.centroids),
+        metric=_assignment_metric(_index_metric(h.centroids)),
+    ).select("id", "cell")
+    resident = stored.select("id", "cell").join(
+        F.broadcast(assigned), ["cell", "id"], "left_semi"
+    )
+    tombstones = _load_tombstones(
+        spark, _gen_root(h.index_dir, h.gen, h.coordinator), h.coordinator
+    )
+    if tombstones is not None:
+        resident = resident.join(
+            F.broadcast(tombstones), "id", "left_anti"
+        )
+    return resident.select("id")
+
+
+def _tombstones_from_files(
+    spark: SparkSession, paths, co: PosixCoordinator = _POSIX
+):
+    """Tombstone id-frame over an EXPLICIT pinned file listing (the
+    maintainers' snapshot discipline — a directory read would race
+    late deletes), or None when the listing is empty. Declared schema:
+    crash debris never poisons inference."""
+    if not paths:
+        return None
+    return spark.read.schema("id long").parquet(
+        *[co.spark_path(p) for p in sorted(paths)]
+    )
+
+
+def _carry_tombstones(
+    spark: SparkSession, paths, dst_root: str, co: PosixCoordinator = _POSIX
+) -> None:
+    """Append the listed tombstone files into ``dst_root``'s sidecar —
+    the carry-forward every maintainer's commit window runs for
+    deletes its rewrite could not have filtered."""
+    if not paths:
+        return
+    (
+        spark.read.schema("id long")
+        .parquet(*[co.spark_path(p) for p in sorted(paths)])
+        .write.mode("append")
+        .parquet(co.spark_path(f"{dst_root}/tombstones"))
+    )
 
 
 def _load_tombstones(

@@ -380,9 +380,14 @@ class TokenLeaseCoordinator(ArrowFsCoordinator):
     the standard limits of file-based leases; the contract kit plus
     the lease tests pin everything this class does guarantee.
 
-    One instance serves ONE writer process (held-lease state lives on
-    the instance — the same one-coordinator-per-writer deployment
-    shape every maintenance API already assumes)."""
+    Held-lease state is THREAD-LOCAL (r12 review): a stalled thread
+    whose lease a same-instance peer took over must fail its own
+    fence — with instance-global state the winner's token would
+    overwrite the loser's, the loser's commit would re-read the
+    winner's (live) token and PASS, and the loser's release would pop
+    the winner's entry, disabling the winner's fencing. Per-thread
+    state keeps each holder fencing against the token IT wrote, which
+    is the whole point of a fencing token."""
 
     def __init__(
         self,
@@ -392,11 +397,20 @@ class TokenLeaseCoordinator(ArrowFsCoordinator):
         settle: float = 0.05,
         clock=time.time,
     ):
+        import threading
+
         super().__init__(filesystem, spark_path_fn=spark_path_fn)
         self.lease_ttl = float(lease_ttl)
         self._settle = float(settle)
         self._clock = clock
-        self._held: dict[str, tuple[str, str]] = {}
+        self._local = threading.local()
+
+    @property
+    def _held(self) -> dict:
+        held = getattr(self._local, "held", None)
+        if held is None:
+            held = self._local.held = {}
+        return held
 
     # -- lease file format: "<token> <expires_at>" (ascii) ----------
     def _parse(self, text: str | None):

@@ -63,7 +63,32 @@ from retail_datawarehouse_spark.operators.ann_index import (
     admit_novel_vectors,
     open_ivf_index,
     query_ivf_index,
+    resident_ids,
 )
+
+
+def _single_wave_tag(batch_df: DataFrame) -> DataFrame:
+    """1-row (wave) frame for a micro-batch; RAISES in-plan if the
+    landing file ever spans >1 wave (ADVICE r6 contract — min() would
+    mis-attribute results and a (wave, …) dedupe could collapse
+    distinct waves). Shared by the serving and admission drains (r12
+    review: the 15-line guard was copy-pasted)."""
+    return batch_df.agg(
+        F.min("wave").cast("long").alias("_w"),
+        F.countDistinct("wave").alias("_nw"),
+    ).select(
+        F.when(F.col("_nw") <= 1, F.col("_w"))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "drain batch spans %d waves — "
+                    "one-file-per-wave contract broken",
+                    F.col("_nw"),
+                )
+            ).cast("long")
+        )
+        .alias("wave")
+    )
 
 QUERY_LANDING_SCHEMA = T.StructType(
     [
@@ -125,25 +150,7 @@ def run_ann_serve_available_now(
     def serve_batch(batch_df: DataFrame, epoch_id: int) -> None:
         nonlocal handle
         handle = handle.refresh(spark)
-        # one wave per batch; the tag RAISES on a multi-wave file
-        # (ADVICE r6 — min() would mis-attribute results and the
-        # (wave, query_id, rank) dedupe could collapse distinct waves)
-        wave = batch_df.agg(
-            F.min("wave").cast("long").alias("_w"),
-            F.countDistinct("wave").alias("_nw"),
-        ).select(
-            F.when(F.col("_nw") <= 1, F.col("_w"))
-            .otherwise(
-                F.raise_error(
-                    F.format_string(
-                        "ann serve batch spans %d waves — "
-                        "one-file-per-wave contract broken",
-                        F.col("_nw"),
-                    )
-                ).cast("long")
-            )
-            .alias("wave")
-        )
+        wave = _single_wave_tag(batch_df)
         topk = query_ivf_index(
             batch_df.select("id", "emb"),
             index_dir,
@@ -218,17 +225,21 @@ def run_admission_available_now(
     ADMISSION): a crash between the report write and the checkpoint
     commit replays the wave — and the replayed wave's rows are now IN
     the index (the original append committed), so each probes as an
-    exact duplicate OF ITSELF and is NOT re-appended: the index gains
-    each admitted vector exactly once without any dedup machinery,
-    because the gate's own predicate is idempotent. The report write
-    is wave-partitioned dynamic overwrite (replays replace the wave's
-    directory), and a replayed row whose nearest neighbor is ITS OWN
-    ID is reported ``admitted=true`` — it IS in the index because this
-    wave admitted it; reporting the literal re-probe verdict would
-    flip originally-admitted rows to rejected on every replay.
-    Corollary of that self-match rule, stated honestly: wave ids must
-    be unique against the existing corpus ids (they are fresh
-    ingestion ids by construction — same contract as every append).
+    exact duplicate and is NOT re-appended: the index gains each
+    admitted vector exactly once without any dedup machinery, because
+    the gate's own predicate is idempotent. The report write is
+    wave-partitioned dynamic overwrite (replays replace the wave's
+    directory), and the report's ``admitted`` is rescued by
+    MEMBERSHIP (``resident_ids`` — the frozen-quantizer (cell, id)
+    semi-join), so it reads "this row is in the index after the
+    wave": stable across replays even for INTRA-wave exact duplicates
+    (two fresh-id copies tie at score 1.0 and the higher id's rank-1
+    resolves to its twin — a nearest-is-self heuristic would flip its
+    verdict on replay; the membership check cannot, r12 review).
+    Contract stated honestly: wave ids must be unique against the
+    existing corpus ids (fresh ingestion ids by construction — the
+    same contract as every append); a recycled id that collides with
+    a stored row reads admitted=true by the membership rule.
 
     ``timeout`` mirrors the other drains: None blocks; expiry stops
     the query and raises rather than letting a partial report read as
@@ -240,22 +251,7 @@ def run_admission_available_now(
     def admit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         nonlocal handle
         handle = handle.refresh(spark)
-        wave = batch_df.agg(
-            F.min("wave").cast("long").alias("_w"),
-            F.countDistinct("wave").alias("_nw"),
-        ).select(
-            F.when(F.col("_nw") <= 1, F.col("_w"))
-            .otherwise(
-                F.raise_error(
-                    F.format_string(
-                        "admission batch spans %d waves — "
-                        "one-file-per-wave contract broken",
-                        F.col("_nw"),
-                    )
-                ).cast("long")
-            )
-            .alias("wave")
-        )
+        wave = _single_wave_tag(batch_df)
         # the batch frame lives in the micro-batch session (the
         # foreachBatch foot-gun the monitors closed in r11) and
         # admit_novel_vectors reads its session FROM the batch — so
@@ -271,13 +267,26 @@ def run_admission_available_now(
             coordinator=coordinator,
             handle=handle,
         )
+        # replay rescue by MEMBERSHIP, not top-1 tie-breaking (r12
+        # review): a replayed wave's rows are IN the index, but two
+        # exact copies admitted in one wave tie at score 1.0 and the
+        # higher id's rank-1 resolves to its twin — a nearest_id==id
+        # heuristic would permanently flip its verdict to rejected on
+        # replay. resident_ids answers "is this exact row stored?"
+        # via the frozen-quantizer (cell, id) semi-join — batch-sized,
+        # DPP-pruned, ordering-free.
+        resident = resident_ids(
+            batch_df.select("id", "emb"),
+            index_dir,
+            handle=handle,
+            coordinator=coordinator,
+        ).withColumn("_resident", F.lit(True))
         out = (
-            report.withColumn(
+            report.join(F.broadcast(resident), "id", "left")
+            .withColumn(
                 "admitted",
-                # replay self-match (docstring): a row whose nearest
-                # stored neighbor is itself was admitted by THIS
-                # wave's original run
-                F.col("admitted") | (F.col("nearest_id") == F.col("id")),
+                F.col("admitted")
+                | F.coalesce(F.col("_resident"), F.lit(False)),
             )
             .crossJoin(F.broadcast(wave))
             .select("id", "nearest_id", "score", "admitted", "wave")

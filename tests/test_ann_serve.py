@@ -673,3 +673,58 @@ def test_admission_drain_restart_midfeed_admits_exactly_once(
     assert read_admission_reports(spark, f"{root}/nowaves").columns == [
         "wave", "id", "nearest_id", "score", "admitted",
     ]
+
+
+def test_admission_drain_replay_keeps_intra_wave_duplicate_verdicts(
+    spark, sf_correctness_dir, tmp_path
+):
+    """r12 review finding: two exact copies with fresh ids in ONE wave
+    are both admitted (intra-batch dups probe the stored corpus only
+    — the documented admit_novel_vectors contract). On replay both are
+    stored and tie at score 1.0; the higher id's rank-1 resolves to
+    its twin, so a nearest-is-self rescue would flip its verdict to
+    rejected. The membership-based rescue (resident_ids) must keep
+    BOTH verdicts admitted=true across the replay, and the index must
+    hold each id exactly once."""
+    import shutil as _shutil
+
+    from retail_datawarehouse_spark.streaming.ann_serve import (
+        read_admission_reports,
+        run_admission_available_now,
+    )
+
+    root = str(tmp_path)
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    idx = f"{root}/idx"
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    dup_emb = _novel(21)
+    w0 = spark.createDataFrame(
+        [(9001, dup_emb), (9002, dup_emb)], "id long, emb array<double>"
+    ).select("id", F.col("emb").cast("array<float>").alias("emb"))
+    landing, reports, ckpt = (
+        f"{root}/landing", f"{root}/reports", f"{root}/ckpt",
+    )
+    _land_wave(spark, root, landing, 0, w0)
+    run_admission_available_now(
+        spark, landing, idx, reports, threshold=0.99, nprobe=4,
+        checkpoint_dir=ckpt,
+    )
+    first = {
+        r.id: r.admitted
+        for r in read_admission_reports(spark, reports).collect()
+    }
+    assert first == {9001: True, 9002: True}
+    # forced replay of the SAME wave
+    _shutil.rmtree(ckpt)
+    run_admission_available_now(
+        spark, landing, idx, reports, threshold=0.99, nprobe=4,
+        checkpoint_dir=ckpt,
+    )
+    replayed = {
+        r.id: r.admitted
+        for r in read_admission_reports(spark, reports).collect()
+    }
+    assert replayed == {9001: True, 9002: True}, replayed
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert cells.filter(F.col("id") == 9001).count() == 1
+    assert cells.filter(F.col("id") == 9002).count() == 1

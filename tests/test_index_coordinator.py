@@ -395,9 +395,9 @@ def test_full_index_lifecycle_through_lease_coordinator(spark, tmp_path):
     got = query_ivf_index(queries, "idx", nprobe="all", coordinator=co)
     want = query_ivf_index(queries, posix_idx, nprobe="all")
     assert _served(got) == _served(want)
-    assert {100, 101} not in [
-        {r.candidate_id} for r in got.collect()
-    ]  # victims gone
+    assert not (
+        {100, 101} & {r.candidate_id for r in got.collect()}
+    )  # victims gone
     report = maintain_ivf_index(
         spark, "idx", coordinator=co, max_files_per_cell=99
     )
@@ -408,3 +408,53 @@ def test_full_index_lifecycle_through_lease_coordinator(spark, tmp_path):
     got2 = query_ivf_index(queries, "idx", nprobe="all", coordinator=co)
     want2 = query_ivf_index(queries, posix_idx, nprobe="all")
     assert _served(got2) == _served(want2) == _served(want)
+
+
+def test_lease_fencing_survives_same_instance_thread_takeover(tmp_path):
+    """r12 review finding: held-lease state was instance-global, so a
+    same-instance takeover (thread B breaking thread A's expired
+    lease) overwrote A's token — A's commit then fenced against B's
+    LIVE token and PASSED, the exact paused-past-TTL lost-commit the
+    fence exists to stop. State is now thread-local: the stalled
+    thread's commit is FENCED, its release raises without deleting
+    the winner's lease, and the winner's own fencing stays armed."""
+    import threading
+
+    from retail_datawarehouse_spark.operators.index_fs import (
+        LockLostError,
+    )
+
+    now = [1000.0]
+    co = _lease_co(tmp_path, lease_ttl=30.0, clock=lambda: now[0])
+    co.makedirs("idx")
+    got_lock = threading.Event()
+    resume = threading.Event()
+    result = {}
+
+    def stalled_writer():
+        try:
+            with co.lock("idx", timeout=5.0):
+                got_lock.set()
+                resume.wait(15.0)  # the GC pause
+                try:
+                    co.commit_pointer("idx", 5)
+                    result["commit"] = "succeeded"
+                except LockLostError:
+                    result["commit"] = "fenced"
+        except LockLostError:
+            result["release"] = "lost-raised"
+
+    t = threading.Thread(target=stalled_writer)
+    t.start()
+    assert got_lock.wait(5.0)
+    now[0] += 31.0  # A's lease expires mid-hold
+    with co.lock("idx", timeout=5.0):  # B (main thread) takes over
+        resume.set()
+        t.join(15.0)
+        assert result.get("commit") == "fenced", result
+        assert result.get("release") == "lost-raised", result
+        # the winner's own fencing is intact: its thread-local entry
+        # was not popped by the loser's release
+        co.commit_pointer("idx", 6)
+    assert co.read_text("idx/CURRENT").strip() == "6"
+    assert not co.exists("idx/MAINTENANCE.lock")
