@@ -1822,26 +1822,52 @@ class IvfIndexHandle:
     codebook: DataFrame | None
     persisted: bool
     coordinator: PosixCoordinator = field(default_factory=lambda: _POSIX)
+    # tombstone cache (r12): unlike the frozen sidecars, the tombstone
+    # set can GROW within a generation (deletes append files), so the
+    # handle caches the frame together with the file LISTING it was
+    # built from and refresh() re-reads only when the listing moved —
+    # one cheap flat listing per wave instead of a sidecar open per
+    # query call. Handle-based serving therefore sees deletes at WAVE
+    # boundaries (the same consistency point as generation flips);
+    # handle-less calls load fresh and see them immediately.
+    tombstones: DataFrame | None = None
+    ts_files: frozenset = field(default_factory=frozenset)
 
     def refresh(self, spark: SparkSession) -> "IvfIndexHandle":
         """Current handle for this index: ``self`` while the committed
         generation is unchanged; otherwise closes this handle's caches
-        and opens the new generation."""
-        if _cells_generation(self.index_dir, self.coordinator) == self.gen:
-            return self
-        self.close()
-        return open_ivf_index(
-            spark,
-            self.index_dir,
-            persist=self.persisted,
-            coordinator=self.coordinator,
+        and opens the new generation. Same-generation refreshes still
+        re-check the tombstone listing (deletes land mid-generation)."""
+        if _cells_generation(self.index_dir, self.coordinator) != self.gen:
+            self.close()
+            return open_ivf_index(
+                spark,
+                self.index_dir,
+                persist=self.persisted,
+                coordinator=self.coordinator,
+            )
+        root = _gen_root(self.index_dir, self.gen, self.coordinator)
+        files = frozenset(
+            self.coordinator.list_parquet_files(f"{root}/tombstones")
         )
+        if files != self.ts_files:
+            if self.persisted and self.tombstones is not None:
+                self.tombstones.unpersist()
+            self.tombstones = _tombstones_from_files(
+                spark, files, self.coordinator
+            )
+            if self.persisted and self.tombstones is not None:
+                self.tombstones = self.tombstones.persist()
+            self.ts_files = files
+        return self
 
     def close(self) -> None:
         if self.persisted:
             self.centroids.unpersist()
             if self.codebook is not None:
                 self.codebook.unpersist()
+            if self.tombstones is not None:
+                self.tombstones.unpersist()
 
 
 def open_ivf_index(
@@ -1865,10 +1891,14 @@ def open_ivf_index(
         if co.isdir(f"{root}/codebook")
         else None
     )
+    ts_files = frozenset(co.list_parquet_files(f"{root}/tombstones"))
+    tombstones = _tombstones_from_files(spark, ts_files, co)
     if persist:
         centroids = centroids.persist()
         if codebook is not None:
             codebook = codebook.persist()
+        if tombstones is not None:
+            tombstones = tombstones.persist()
     return IvfIndexHandle(
         index_dir=index_dir,
         gen=gen,
@@ -1877,6 +1907,8 @@ def open_ivf_index(
         codebook=codebook,
         persisted=persist,
         coordinator=co,
+        tombstones=tombstones,
+        ts_files=ts_files,
     )
 
 
@@ -2075,16 +2107,15 @@ def query_ivf_index(
     elif not isinstance(nprobe, int):
         raise ValueError(f"nprobe must be an int or 'all': {nprobe!r}")
     probes = _probes(queries, h.centroids, nprobe, route=route)
-    # logical deletes (r12): the generation's tombstone sidecar is
-    # re-read PER CALL (deletes land within a generation — a handle
-    # cache would hide them until the next rebuild), and every tier
-    # anti-joins it; the rerank tier inherits the screen through its
-    # shortlist. None (no deletes ever) is a zero-cost no-op.
-    tombstones = _load_tombstones(
-        spark,
-        _gen_root(h.index_dir, h.gen, h.coordinator),
-        h.coordinator,
-    )
+    # logical deletes (r12): every tier anti-joins the generation's
+    # tombstone set; the rerank tier inherits the screen through its
+    # shortlist. A CALLER handle serves its cached frame — refreshed
+    # at wave boundaries via the file-listing check, because deletes
+    # land MID-generation and the handle must re-check even when the
+    # generation is unchanged — while the handle-less batch path's
+    # fresh open loads the current set and sees deletes immediately.
+    # None (no deletes ever) is a zero-cost no-op.
+    tombstones = h.tombstones
     score_col = "cosine" if metric == "cosine" else "score"
     if not pq:
         stored = _without_tombstones(

@@ -472,3 +472,49 @@ def test_delete_probe_cost_is_debt_bounded_at_20x(spark, tmp_path):
     ).count() == 0
     assert maintain_ivf_index(spark, idx)["tombstones"] == 0
     victims.unpersist()
+
+
+def test_handle_caches_tombstones_and_refresh_picks_up_deletes(
+    spark, sf_correctness_dir, tmp_path
+):
+    """r12 residual #1 closed: a serving handle caches the tombstone
+    frame next to the sidecars and re-reads it only when the sidecar's
+    file listing moved — so handle-based serving sees deletes at WAVE
+    boundaries (the refresh), exactly the consistency point generation
+    flips already use, while handle-less calls see them immediately."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        open_ivf_index,
+    )
+
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "cache_idx")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    victim = corpus.limit(1).collect()[0]
+    self_q = spark.createDataFrame(
+        [(victim.id, list(victim.emb))], "id long, emb array<double>"
+    )
+
+    handle = open_ivf_index(spark, idx, persist=True)
+    try:
+        top1 = lambda h=None: (  # noqa: E731
+            query_ivf_index(self_q, idx, nprobe="all", handle=h)
+            .filter(F.col("rank") == 1)
+            .collect()[0]
+            .candidate_id
+        )
+        assert top1(handle) == victim.id  # served pre-delete
+        delete_from_ivf_index(_ids_df(spark, [victim.id]), idx)
+        # handle still serves its cached (empty) tombstone view...
+        assert top1(handle) == victim.id
+        # ...a handle-less call sees the delete immediately...
+        assert top1() != victim.id
+        # ...and the wave-boundary refresh picks it up (generation
+        # unchanged — the listing check alone must trigger the reload)
+        handle = handle.refresh(spark)
+        assert handle.gen == 0 and len(handle.ts_files) > 0
+        assert top1(handle) != victim.id
+        # refresh with no new deletes is a no-op on the cache
+        same = handle.refresh(spark)
+        assert same is handle
+    finally:
+        handle.close()
