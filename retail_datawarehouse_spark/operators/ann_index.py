@@ -1068,6 +1068,13 @@ def maintain_ivf_index(
       clears the sidecar); a skew rebuild clears it too. Default
       ``None`` reports without acting — deletes are rare enough on
       most deployments that the small-files trigger compacts first.
+      When the sweep EXECUTED a compaction or rebuild, ``tombstones``
+      is RE-COUNTED against the new generation (ADVICE r12 #3): the
+      physical rewrite cleared the debt (late deletes carried forward
+      stay counted), so the report states the debt REMAINING after the
+      sweep's own action — an autopilot reading ``compacted=True``
+      with ``tombstones=N>0`` would otherwise treat the just-cleared
+      pre-sweep debt as residual and re-trigger.
     - crash debris: ``stale_staging`` lists ``.staging``-marked
       generation directories BELOW the committed generation — a
       crashed maintainer's leaked reservation (a live one below
@@ -1129,6 +1136,15 @@ def maintain_ivf_index(
             # autopilot must never die on losing this race.
             superseded = True
     current = _cells_generation(index_dir, co)
+    if compacted or rebuilt:
+        # the action physically dropped tombstoned rows and cleared the
+        # sidecar (late deletes carry forward) — recount against the
+        # generation the sweep itself committed, so the report never
+        # pairs compacted/rebuilt=True with the pre-sweep debt
+        tomb = _load_tombstones(
+            spark, _gen_root(index_dir, current, co), co
+        )
+        n_tombstones = tomb.count() if tomb is not None else 0
     stale_staging = sorted(
         path
         for path in co.list_gen_dirs(index_dir)
@@ -1663,8 +1679,18 @@ def resident_ids(
     resident = stored.select("id", "cell").join(
         F.broadcast(assigned), ["cell", "id"], "left_semi"
     )
-    tombstones = _load_tombstones(
-        spark, _gen_root(h.index_dir, h.gen, h.coordinator), h.coordinator
+    # snapshot consistency (ADVICE r12 #4): with a caller handle, screen
+    # against the handle's WAVE-BOUNDARY cached tombstone frame — the
+    # same snapshot the wave's probe used — so a delete landing mid-wave
+    # cannot make one wave's report internally inconsistent (probe
+    # screened against the old set, membership against the new). The
+    # handle-less batch path loads fresh, same as every handle-less call.
+    tombstones = (
+        handle.tombstones
+        if handle is not None
+        else _load_tombstones(
+            spark, _gen_root(h.index_dir, h.gen, h.coordinator), h.coordinator
+        )
     )
     if tombstones is not None:
         resident = resident.join(

@@ -165,6 +165,11 @@ class ArrowFsCoordinator(PosixCoordinator):
     directly Spark-readable. See the module docstring for the lock /
     pointer-commit semantics an S3-class deployment must override."""
 
+    # write→confirm settle for the check-then-create lock (ADVICE r12
+    # #2): long enough to let a racing writer's in-flight create land
+    # before our confirm read on any realistic store round-trip.
+    _LOCK_SETTLE = 0.05
+
     def __init__(self, filesystem, spark_path_fn=None):
         import pyarrow.fs as pafs
 
@@ -189,8 +194,16 @@ class ArrowFsCoordinator(PosixCoordinator):
     def read_text(self, path: str) -> str | None:
         if self._info(path).type != self._pafs.FileType.File:
             return None
-        with self.fs.open_input_stream(path) as f:
-            return f.read().decode("ascii")
+        try:
+            with self.fs.open_input_stream(path) as f:
+                return f.read().decode("ascii")
+        except FileNotFoundError:
+            # TOCTOU under contention (r13, found by the conditional-put
+            # schedule test): a peer RELEASING its lock/lease can delete
+            # the file between the info check and the open — a waiting
+            # acquirer polling read_text must see "not found" (and take
+            # the now-free lock), not crash.
+            return None
 
     def write_text(self, path: str, text: str) -> None:
         with self.fs.open_output_stream(path) as f:
@@ -298,6 +311,18 @@ class ArrowFsCoordinator(PosixCoordinator):
                     )
                 time.sleep(0.05)
             self.write_text(path, token)
+            # settle-then-reconfirm (r13; ADVICE r12 #2): without the
+            # delay, A-writes/A-confirms/B-overwrites/B-confirms lets
+            # BOTH writers confirm (each read its own token before the
+            # other's write landed). The settle forces the other
+            # racer's write — issued within the same contention window
+            # — to land before our confirm read, so at most one
+            # confirmer survives in practice. Probabilistic, not a
+            # guarantee (the window shrinks to "a racer stalled longer
+            # than the settle between its free-check and its write");
+            # the TokenLeaseCoordinator's _take uses the same
+            # discipline, and a conditional-put store closes it fully.
+            time.sleep(self._LOCK_SETTLE)
             if self.read_text(path) == token:
                 break
             # lost the create race — the other writer holds it now
@@ -369,16 +394,40 @@ class TokenLeaseCoordinator(ArrowFsCoordinator):
       fencing-token discipline (Kleppmann, DDIA ch. 8): the CHECK
       rides the commit, not just the acquisition.
 
+    - RENEWAL while held (r13; ADVICE r12 #1): real locked sections
+      span entire Spark jobs (``append_to_ivf_index`` holds across its
+      write; maintainer commit windows run late-fold jobs), so a hold
+      can legitimately outlive a fixed TTL. A daemon HEARTBEAT thread
+      re-writes ``token + fresh expiry`` every ``renew_every`` seconds
+      (default ``lease_ttl / 3``) for as long as the lease is still
+      this holder's and UNEXPIRED — so a live writer's lease never
+      expires under it mid-hold, while a crashed or fully stalled
+      writer (whose heartbeat is stalled with it) still hands over
+      after at most ``lease_ttl``. The heartbeat never renews a lease
+      that is already expired or re-tokened: a peer may have taken it
+      over in that window, and stealing it back mid-peer-hold is the
+      corruption the lease exists to prevent — renewal stops and the
+      commit fence reports the loss.
+
     Honest residual races, stated up front: acquisition is still
     write-then-confirm over a non-atomic store (two breakers of the
     same expired lease race on last-write-wins; the ``settle`` delay
     plus the confirm re-read shrinks but cannot close the window —
     closing it needs a conditional-put primitive, e.g. S3
     If-None-Match, which a deployment adds by overriding ``_take``),
-    and expiry compares WALL-CLOCK time across writers, so clocks
-    skewed beyond ``lease_ttl`` margins undermine takeover. Both are
-    the standard limits of file-based leases; the contract kit plus
-    the lease tests pin everything this class does guarantee.
+    the heartbeat's read-then-rewrite inherits the same last-write-wins
+    window (a renewal racing a takeover can clobber the new holder's
+    token — the NEW holder's fence then fails loudly at ITS commit;
+    detected, never silent), and expiry compares WALL-CLOCK time
+    across writers, so clocks skewed beyond ``lease_ttl`` margins
+    undermine takeover. All are the standard limits of file-based
+    leases; the contract kit plus the lease tests pin everything this
+    class does guarantee. Deployment sizing note: with renewal on,
+    ``lease_ttl`` bounds FAILOVER latency, not hold length — it only
+    needs to exceed the longest single stall (GC pause, fs hiccup) a
+    live holder can take between heartbeats, not the longest locked
+    Spark job. With ``renew_every<=0`` (renewal disabled) the old rule
+    applies: lease_ttl must exceed the longest locked section.
 
     Held-lease state is THREAD-LOCAL (r12 review): a stalled thread
     whose lease a same-instance peer took over must fail its own
@@ -396,6 +445,7 @@ class TokenLeaseCoordinator(ArrowFsCoordinator):
         lease_ttl: float = 30.0,
         settle: float = 0.05,
         clock=time.time,
+        renew_every: float | None = None,
     ):
         import threading
 
@@ -403,6 +453,16 @@ class TokenLeaseCoordinator(ArrowFsCoordinator):
         self.lease_ttl = float(lease_ttl)
         self._settle = float(settle)
         self._clock = clock
+        # heartbeat period (r13; ADVICE r12 #1): real-time scheduled
+        # (the injectable clock stamps EXPIRIES only — a fake-clock
+        # test advancing time simulates a stall, and a stalled holder's
+        # heartbeat must not fire early). <=0 disables renewal.
+        self.renew_every = (
+            float(renew_every)
+            if renew_every is not None
+            else self.lease_ttl / 3.0
+        )
+        self._threading = threading
         self._local = threading.local()
 
     @property
@@ -460,6 +520,15 @@ class TokenLeaseCoordinator(ArrowFsCoordinator):
                     "— lost the takeover race repeatedly"
                 )
         self._held[index_dir] = (path, token)
+        stop_hb = self._threading.Event()
+        hb = None
+        if self.renew_every > 0:
+            hb = self._threading.Thread(
+                target=self._heartbeat,
+                args=(path, token, stop_hb),
+                daemon=True,
+            )
+            hb.start()
         body_raised = False
         try:
             yield
@@ -467,6 +536,9 @@ class TokenLeaseCoordinator(ArrowFsCoordinator):
             body_raised = True
             raise
         finally:
+            stop_hb.set()
+            if hb is not None:
+                hb.join(5.0)
             self._held.pop(index_dir, None)
             got = self._parse(self.read_text(path))
             if got is not None and got[0] == token:
@@ -477,6 +549,29 @@ class TokenLeaseCoordinator(ArrowFsCoordinator):
                     "— it expired mid-hold and a peer took it over; "
                     "the critical section ran unprotected past the TTL"
                 )
+
+    def _heartbeat(self, path: str, token: str, stop) -> None:
+        """Renew the held lease every ``renew_every`` REAL seconds
+        until released (``stop`` set), the lease stops being ours, or
+        it is found already expired — the last two mean a peer may
+        hold it now, and a renewal write would steal it back mid-hold
+        (the corruption the lease prevents), so renewal halts and the
+        commit fence reports the loss. Store errors also halt renewal:
+        the TTL then bounds the hold exactly as without a heartbeat."""
+        while not stop.wait(self.renew_every):
+            try:
+                got = self._parse(self.read_text(path))
+                if (
+                    got is None
+                    or got[0] != token
+                    or got[1] <= self._clock()
+                ):
+                    return
+                self.write_text(
+                    path, f"{token} {self._clock() + self.lease_ttl}"
+                )
+            except Exception:
+                return
 
     def commit_pointer(self, index_dir: str, gen: int) -> None:
         held = self._held.get(index_dir)

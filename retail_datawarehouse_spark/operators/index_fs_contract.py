@@ -25,11 +25,36 @@ against any store the coordinator can reach. The kit is enforced on
 both shipped coordinators and red-tested against deliberately broken
 ones in ``tests/test_index_coordinator.py``.
 
+Cross-PROCESS certification (r13; r12 verdict #3):
+``run_lease_contract_processes`` contends the coordinator from
+separate OS processes — the regime a lease exists for. It takes a
+FACTORY (a module-level, picklable callable constructing the
+coordinator IN each child, since filesystem handles don't cross
+process boundaries) and certifies two clauses: a shared-counter
+read-modify-write invariant under N workers × M rounds of
+acquire/mutate/release, and the fencing story end-to-end — a holder
+paused past its TTL whose lease a PEER PROCESS took over must have
+its ``commit_pointer`` raise ``LockLostError`` and its release raise
+rather than delete the new holder's lease. Children are spawned (not
+forked), so the harness is safe to call from a JVM-attached test
+process; the factory must accept ``lease_ttl``/``renew_every``
+keyword overrides (the fencing clause disables renewal to simulate a
+full stall — a live holder's heartbeat would otherwise correctly keep
+the lease).
+
 What the kit does NOT cover, honestly: lease TTL/expiry semantics
-(deployment-specific — see ``TokenLeaseCoordinator`` for the reference
-shape and its tests for how to pin takeover and fencing) and
-cross-PROCESS mutual exclusion (the kit contends threads; a
-distributed lease needs a harness with real concurrent writers).
+beyond the fencing clause above (see ``TokenLeaseCoordinator``'s
+tests for takeover timing pins). And a calibration note on
+``lock_mutual_exclusion_threads`` (ADVICE r12 #2): for
+check-then-create locks (``ArrowFsCoordinator.lock``) mutual
+exclusion under contention is PROBABILISTIC — the write-then-confirm
+scheme has a dual-confirm window that the settle delay shrinks but
+cannot close (only a conditional-put store can). The clause holds in
+practice because the window requires a racer to stall longer than the
+settle between its free-check and its write; a deployment that needs
+the guarantee, not the likelihood, overrides the lock with a real
+lease (``TokenLeaseCoordinator._take`` is the documented
+conditional-put override point).
 """
 
 from __future__ import annotations
@@ -245,6 +270,165 @@ CONTRACT_CHECKS = [
     ("lock_mutual_exclusion_threads", _check_lock_mutual_exclusion_threads),
     ("spark_path_inversion", _check_spark_path_inversion),
 ]
+
+
+def _process_mutex_worker(factory, factory_kw, idx, rounds, errors_q):
+    """One contending writer: ``rounds`` × (acquire → read counter →
+    dwell → write counter+1 → release). The dwell widens the window a
+    broken lock would need to interleave two read-modify-writes."""
+    try:
+        co = factory(**factory_kw)
+        for _ in range(rounds):
+            with co.lock(idx, timeout=120.0):
+                cur = co.read_text(f"{idx}/COUNTER")
+                n = int(cur) if cur else 0
+                time.sleep(0.01)
+                co.write_text(f"{idx}/COUNTER", str(n + 1))
+    except Exception as exc:  # surfaced by the parent's assertion
+        errors_q.put(repr(exc))
+
+
+def _process_fencing_stalled(
+    factory, factory_kw, idx, a_held, b_held, a_done, results_q
+):
+    """The paused-past-TTL holder: acquires with renewal DISABLED (a
+    real stall freezes the heartbeat too), waits for the peer process
+    to take the expired lease over, then attempts the pointer commit —
+    which must be FENCED — and lets release report the lost lease."""
+    from retail_datawarehouse_spark.operators.index_fs import (
+        LockLostError,
+    )
+
+    try:
+        co = factory(**factory_kw)
+        try:
+            with co.lock(idx, timeout=30.0):
+                a_held.set()
+                b_held.wait(30.0)  # the stall: peer takes over mid-hold
+                try:
+                    co.commit_pointer(idx, 1)
+                    results_q.put(("a_commit", "SUCCEEDED-UNFENCED"))
+                except LockLostError:
+                    results_q.put(("a_commit", "fenced"))
+        except LockLostError:
+            results_q.put(("a_release", "lost-raised"))
+    except Exception as exc:
+        results_q.put(("a_error", repr(exc)))
+    finally:
+        a_done.set()
+
+
+def _process_fencing_taker(
+    factory, factory_kw, idx, a_held, b_held, a_done, results_q
+):
+    """The peer: waits until the stalled holder holds, takes the lease
+    over once its TTL expires, and proves the takeover carries WRITE
+    authority — its own commit lands while the loser's is fenced."""
+    try:
+        co = factory(**factory_kw)
+        a_held.wait(30.0)
+        with co.lock(idx, timeout=30.0):  # succeeds only via expiry
+            b_held.set()
+            a_done.wait(30.0)  # loser's commit + release both resolved
+            co.commit_pointer(idx, 2)
+            results_q.put(("b_commit", "committed"))
+    except Exception as exc:
+        results_q.put(("b_error", repr(exc)))
+
+
+def run_lease_contract_processes(
+    factory,
+    scratch_root: str,
+    workers: int = 3,
+    rounds: int = 4,
+    lease_ttl: float = 1.0,
+    factory_kw: dict | None = None,
+) -> list[str]:
+    """Certify a lease-backed coordinator across OS PROCESS boundaries
+    (r13; r12 verdict #3). ``factory`` must be a module-level callable
+    (picklable by reference for spawn) that builds the coordinator in
+    the child and accepts ``lease_ttl`` and ``renew_every`` keyword
+    overrides; ``factory_kw`` adds fixed kwargs (e.g. a root path).
+    Raises ``AssertionError`` naming the violated clause; returns the
+    clause names on success. Seconds-scale: ``lease_ttl`` bounds the
+    fencing clause's takeover wait."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    kw = dict(factory_kw or {})
+    names = []
+
+    # Clause 1: mutual exclusion across processes — counter invariant.
+    co = factory(**kw)
+    idx = f"{scratch_root}/proc_mutex"
+    co.makedirs(idx)
+    errors_q = ctx.Queue()
+    procs = [
+        ctx.Process(
+            target=_process_mutex_worker,
+            args=(factory, kw, idx, rounds, errors_q),
+        )
+        for _ in range(workers)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(300.0)
+    errors = []
+    while not errors_q.empty():
+        errors.append(errors_q.get())
+    assert not errors, (
+        f"[proc_mutual_exclusion] worker processes errored: {errors}"
+    )
+    got = co.read_text(f"{idx}/COUNTER")
+    assert got is not None and int(got) == workers * rounds, (
+        "[proc_mutual_exclusion] lost increments across processes "
+        f"(counter={got!r}, expected {workers * rounds}) — two "
+        "processes held the lease simultaneously"
+    )
+    names.append("proc_mutual_exclusion")
+
+    # Clause 2: cross-process fencing — expired-lease takeover must
+    # fence the loser's commit and land the winner's.
+    idx = f"{scratch_root}/proc_fencing"
+    co.makedirs(idx)
+    fkw = dict(kw, lease_ttl=lease_ttl, renew_every=0)
+    a_held, b_held, a_done = ctx.Event(), ctx.Event(), ctx.Event()
+    results_q = ctx.Queue()
+    pa = ctx.Process(
+        target=_process_fencing_stalled,
+        args=(factory, fkw, idx, a_held, b_held, a_done, results_q),
+    )
+    pb = ctx.Process(
+        target=_process_fencing_taker,
+        args=(factory, fkw, idx, a_held, b_held, a_done, results_q),
+    )
+    pa.start()
+    pb.start()
+    pa.join(120.0)
+    pb.join(120.0)
+    results = {}
+    while not results_q.empty():
+        k, v = results_q.get()
+        results[k] = v
+    assert results.get("a_commit") == "fenced", (
+        "[proc_fencing] the stalled holder's commit must raise "
+        f"LockLostError after a peer-process takeover: {results}"
+    )
+    assert results.get("a_release") == "lost-raised", (
+        "[proc_fencing] the stalled holder's release must raise "
+        f"rather than delete the new holder's lease: {results}"
+    )
+    assert results.get("b_commit") == "committed", (
+        f"[proc_fencing] the taking-over peer must commit: {results}"
+    )
+    current = co.read_text(f"{idx}/CURRENT")
+    assert current is not None and current.strip() == "2", (
+        "[proc_fencing] CURRENT must hold the WINNER's generation "
+        f"(got {current!r})"
+    )
+    names.append("proc_fencing")
+    return names
 
 
 def run_coordinator_contract(co, scratch_root: str) -> list[str]:

@@ -458,3 +458,223 @@ def test_lease_fencing_survives_same_instance_thread_takeover(tmp_path):
         co.commit_pointer("idx", 6)
     assert co.read_text("idx/CURRENT").strip() == "6"
     assert not co.exists("idx/MAINTENANCE.lock")
+
+
+# ---------------------------------------------------------------------------
+# Lease renewal (r13; ADVICE r12 #1) + cross-process certification
+# (r13; r12 verdict #3)
+# ---------------------------------------------------------------------------
+
+
+def test_lease_renewal_keeps_long_hold_alive(tmp_path):
+    """A held lease is RENEWED by the heartbeat, so a locked section
+    longer than the TTL (the append_to_ivf_index / maintainer-commit
+    reality the r12 ADVICE named) neither loses the lease to a peer
+    nor fences its own commit. Real clock: the hold spans 2.5x the
+    TTL and both the commit and the release complete cleanly."""
+    import time as _time
+
+    co = _lease_co(tmp_path, lease_ttl=0.8, renew_every=0.2)
+    co.makedirs("idx")
+    with co.lock("idx", timeout=5.0):
+        _time.sleep(2.0)  # > 2x TTL: without renewal this hold expires
+        got = co._parse(co.read_text("idx/MAINTENANCE.lock"))
+        assert got is not None and got[1] > _time.time(), (
+            "the heartbeat must have re-stamped a future expiry"
+        )
+        co.commit_pointer("idx", 5)  # fence passes: lease still ours
+    assert co.read_text("idx/CURRENT").strip() == "5"
+    assert not co.exists("idx/MAINTENANCE.lock")  # clean release
+
+
+def test_lease_renewal_disabled_restores_strict_ttl(tmp_path):
+    """``renew_every=0`` is the pre-r13 contract: the TTL bounds the
+    hold outright, a longer hold fences its own commit (the honest
+    failure the heartbeat exists to remove), and release of one's own
+    expired-but-untaken lease stays quiet."""
+    import time as _time
+
+    from retail_datawarehouse_spark.operators.index_fs import (
+        LockLostError,
+    )
+
+    co = _lease_co(tmp_path, lease_ttl=0.5, renew_every=0)
+    co.makedirs("idx")
+    with co.lock("idx", timeout=5.0):
+        _time.sleep(0.9)  # past the TTL, nobody renewing
+        with pytest.raises(LockLostError, match="FENCED"):
+            co.commit_pointer("idx", 7)
+    assert co.read_text("idx/CURRENT") is None
+    assert not co.exists("idx/MAINTENANCE.lock")
+
+
+def test_lease_heartbeat_never_renews_stolen_or_expired_lease(tmp_path):
+    """The heartbeat must STOP, not re-assert, when the lease is no
+    longer this holder's: renewing a re-tokened lease would steal it
+    back from the peer mid-hold — the corruption the lease prevents.
+    The thief's lease must survive the heartbeat untouched, and the
+    loser's commit and release both report the loss."""
+    import time as _time
+
+    from retail_datawarehouse_spark.operators.index_fs import (
+        LockLostError,
+    )
+
+    co = _lease_co(tmp_path, lease_ttl=30.0, renew_every=0.1)
+    co.makedirs("idx")
+    thief = f"feedface {_time.time() + 30.0}"
+    with pytest.raises(LockLostError, match="took it over"):
+        with co.lock("idx", timeout=5.0):
+            co.write_text("idx/MAINTENANCE.lock", thief)
+            _time.sleep(0.35)  # >= 3 heartbeat periods
+            assert co.read_text("idx/MAINTENANCE.lock") == thief, (
+                "heartbeat re-wrote a lease it no longer holds"
+            )
+            with pytest.raises(LockLostError, match="FENCED"):
+                co.commit_pointer("idx", 9)
+    assert co.read_text("idx/MAINTENANCE.lock") == thief  # not deleted
+
+
+def test_lease_cross_process_certification(tmp_path):
+    """The kit's r12 honest gap closed (r12 verdict #3): the lease is
+    contended from separate OS PROCESSES — a shared-counter
+    read-modify-write invariant under 3 workers x 3 rounds, plus the
+    cross-process fencing story (a holder stalled past its TTL whose
+    lease a peer process took over: its commit raises LockLostError,
+    its release refuses to delete the winner's lease, the winner's
+    commit lands)."""
+    import lease_workers
+
+    from retail_datawarehouse_spark.operators.index_fs_contract import (
+        run_lease_contract_processes,
+    )
+
+    ran = run_lease_contract_processes(
+        lease_workers.subtree_lease_coordinator,
+        "scratch",
+        workers=3,
+        rounds=3,
+        lease_ttl=1.0,
+        factory_kw={"root": str(tmp_path)},
+    )
+    assert ran == ["proc_mutual_exclusion", "proc_fencing"]
+
+
+def test_conditional_put_take_closes_dual_confirm_window(tmp_path):
+    """The documented ``_take`` override point is REAL (r12 verdict #3
+    stretch): under the adversarial schedule — writer B pauses between
+    its free-check and its lease write while writer A acquires — the
+    shipped write-then-confirm ``_take`` admits a DUAL HOLD (B's later
+    write clobbers A's token and B's confirm reads its own write; A
+    only learns at release), while an O_EXCL-backed conditional-put
+    ``_take`` rejects B outright under the identical schedule. RED
+    documents the residual the class docstring states; GREEN proves
+    the override closes it."""
+    import os as _os
+    import threading
+    import time as _time
+
+    import pyarrow.fs as pafs
+
+    from retail_datawarehouse_spark.operators.index_fs import (
+        LockLostError,
+        TokenLeaseCoordinator,
+    )
+
+    root = str(tmp_path)
+
+    class PausableLease(TokenLeaseCoordinator):
+        """Test double: a thread named in ``pause_before_take`` parks
+        at _take entry (= between the lock loop's free-check and the
+        lease write) until released — the adversarial interleaving."""
+
+        def __init__(self, *a, pause_before_take=None, **kw):
+            super().__init__(*a, **kw)
+            self._pause = pause_before_take or {}
+
+        def _maybe_pause(self):
+            hooks = self._pause.get(threading.current_thread().name)
+            if hooks is not None:
+                entered, resume = hooks
+                entered.set()
+                resume.wait(10.0)
+
+        def _take(self, path, token):
+            self._maybe_pause()
+            return super()._take(path, token)
+
+    class OExclLease(PausableLease):
+        """Conditional-put _take: create-exclusive arbitration (the
+        S3-If-None-Match / etcd-txn shape). Expired-lease takeover is
+        delete-then-create — two simultaneous breakers still race the
+        delete (a real store closes that with a version precondition);
+        FREE-lock acquisition, the schedule under test, is race-free."""
+
+        def _take(self, path, token):
+            self._maybe_pause()
+            cur = self._parse(self.read_text(path))
+            if cur is not None and cur[1] <= self._clock():
+                try:
+                    self.fs.delete_file(path)
+                except FileNotFoundError:
+                    pass
+            try:
+                fd = _os.open(
+                    f"{root}/{path}",
+                    _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY,
+                )
+            except FileExistsError:
+                return False
+            with _os.fdopen(fd, "w") as f:
+                f.write(f"{token} {self._clock() + self.lease_ttl}")
+            return True
+
+    def run_schedule(cls, idx):
+        fs = pafs.SubTreeFileSystem(root, pafs.LocalFileSystem())
+        b_entered, b_resume = threading.Event(), threading.Event()
+        co = cls(
+            fs,
+            lease_ttl=30.0,
+            settle=0,
+            pause_before_take={"victim-b": (b_entered, b_resume)},
+        )
+        co.makedirs(idx)
+        state = {"a_active": False, "dual": False, "b_err": None}
+        b_active = threading.Event()
+
+        def writer_b():
+            try:
+                with co.lock(idx, timeout=10.0):
+                    state["dual"] = state["a_active"]
+                    b_active.set()
+            except LockLostError:
+                pass
+            except Exception as exc:  # pragma: no cover - surfaced below
+                state["b_err"] = repr(exc)
+            finally:
+                b_active.set()
+
+        tb = threading.Thread(target=writer_b, name="victim-b")
+        tb.start()
+        assert b_entered.wait(5.0)  # B parked after its free-check
+        a_lost = False
+        try:
+            with co.lock(idx, timeout=5.0):  # A acquires under B's nose
+                state["a_active"] = True
+                b_resume.set()  # B now writes (plain) or is refused (O_EXCL)
+                b_active.wait(1.0)
+                state["a_active"] = False
+        except LockLostError:
+            a_lost = True  # plain _take: B clobbered A; detected at release
+        tb.join(10.0)
+        assert state["b_err"] is None, state["b_err"]
+        return state["dual"], a_lost
+
+    # RED — the shipped write-then-confirm scheme dual-holds under the
+    # schedule (and A's loss is detected only at release):
+    dual, a_lost = run_schedule(PausableLease, "red")
+    assert dual and a_lost, (dual, a_lost)
+    # GREEN — the conditional-put override refuses B; A holds alone,
+    # releases cleanly, and B acquires only after A released:
+    dual, a_lost = run_schedule(OExclLease, "green")
+    assert not dual and not a_lost, (dual, a_lost)

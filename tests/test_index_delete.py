@@ -302,7 +302,10 @@ def test_maintain_tombstone_debt_triggers_compaction(
     report = maintain_ivf_index(
         spark, idx, max_files_per_cell=99, max_tombstones=2
     )
-    assert report["compacted"]
+    # the triggering sweep's own report already shows the POST-action
+    # debt (ADVICE r12 #3): compacted=True paired with tombstones=3
+    # would read to an autopilot as residual debt after the sweep
+    assert report["compacted"] and report["tombstones"] == 0
     report = maintain_ivf_index(
         spark, idx, max_files_per_cell=99, max_tombstones=2
     )
@@ -516,5 +519,45 @@ def test_handle_caches_tombstones_and_refresh_picks_up_deletes(
         # refresh with no new deletes is a no-op on the cache
         same = handle.refresh(spark)
         assert same is handle
+    finally:
+        handle.close()
+
+
+def test_resident_ids_uses_handle_tombstone_snapshot(
+    spark, sf_correctness_dir, tmp_path
+):
+    """Wave-internal consistency (ADVICE r12 #4): with a caller handle,
+    ``resident_ids`` screens against the handle's wave-boundary cached
+    tombstone frame — the SAME snapshot the wave's probe used — so a
+    delete landing mid-wave cannot split one wave's report (probe on
+    the old set, membership on the new). The handle-less call loads
+    fresh and sees the delete immediately, like every handle-less
+    path."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        open_ivf_index,
+        resident_ids,
+    )
+
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    idx = str(tmp_path / "snap_idx")
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    victim = corpus.limit(1).collect()[0]
+    batch = spark.createDataFrame(
+        [(victim.id, list(victim.emb))], "id long, emb array<double>"
+    )
+    handle = open_ivf_index(spark, idx, persist=True)
+    try:
+        member = lambda h=None: {  # noqa: E731
+            r.id for r in resident_ids(batch, idx, handle=h).collect()
+        }
+        assert member(handle) == {victim.id}
+        delete_from_ivf_index(_ids_df(spark, [victim.id]), idx)
+        # mid-wave delete: the handle's snapshot (and hence the wave's
+        # membership answer) is unchanged until the boundary refresh...
+        assert member(handle) == {victim.id}
+        # ...while a handle-less membership probe sees it immediately
+        assert member() == set()
+        handle = handle.refresh(spark)
+        assert member(handle) == set()
     finally:
         handle.close()
