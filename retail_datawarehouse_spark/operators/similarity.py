@@ -2441,6 +2441,93 @@ _ANN_IVFPQ_RES_SQL = f"""
 """
 
 
+# Stored-index suite branches (r13; r12 verdict #1): the engine's
+# largest module (operators/ann_index.py — the on-disk IVF×PQ index
+# with its store/delete/query lifecycle) was green only via pytest and
+# bench; the driver's HARD correctness signal never executed it. The
+# 'stored' and 'stored_adc' branches close that: the suite
+# deterministically STORES a fixture-built IVF×PQ index to a temp
+# path, DELETES a fixed id subset (``delete_from_ivf_index`` — the
+# tombstone sidecar), and serves top-k through ``query_ivf_index`` on
+# both tiers (float and residual-ADC). The fixture build is
+# byte-compatible with the in-plan 'ivf'/'ivfpq_res' branches (pinned
+# by tests/test_ann_index.py's stored-equals-in-memory twins), so the
+# oracle is each branch's existing SQL with ONE addition: the
+# tombstone screen, an anti-join on the deleted ids applied BEFORE
+# ranking — exactly where the serving path applies it.
+_STORED_DEL_MOD = 17
+_STORED_DEL_REM = 3
+
+
+def _pre_rank_delete_screen(sql: str, scored_cte: str) -> str:
+    """Inject the stored branches' deleted-id screen into a suite
+    branch's oracle: filter the scored CTE before the rank window —
+    the SQL mirror of the serving path's pre-ranking tombstone
+    anti-join. Raises if the anchor isn't exactly where expected, so
+    oracle drift can never silently drop the screen."""
+    needle = f"FROM {scored_cte}\n    QUALIFY"
+    if sql.count(needle) != 1:
+        raise ValueError(
+            f"stored-branch oracle anchor not unique in SQL: {needle!r}"
+        )
+    return sql.replace(
+        needle,
+        f"FROM {scored_cte}\n    "
+        f"WHERE candidate_id % {_STORED_DEL_MOD} != {_STORED_DEL_REM}"
+        f"\n    QUALIFY",
+    )
+
+
+_ANN_STORED_SQL = _pre_rank_delete_screen(_ANN_IVF_SQL, "ivf_scored")
+_ANN_STORED_ADC_SQL = _pre_rank_delete_screen(
+    _ANN_IVFPQ_RES_SQL, "ivfpqres_scored"
+)
+
+# One stored suite index per (session, sf_dir) — the _suite_shared
+# memoization discipline (r7 verdict #3): repeat invocations (bench
+# reps, repeated driver calls) reuse one on-disk build instead of
+# re-storing per call. The cache holds only the path; the index lives
+# under the system temp dir (never the repo, never the testdata).
+_STORED_SUITE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _stored_suite_branches(
+    spark: SparkSession, sf_dir: str, queries: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Build-once, serve-twice: the stored index's float tier and
+    residual-ADC tier over the suite's query set, after the fixed
+    deletion batch. The ann_index import is call-time (it imports this
+    module at its own import; a module-level import here would cycle)."""
+    import tempfile
+
+    from retail_datawarehouse_spark.operators.ann_index import (
+        delete_from_ivf_index,
+        query_ivf_index,
+        store_ivf_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _STORED_SUITE_CACHE.get(key)
+    if idx is None:
+        idx = f"{tempfile.mkdtemp(prefix='spark_graft_stored_suite_')}/idx"
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+        )
+        store_ivf_index(corpus, idx, cells="fixture", pq=True)
+        victims = corpus.select("id").filter(
+            F.col("id") % _STORED_DEL_MOD == _STORED_DEL_REM
+        )
+        delete_from_ivf_index(victims, idx)
+        _STORED_SUITE_CACHE[key] = idx
+    q = queries.select(
+        F.col("query_id").alias("id"), F.col("q_emb").alias("emb")
+    )
+    flt = query_ivf_index(q, idx, nprobe=IVF_NPROBE)
+    adc = query_ivf_index(q, idx, nprobe=IVF_NPROBE, pq=True)
+    return flt, adc
+
+
 @register(
     "q_ann_topk_suite",
     oracle=f"""
@@ -2450,6 +2537,8 @@ _ANN_IVFPQ_RES_SQL = f"""
     adc AS ({_ANN_ADC_SQL}),
     ivfpq AS ({_ANN_IVFPQ_SQL}),
     ivfpq_res AS ({_ANN_IVFPQ_RES_SQL}),
+    stored AS ({_ANN_STORED_SQL}),
+    stored_adc AS ({_ANN_STORED_ADC_SQL}),
     exact_l2 AS (
         SELECT query_id, candidate_id, dist2,
                CAST(row_number() OVER (
@@ -2486,10 +2575,15 @@ _ANN_IVFPQ_RES_SQL = f"""
     SELECT 'exact_l2', query_id, candidate_id,
            CAST(FLOOR(dist2 * {COS_Q} + 0.5) AS BIGINT), rank
     FROM exact_l2
+    UNION ALL
+    SELECT 'stored', query_id, candidate_id, {_COSQ_SQL}, rank FROM stored
+    UNION ALL
+    SELECT 'stored_adc', query_id, candidate_id, {_COSQ_SQL}, rank
+    FROM stored_adc
     """,
 )
 def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k, all eight strategies under one hash gate: 'exact'
+    """ANN top-k, all TEN strategies under one hash gate: 'exact'
     (fold-cosine brute force — the recall baseline), 'vectorized' (the
     SAME plan with the Arrow pandas-UDF kernel — cumsum-fold
     accumulation makes it BIT-identical to the exact branch, so its
@@ -2510,9 +2604,20 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor, measured on the stored index's operating curve), and
     'exact_l2' (r10 — the metric knob's brute-force squared-L2
     ranking, ascending, under the same gate; the quantized dist² rides
-    the shared value slot). Ranks are computed over each branch's raw
-    score (ties broken by candidate_id); the quantized value is the
-    shared surface.
+    the shared value slot), and the two STORED-INDEX lifecycle
+    branches (r13; r12 verdict #1 — ``operators/ann_index.py`` under
+    the driver's hash gate for the first time): 'stored' builds the
+    fixture IVF×PQ index ON DISK via ``store_ivf_index``, deletes the
+    fixed ``id % {mod} == {rem}`` subset via ``delete_from_ivf_index``
+    (the tombstone sidecar), and serves the float tier through
+    ``query_ivf_index`` — DPP-pruned probed-cell scan, broadcast
+    tombstone anti-join; 'stored_adc' serves the same stored index's
+    residual-ADC tier (codes-only scan). Their oracles are the
+    'ivf'/'ivfpq_res' SQL with the deleted-id screen applied before
+    ranking — exactly where the serving path applies its anti-join —
+    so the gate hash-pins the whole store→delete→query lifecycle.
+    Ranks are computed over each branch's raw score (ties broken by
+    candidate_id); the quantized value is the shared surface.
 
     The six branches share ONE persisted corpus frame (candidate id +
     embedding + precomputed norm²): without it each branch re-reads the
@@ -2570,6 +2675,11 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+    # Stored-index lifecycle branches (r13; r12 verdict #1): store →
+    # delete → serve through operators/ann_index.py — the on-disk
+    # build is memoized per (session, sf_dir) and the fixed deletion
+    # screen mirrors in the oracle as a pre-rank candidate filter.
+    stored_flt, stored_adc = _stored_suite_branches(spark, sf_dir, queries)
     return (
         q6(_exact_topk(queries, corpus), "exact")
         .unionByName(q6(_vectorized_topk(queries, corpus), "vectorized"))
@@ -2579,4 +2689,6 @@ def q_ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q6(ivfpq_branch, "ivfpq"))
         .unionByName(q6(ivfpq_res_branch, "ivfpq_res"))
         .unionByName(l2_topk)
+        .unionByName(q6(stored_flt, "stored"))
+        .unionByName(q6(stored_adc, "stored_adc"))
     )

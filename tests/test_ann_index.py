@@ -2366,3 +2366,47 @@ def test_stats_rejects_conflicting_filesystem_and_coordinator(
         for r in ivf_index_stats(spark, root).collect()
     }
     assert alone == posix and alone
+
+
+def test_suite_stored_branches_pin_the_lifecycle_under_the_gate(
+    spark, sf_correctness_dir
+):
+    """r13 (r12 verdict #1): the driver-gated suite now executes the
+    stored index's full store -> delete -> query lifecycle through
+    operators/ann_index.py ('stored' = float tier, 'stored_adc' =
+    residual-ADC tier). Pins, independent of the DuckDB oracle: both
+    branches serve TOP_K rows per query; NO deleted id is ever served;
+    and the deletion screen actually bites — the same fixture build
+    WITHOUT deletion ('ivf'/'ivfpq_res') serves at least one victim in
+    its top-k, so stored-vs-in-plan equality would be vacuous without
+    the tombstone anti-join."""
+    from retail_datawarehouse_spark.operators.similarity import (
+        _STORED_DEL_MOD,
+        _STORED_DEL_REM,
+        TOP_K,
+        q_ann_topk_suite,
+    )
+
+    df = q_ann_topk_suite(spark, sf_correctness_dir).persist()
+    try:
+        is_victim = (
+            F.col("candidate_id") % _STORED_DEL_MOD == _STORED_DEL_REM
+        )
+        n_queries = df.filter(F.col("method") == "exact").select(
+            "query_id"
+        ).distinct().count()
+        for method in ("stored", "stored_adc"):
+            rows = df.filter(F.col("method") == method)
+            assert rows.count() == n_queries * TOP_K, method
+            assert rows.filter(is_victim).count() == 0, (
+                f"{method} served a tombstoned id"
+            )
+        # the screen is non-vacuous: the undeleted twins serve victims
+        assert (
+            df.filter(
+                F.col("method").isin("ivf", "ivfpq_res") & is_victim
+            ).count()
+            > 0
+        )
+    finally:
+        df.unpersist()

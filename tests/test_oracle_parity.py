@@ -42,7 +42,11 @@ WALL_BUDGET_S: dict[str, float] = {
     "q53_sales_by_shipping_tier": 15.0,  # measured 1.28 (see note)
     "q54_rising_spend_customers": 15.0,  # measured 0.84 (see note)
     "q55_snapshot_lifetime_read": 15.0,  # measured 1.55 (see note)
-    "q_ann_topk_suite": 15.0,  # measured 3.85 (see note)
+    # r13: the suite's first invocation now pays the ONE-TIME stored
+    # index build (store_ivf_index + delete — the 'stored'/'stored_adc'
+    # lifecycle branches; memoized per session, ~30 s measured at
+    # sf0.01 first call / 4.8 s after). Ceiling covers the cold call.
+    "q_ann_topk_suite": 75.0,  # measured 30.5 cold / 4.8 memoized
     "q_corpus_shard": 15.0,  # measured 0.21 (see note)
     "q_customer_derived_attrs": 15.0,  # measured 0.26 (see note)
     "q_decontaminate_suite": 15.0,  # measured 4.60 (see note)
