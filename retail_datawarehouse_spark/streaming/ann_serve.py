@@ -49,6 +49,17 @@ Shape at 100 TB:
 - ``maxFilesPerTrigger=1``: one wave per micro-batch; the wave tag
   raises in-plan if a landing file ever spans >1 wave (ADVICE r6
   contract, same as media/monitor).
+
+Three drains share this machinery (r13 completes the set): SERVING
+(``run_ann_serve_available_now`` — query waves answered from the
+index), ADMISSION (``run_admission_available_now`` — candidate waves
+probed and only novel rows appended), and TAKEDOWN
+(``run_takedown_available_now`` — deletion-request waves recorded as
+tombstones with membership-rescued receipts). Each is exactly-once
+under at-least-once replay because the underlying index operation's
+own predicate is idempotent — admission re-probes duplicates of
+itself, deletion anti-joins the existing sidecar — never because of
+bolted-on dedup state.
 """
 
 from __future__ import annotations
@@ -61,6 +72,7 @@ from pyspark.sql import types as T
 
 from retail_datawarehouse_spark.operators.ann_index import (
     admit_novel_vectors,
+    delete_from_ivf_index,
     open_ivf_index,
     query_ivf_index,
     resident_ids,
@@ -316,6 +328,149 @@ def run_admission_available_now(
             )
     finally:
         handle.close()
+
+
+TAKEDOWN_LANDING_SCHEMA = T.StructType(
+    [
+        T.StructField("wave", T.LongType()),
+        T.StructField("id", T.LongType()),
+    ]
+)
+
+
+def stream_takedown_landing(
+    spark: SparkSession, landing_dir: str
+) -> DataFrame:
+    """File-source landing feed of takedown-request waves: (wave, id)
+    rows, declared schema, one parquet file per wave, one wave per
+    micro-batch — the same landing discipline as the query and
+    admission feeds."""
+    return (
+        spark.readStream.schema(TAKEDOWN_LANDING_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+
+def run_takedown_available_now(
+    spark: SparkSession,
+    landing_dir: str,
+    index_dir: str,
+    report_dir: str,
+    checkpoint_dir: str | None = None,
+    timeout: float | None = None,
+    coordinator=None,
+) -> None:
+    """Streaming TAKEDOWN gate (r13; r12 verdict #4): deletion was the
+    one index lifecycle op still batch-only while admission had a
+    drain — yet takedown/retraction/right-to-be-forgotten requests
+    arrive as a stream in exactly the same way ingestion does. Each
+    landed wave of (wave, id) requests is recorded as tombstones via
+    ``delete_from_ivf_index`` (O(request batch + debt); the corpus is
+    never read) and acknowledged with a wave-partitioned receipt
+    sidecar ``(id, tombstoned, wave)``.
+
+    Replay semantics (at-least-once ``foreachBatch``, exactly-once
+    TOMBSTONES): the delete's own dedupe — new ids are anti-joined
+    against the existing sidecar before the append — makes a replayed
+    wave write ZERO new tombstone rows, the same
+    correctness-from-the-predicate design as the admission drain (no
+    dedup machinery bolted on). The receipt's ``tombstoned`` is rescued
+    by MEMBERSHIP in the post-wave tombstone set (the admission drain's
+    ``resident_ids`` discipline), so it is stable across replays by
+    construction. Receipt contract stated honestly: ``tombstoned=true``
+    means "the index no longer serves this id as of this wave" — the
+    acknowledgment a takedown requester needs — NOT "the id was
+    stored"; ``delete_from_ivf_index`` deliberately never scans the
+    corpus to distinguish the two (its no-op-on-unknown-ids contract).
+
+    The drain's handle refreshes AFTER each wave's delete, so a
+    serving drain sharing the process (or the next maintenance sweep)
+    observes the wave's tombstones at the same wave-boundary
+    consistency point every other handle-based reader uses; the debt
+    itself stays bounded by ``maintain_ivf_index``'s
+    ``max_tombstones`` policy exactly as for batch deletes.
+
+    ``timeout`` mirrors the other drains: None blocks; expiry stops
+    the query and raises rather than letting a partial receipt table
+    read as a finished drain."""
+    handle = open_ivf_index(
+        spark, index_dir, persist=True, coordinator=coordinator
+    )
+
+    def takedown_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal handle
+        wave = _single_wave_tag(batch_df)
+        requested = batch_df.select("id").distinct()
+        delete_from_ivf_index(requested, index_dir, coordinator=coordinator)
+        # refresh AFTER the delete: the wave's receipt (and any serving
+        # through this handle from the next wave on) must observe the
+        # wave's own tombstones — same-generation refresh re-checks the
+        # sidecar listing, so this is one flat listing + one batch-read
+        handle = handle.refresh(spark)
+        tombstones = handle.tombstones
+        if tombstones is None:
+            acked = requested.withColumn("tombstoned", F.lit(False))
+        else:
+            acked = requested.join(
+                F.broadcast(
+                    tombstones.withColumn("_t", F.lit(True))
+                ),
+                "id",
+                "left",
+            ).select(
+                "id",
+                F.coalesce(F.col("_t"), F.lit(False)).alias("tombstoned"),
+            )
+        out = acked.crossJoin(F.broadcast(wave)).select(
+            "id", "tombstoned", "wave"
+        )
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("wave").parquet(report_dir)
+
+    writer = (
+        stream_takedown_landing(spark, landing_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(takedown_batch)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        if timeout is None:
+            q.awaitTermination()
+        elif not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError(
+                f"takedown drain did not terminate within {timeout}s — "
+                f"receipts at {report_dir} may be partial; not returning "
+                "control"
+            )
+    finally:
+        handle.close()
+
+
+def read_takedown_reports(
+    spark: SparkSession, report_dir: str
+) -> DataFrame:
+    """The takedown receipt table, wave-partitioned, deduped on
+    (wave, id) — the same defensive screen as the other sidecar
+    readers (replay consistency comes from the write side's dynamic
+    overwrite plus the delete's own idempotent dedupe)."""
+    if not os.path.isdir(report_dir) or not any(
+        d.startswith("wave=") for d in os.listdir(report_dir)
+    ):
+        return spark.createDataFrame(
+            [], "wave long, id long, tombstoned boolean"
+        )
+    return (
+        spark.read.parquet(report_dir)
+        .withColumn("wave", F.col("wave").cast("long"))
+        .select("wave", "id", "tombstoned")
+        .dropDuplicates(["wave", "id"])
+    )
 
 
 def read_admission_reports(

@@ -405,6 +405,33 @@ def test_full_maintenance_lifecycle_under_live_serving(
     assert _cells_generation(idx) == 1
     assert drain(2) == w1
 
+    # TAKEDOWN DRAIN mid-lifecycle (r13; r12 verdict #4): a wave of
+    # deletion requests lands through the streaming takedown gate
+    # between maintenance steps — the next serving wave must exclude
+    # the victims (logical delete, wave-boundary visibility), and the
+    # later rebuild must remove them physically while the takedown
+    # receipts stand.
+    from retail_datawarehouse_spark.streaming.ann_serve import (
+        read_takedown_reports,
+        run_takedown_available_now,
+    )
+
+    victims = [
+        r.id + 1_000_000 for r in batch.select("id").limit(3).collect()
+    ]
+    td_landing, td_reports = f"{root}/td_landing", f"{root}/td_reports"
+    _land_takedown(spark, root, td_landing, 0, victims)
+    run_takedown_available_now(
+        spark, td_landing, idx, td_reports, checkpoint_dir=f"{root}/td_ckpt"
+    )
+    assert {
+        (r.id, r.tombstoned)
+        for r in read_takedown_reports(spark, td_reports).collect()
+    } == {(i, True) for i in victims}
+    alive = held(corpus, *batches).filter(~F.col("id").isin(victims))
+    w2b = drain(3)
+    assert w2b == _rows(_brute_force(alive, q))
+
     # planted skew trips the rebuild flag (the drift signal the TVD
     # monitor can't see: occupancy piling into one cell)
     one = corpus.limit(1)
@@ -428,18 +455,25 @@ def test_full_maintenance_lifecycle_under_live_serving(
 
     # execute the recommended rebuild through the first-class API: the
     # corpus is the index's own current generation, pinned as the SAME
-    # listing the fold-forward excludes (zero provenance gap)
+    # listing the fold-forward excludes (zero provenance gap) — and the
+    # rebuild PHYSICALLY drops the takedown victims (tombstones applied
+    # in the rewrite, sidecar cleared in the new generation)
     rebuild_ivf_index(spark, idx, cells=8)
     assert _cells_generation(idx) == 2
-    w3 = drain(3)
-    assert w3 == _rows(_brute_force(held(corpus, *batches, skewed), q))
+    raw_after_rebuild = spark.read.parquet(f"{idx}/gen-2/cells")
+    assert raw_after_rebuild.filter(F.col("id").isin(victims)).count() == 0
+    assert not os.path.isdir(f"{idx}/gen-2/tombstones")
+    w3 = drain(4)
+    assert w3 == _rows(
+        _brute_force(held(alive, skewed), q)
+    )
 
     # reap superseded generations; serving unchanged
     removed = reap_ivf_generations(idx)
     assert f"{idx}/cells" in removed and f"{idx}/gen-1" in removed
     assert not os.path.isdir(f"{idx}/gen-1")
     spark.catalog.refreshByPath(_cells_path(idx))
-    assert drain(4) == w3
+    assert drain(5) == w3
 
 
 def test_metric_drain_matches_batch_metric_query(
@@ -728,3 +762,120 @@ def test_admission_drain_replay_keeps_intra_wave_duplicate_verdicts(
     cells = spark.read.parquet(f"{idx}/cells")
     assert cells.filter(F.col("id") == 9001).count() == 1
     assert cells.filter(F.col("id") == 9002).count() == 1
+
+
+def _land_takedown(spark, root, landing, wave, ids):
+    frame = spark.createDataFrame(
+        [(wave, int(i)) for i in ids], "wave long, id long"
+    )
+    tmp = f"{root}/tdw{wave}"
+    frame.coalesce(1).write.parquet(tmp)
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(
+        glob.glob(f"{tmp}/part-*.parquet")[0],
+        f"{landing}/wave-{wave}.parquet",
+    )
+
+
+def test_takedown_drain_equals_sequential_batch_deletes(
+    spark, sf_correctness_dir, tmp_path
+):
+    """r12 verdict #4: takedown requests arrive as a stream exactly
+    like ingestion; the drain must leave the index in the SAME state
+    as sequential batch ``delete_from_ivf_index`` calls on the same
+    waves — identical tombstone sets, identical serving — and every
+    request receives a ``tombstoned=true`` receipt (the wave-2 repeat
+    of a wave-0 id included: the receipt is membership, not
+    wrote-a-row)."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        delete_from_ivf_index,
+    )
+    from retail_datawarehouse_spark.streaming.ann_serve import (
+        read_takedown_reports,
+        run_takedown_available_now,
+    )
+
+    root = str(tmp_path)
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx, twin = f"{root}/idx", f"{root}/twin"
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    store_ivf_index(corpus, twin, cells=IVF_CELLS)
+    all_ids = [r.id for r in corpus.select("id").orderBy("id").collect()]
+    w0, w1 = all_ids[:3], [all_ids[0], all_ids[5]]  # w1 repeats one id
+
+    landing, reports = f"{root}/landing", f"{root}/reports"
+    ckpt = f"{root}/ckpt"
+    for wave, ids in ((0, w0), (1, w1)):
+        _land_takedown(spark, root, landing, wave, ids)
+    run_takedown_available_now(
+        spark, landing, idx, reports, checkpoint_dir=ckpt
+    )
+    for ids in (w0, w1):
+        delete_from_ivf_index(
+            spark.createDataFrame([(i,) for i in ids], "id long"), twin
+        )
+
+    ts = lambda p: {  # noqa: E731
+        r.id for r in spark.read.parquet(f"{p}/tombstones").collect()
+    }
+    assert ts(idx) == ts(twin) == set(w0) | set(w1)
+    got = query_ivf_index(queries, idx, nprobe="all")
+    want = query_ivf_index(queries, twin, nprobe="all")
+    assert _rows(got) == _rows(want)
+    assert not ({r.candidate_id for r in got.collect()} & (set(w0) | set(w1)))
+    receipts = read_takedown_reports(spark, reports)
+    acked = {
+        (r.wave, r.id): r.tombstoned for r in receipts.collect()
+    }
+    assert acked == {
+        **{(0, i): True for i in w0},
+        **{(1, i): True for i in w1},
+    }
+
+
+def test_takedown_drain_restart_midfeed_writes_no_duplicate_tombstones(
+    spark, sf_correctness_dir, tmp_path
+):
+    """At-least-once replay, exactly-once TOMBSTONES: wiping the
+    checkpoint forces a full replay of every wave — the delete's own
+    anti-join dedupe writes ZERO new sidecar rows (the admission
+    drain's correctness-from-the-predicate design), the debt-bounded
+    broadcast never grows from replays, and the membership-rescued
+    receipts read identically."""
+    from retail_datawarehouse_spark.streaming.ann_serve import (
+        read_takedown_reports,
+        run_takedown_available_now,
+    )
+
+    root = str(tmp_path)
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    idx = f"{root}/idx"
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    all_ids = [r.id for r in corpus.select("id").orderBy("id").collect()]
+    w0, w1 = all_ids[:2], all_ids[2:5]
+    landing, reports = f"{root}/landing", f"{root}/reports"
+    ckpt = f"{root}/ckpt"
+    for wave, ids in ((0, w0), (1, w1)):
+        _land_takedown(spark, root, landing, wave, ids)
+    run_takedown_available_now(
+        spark, landing, idx, reports, checkpoint_dir=ckpt
+    )
+    sidecar = lambda: spark.read.schema("id long").parquet(  # noqa: E731
+        f"{idx}/tombstones"
+    )
+    n_rows = sidecar().count()
+    before = sorted(
+        (r.wave, r.id, r.tombstoned)
+        for r in read_takedown_reports(spark, reports).collect()
+    )
+    shutil.rmtree(ckpt)  # checkpoint lost: every wave replays
+    run_takedown_available_now(
+        spark, landing, idx, reports, checkpoint_dir=f"{root}/ckpt2"
+    )
+    assert sidecar().count() == n_rows  # zero duplicate tombstones
+    assert {r.id for r in sidecar().collect()} == set(w0) | set(w1)
+    after = sorted(
+        (r.wave, r.id, r.tombstoned)
+        for r in read_takedown_reports(spark, reports).collect()
+    )
+    assert after == before  # receipts replay-stable (membership rescue)
