@@ -113,11 +113,27 @@ BENCH_SHARE_BUDGET = {
     # checks these only on records that CONTAIN them (r11+).
     "x_ann_serve_default": 0.20,
     "x_ann_serve_adc": 0.10,
+    # Debt-bearing serving row (r13; r12 verdict #2): the tombstone
+    # screen (_without_tombstones — a broadcast anti-join on every
+    # serving tier) was a permanent hot-path node with NO budgeted row,
+    # the exact unmeasured-class blind spot the r10 decode tax
+    # exploited. This row serves the default operating point AFTER
+    # deleting ~1% of the index's ids, so the screen's cost is inside a
+    # banded measurement. Band ~2x the r13 quiet-profile share
+    # (tools/bench_profile_r13.json).
+    "x_ann_serve_debt": 0.20,
 }
 
 # Serving-row names (not catalog entries — they need a stored on-disk
 # index, which bench builds once per run; see bench_serving).
-SERVE_ROWS = ("x_ann_serve_default", "x_ann_serve_adc")
+SERVE_ROWS = ("x_ann_serve_default", "x_ann_serve_adc", "x_ann_serve_debt")
+
+# Fraction of the built index's ids tombstoned before the debt row is
+# timed (r13): ~1% — a realistic steady-state debt for a corpus under
+# max_tombstones policy, large enough (≥hundreds of ids at sf0.1) that
+# a screen-cost regression moves the row, small enough that the row
+# measures the SCREEN, not a different index.
+SERVE_DEBT_FRACTION = 0.01
 
 # Quiet-box reference for the fixed calibration job (r10 verdict
 # "what's wrong" #2: a loaded-box BENCH record needed BASELINE.md
@@ -217,6 +233,7 @@ def bench_serving(spark, sf_dir: str, timings: dict[str, float]) -> float:
     import tempfile
 
     from retail_datawarehouse_spark.operators.ann_index import (
+        delete_from_ivf_index,
         open_ivf_index,
         query_ivf_index,
         store_ivf_index,
@@ -267,10 +284,10 @@ def bench_serving(spark, sf_dir: str, timings: dict[str, float]) -> float:
         }
         import statistics
 
-        for name, kw in waves.items():
+        def timed_row(name, kw, h):
             run = lambda: force_full(  # noqa: E731
                 query_ivf_index(
-                    queries, index_dir, nprobe=nprobe, handle=handle, **kw
+                    queries, index_dir, nprobe=nprobe, handle=h, **kw
                 )
             )
             run()  # warm
@@ -289,32 +306,60 @@ def bench_serving(spark, sf_dir: str, timings: dict[str, float]) -> float:
                 f"(K={k} nprobe={nprobe} reps={[round(r, 3) for r in reps]})",
                 file=sys.stderr,
             )
+
+        for name, kw in waves.items():
+            timed_row(name, kw, handle)
+        # Debt-bearing serving (r13; r12 verdict #2): tombstone ~1% of
+        # the index's ids, refresh the handle (the wave-boundary
+        # consistency point), and time the DEFAULT operating point with
+        # the screen's broadcast anti-join live in the plan. Runs LAST
+        # so the zero-debt rows keep their exact r11/r12 lineage.
+        mod = max(2, int(1 / SERVE_DEBT_FRACTION))
+        victims = (
+            spark.read.parquet(handle.cells_path)
+            .select("id")
+            .filter(F.col("id") % mod == 0)
+        )
+        n_debt = delete_from_ivf_index(victims, index_dir)
+        handle = handle.refresh(spark)
+        print(f"# x_ann_serve_debt: {n_debt} tombstones", file=sys.stderr)
+        timed_row(
+            "x_ann_serve_debt", {"pq": True, "rerank": 64}, handle
+        )
         handle.close()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     return build_sec
 
 
-def box_fields(calib_pre: float, calib_post: float) -> dict:
+def box_fields(
+    calib_pre: float, calib_mid: float, calib_post: float
+) -> dict:
     """Self-interpretation fields for the record (r12; r11 verdict
     #3): the calibration samples BOTH ends of the run — the r11
     single end-of-run sample let a 40.29 s burst record self-report
     quiet (box_factor 1.101) because the burst ended before the
-    calibration ran. ``box_factor`` is the MAX of the two samples'
+    calibration ran. ``box_factor`` is the MAX of the samples'
     ratios, each normalized against its OWN lifecycle-point quiet
     reference (see ``CALIB_QUIET_PRE_SEC``), so a burst present at
-    either boundary shows; a burst strictly interior to the run
-    remains the documented residual (catching it needs per-row
-    calibration, which would dwarf the rows it measures).
-    ``calib_sec`` keeps its exact r8-r11 lineage meaning — the
+    either boundary shows. r13 adds the MID-run sample (r12 verdict
+    #5): taken between the catalog phase and the serving build, it
+    closes most of the strictly-interior-burst residual — a burst must
+    now dodge three sample points instead of two to self-report quiet
+    (per-row calibration remains deliberately out: it would dwarf the
+    rows it measures). The mid sample is warm (the catalog phase ran),
+    so it shares the post sample's quiet reference.
+    ``calib_sec`` keeps its exact r8-r12 lineage meaning — the
     POST-run sample, same protocol every prior record used."""
     return {
         "calib_pre": calib_pre,
+        "calib_mid": calib_mid,
         "calib_post": calib_post,
         "calib_sec": calib_post,
         "box_factor": round(
             max(
                 calib_pre / CALIB_QUIET_PRE_SEC,
+                calib_mid / CALIB_QUIET_SEC,
                 calib_post / CALIB_QUIET_SEC,
             ),
             3,
@@ -375,6 +420,7 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
+    calib_mid = calibration(spark)  # r13: the interior sample
     build_sec = bench_serving(spark, sf_dir, timings)
     calib_post = calibration(spark)
 
@@ -393,7 +439,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf else None,
                 "ann_index_build_sec": build_sec,
-                **box_fields(calib_pre, calib_post),
+                **box_fields(calib_pre, calib_mid, calib_post),
             }
         )
     )

@@ -247,7 +247,13 @@ def test_bench_serving_budget_canary_goes_red():
             profiles += json.load(f)["profiles"]
     assert len(profiles) >= 4  # r11 pair + r12 pair (median protocol)
     for p in profiles:
-        assert set(bench.SERVE_ROWS) <= set(p), "profile lost serving rows"
+        # the r11/r12 profiles predate the r13 debt row; they must
+        # still carry the two zero-debt serving rows they were
+        # recorded with (the r13 profile pair carries all three — see
+        # test_bench_debt_serving_row_canary_goes_red)
+        assert {"x_ann_serve_default", "x_ann_serve_adc"} <= set(p), (
+            "profile lost serving rows"
+        )
         assert bench.check_budgets(p) == [], p
     for base in (profiles[0], profiles[-1]):  # both protocol eras
         taxed = dict(base)
@@ -353,22 +359,34 @@ def test_bench_calibration_samples_both_ends_max_wins():
     # the PRE sample (normalized against its own lifecycle-point quiet
     # reference; the pre-run JVM is structurally slower, see
     # CALIB_QUIET_PRE_SEC) must brand the record loaded
-    fields = bench.box_fields(calib_pre=1.6, calib_post=0.56)
+    fields = bench.box_fields(
+        calib_pre=1.6, calib_mid=0.56, calib_post=0.56
+    )
     assert fields["box_factor"] == round(
         1.6 / bench.CALIB_QUIET_PRE_SEC, 3
     )
     assert fields["box_factor"] > 1.5  # says LOADED, loudly
     assert fields["calib_sec"] == 0.56  # lineage field: the POST sample
     # a burst arriving at the END shows through the post reference
-    assert bench.box_fields(0.78, 1.21)["box_factor"] > 2.0
-    # and a genuinely quiet pair reads ~1.0 under both references
-    assert bench.box_fields(0.78, 0.56)["box_factor"] < 1.1
+    assert bench.box_fields(0.78, 0.56, 1.21)["box_factor"] > 2.0
+    # r13 (r12 verdict #5): a burst strictly INTERIOR to the run —
+    # quiet at both boundaries, loaded between the catalog phase and
+    # the serving build — now shows through the mid-run sample (the
+    # exact shape that stayed a documented residual through r12)
+    assert bench.box_fields(0.78, 1.21, 0.56)["box_factor"] > 2.0
+    # and a genuinely quiet triple reads ~1.0 under all references
+    assert bench.box_fields(0.78, 0.56, 0.56)["box_factor"] < 1.1
     src = inspect.getsource(bench.main)
     assert (
         "calib_pre = calibration(spark)"
         in src.split("for name in HEADLINE:")[0]
     ), "the pre-run sample must run BEFORE the timed rows"
-    assert "calib_post" in src and "box_fields(calib_pre, calib_post)" in src
+    assert (
+        "calib_mid = calibration(spark)"
+        in src.split("bench_serving(")[0].split("for name in HEADLINE:")[1]
+    ), "the mid-run sample must land between the catalog and serving phases"
+    assert "calib_post" in src
+    assert "box_fields(calib_pre, calib_mid, calib_post)" in src
 
 
 def test_bench_serving_rows_use_median_of_five():
