@@ -1136,11 +1136,12 @@ def maintain_ivf_index(
             # autopilot must never die on losing this race.
             superseded = True
     current = _cells_generation(index_dir, co)
-    if compacted or rebuilt:
-        # the action physically dropped tombstoned rows and cleared the
-        # sidecar (late deletes carry forward) — recount against the
-        # generation the sweep itself committed, so the report never
-        # pairs compacted/rebuilt=True with the pre-sweep debt
+    if compacted or rebuilt or superseded:
+        # the sweep's action (or, when superseded, ANOTHER maintainer's
+        # commit) changed the serving generation's debt — recount
+        # against the generation now committed, so the report never
+        # pairs compacted/rebuilt=True (or a lost race) with the stale
+        # pre-sweep count (ADVICE r12 #3; superseded case r13 review)
         tomb = _load_tombstones(
             spark, _gen_root(index_dir, current, co), co
         )
@@ -1679,19 +1680,16 @@ def resident_ids(
     resident = stored.select("id", "cell").join(
         F.broadcast(assigned), ["cell", "id"], "left_semi"
     )
-    # snapshot consistency (ADVICE r12 #4): with a caller handle, screen
-    # against the handle's WAVE-BOUNDARY cached tombstone frame — the
-    # same snapshot the wave's probe used — so a delete landing mid-wave
-    # cannot make one wave's report internally inconsistent (probe
-    # screened against the old set, membership against the new). The
-    # handle-less batch path loads fresh, same as every handle-less call.
-    tombstones = (
-        handle.tombstones
-        if handle is not None
-        else _load_tombstones(
-            spark, _gen_root(h.index_dir, h.gen, h.coordinator), h.coordinator
-        )
-    )
+    # snapshot consistency (ADVICE r12 #4): screen against the handle's
+    # tombstone frame — with a CALLER handle that is the wave-boundary
+    # cached snapshot the wave's probe used, so a delete landing
+    # mid-wave cannot make one wave's report internally inconsistent
+    # (probe screened against the old set, membership against the new);
+    # on the handle-less path the open above just loaded the sidecar
+    # fresh, so h.tombstones IS the immediate view (re-loading it here,
+    # as the first cut did, was a second listing for identical
+    # freshness — r13 review).
+    tombstones = h.tombstones
     if tombstones is not None:
         resident = resident.join(
             F.broadcast(tombstones), "id", "left_anti"

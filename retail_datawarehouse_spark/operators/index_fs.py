@@ -567,6 +567,15 @@ class TokenLeaseCoordinator(ArrowFsCoordinator):
                     or got[1] <= self._clock()
                 ):
                     return
+                if stop.is_set():
+                    # release ran between our read and this write — a
+                    # renewal now would RESURRECT the lease the release
+                    # just deleted, orphan-blocking every acquirer for
+                    # a full TTL (r13 review). The residual (a write
+                    # already in flight when release deletes) is the
+                    # same last-write-wins window as acquisition; a
+                    # conditional-put store closes both.
+                    return
                 self.write_text(
                     path, f"{token} {self._clock() + self.lease_ttl}"
                 )

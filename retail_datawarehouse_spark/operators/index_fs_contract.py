@@ -392,16 +392,22 @@ def run_lease_contract_processes(
     # fence the loser's commit and land the winner's.
     idx = f"{scratch_root}/proc_fencing"
     co.makedirs(idx)
-    fkw = dict(kw, lease_ttl=lease_ttl, renew_every=0)
+    # Only the STALLED holder gets the short TTL + renewal off (it is
+    # simulating a full stall, heartbeat included). The taker keeps a
+    # long TTL: its own lease must survive the wait for the loser's
+    # commit/release sequencing on a loaded box — a 1 s taker lease
+    # expiring before its commit would flake the clause (r13 review).
+    stalled_kw = dict(kw, lease_ttl=lease_ttl, renew_every=0)
+    taker_kw = dict(kw, lease_ttl=max(lease_ttl, 60.0))
     a_held, b_held, a_done = ctx.Event(), ctx.Event(), ctx.Event()
     results_q = ctx.Queue()
     pa = ctx.Process(
         target=_process_fencing_stalled,
-        args=(factory, fkw, idx, a_held, b_held, a_done, results_q),
+        args=(factory, stalled_kw, idx, a_held, b_held, a_done, results_q),
     )
     pb = ctx.Process(
         target=_process_fencing_taker,
-        args=(factory, fkw, idx, a_held, b_held, a_done, results_q),
+        args=(factory, taker_kw, idx, a_held, b_held, a_done, results_q),
     )
     pa.start()
     pb.start()

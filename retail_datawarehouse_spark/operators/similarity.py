@@ -2509,7 +2509,16 @@ def _stored_suite_branches(
     key = (spark.sparkContext.applicationId, sf_dir)
     idx = _STORED_SUITE_CACHE.get(key)
     if idx is None:
-        idx = f"{tempfile.mkdtemp(prefix='spark_graft_stored_suite_')}/idx"
+        import atexit
+        import shutil
+
+        base = tempfile.mkdtemp(prefix="spark_graft_stored_suite_")
+        # the stored index outlives the call (memoized for bench reps /
+        # repeat driver invocations) but not the process — reap it at
+        # interpreter exit so repeated sessions don't accumulate index
+        # copies under /tmp (r13 review)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        idx = f"{base}/idx"
         emb = load_table(spark, sf_dir, "embeddings")
         corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
             F.col("vec_id").alias("id"), F.col("embedding").alias("emb")

@@ -402,6 +402,7 @@ def run_takedown_available_now(
         nonlocal handle
         wave = _single_wave_tag(batch_df)
         requested = batch_df.select("id").distinct()
+        gen_before = handle.gen
         delete_from_ivf_index(requested, index_dir, coordinator=coordinator)
         # refresh AFTER the delete: the wave's receipt (and any serving
         # through this handle from the next wave on) must observe the
@@ -409,8 +410,17 @@ def run_takedown_available_now(
         # sidecar listing, so this is one flat listing + one batch-read
         handle = handle.refresh(spark)
         tombstones = handle.tombstones
-        if tombstones is None:
-            acked = requested.withColumn("tombstoned", F.lit(False))
+        if handle.gen != gen_before or tombstones is None:
+            # A maintenance commit raced the wave (r13 review): a
+            # compaction/rebuild between our delete and this refresh
+            # PHYSICALLY applied the wave's tombstones and cleared the
+            # sidecar — membership would misread the victims as
+            # un-acknowledged. The delete itself is lock-serialized and
+            # synchronous: reaching this line means every requested id
+            # IS tombstoned-or-dropped in whatever generation now
+            # serves, so the receipt's contract ("no longer served as
+            # of this wave") holds by the delete's own guarantee.
+            acked = requested.withColumn("tombstoned", F.lit(True))
         else:
             acked = requested.join(
                 F.broadcast(

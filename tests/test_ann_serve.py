@@ -879,3 +879,54 @@ def test_takedown_drain_restart_midfeed_writes_no_duplicate_tombstones(
         for r in read_takedown_reports(spark, reports).collect()
     )
     assert after == before  # receipts replay-stable (membership rescue)
+
+
+def test_takedown_receipts_survive_racing_compaction(
+    spark, sf_correctness_dir, tmp_path, monkeypatch
+):
+    """r13 review: a compaction committing between a wave's delete and
+    the handle refresh PHYSICALLY applies the wave's tombstones and
+    clears the sidecar in the new generation — a pure membership
+    receipt would then misread the victims as un-acknowledged
+    (tombstoned=false) although the index no longer serves them. The
+    drain detects the generation flip and trusts the lock-serialized
+    delete's own guarantee. Injected deterministically: the drain's
+    delete call is wrapped to run a compaction immediately after."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+    from retail_datawarehouse_spark.streaming import ann_serve
+
+    root = str(tmp_path)
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = f"{root}/idx"
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    victims = [r.id for r in corpus.select("id").orderBy("id").limit(3).collect()]
+
+    def delete_then_compact(ids, index_dir, coordinator=None):
+        n = delete_from_ivf_index(ids, index_dir, coordinator=coordinator)
+        compact_ivf_index(spark, index_dir, coordinator=coordinator)
+        return n
+
+    monkeypatch.setattr(
+        ann_serve, "delete_from_ivf_index", delete_then_compact
+    )
+    landing, reports = f"{root}/landing", f"{root}/reports"
+    _land_takedown(spark, root, landing, 0, victims)
+    ann_serve.run_takedown_available_now(
+        spark, landing, idx, reports, checkpoint_dir=f"{root}/ckpt"
+    )
+    # physically gone (gen-1, sidecar cleared) AND receipts acknowledge
+    assert not os.path.isdir(f"{idx}/gen-1/tombstones")
+    raw = spark.read.parquet(f"{idx}/gen-1/cells")
+    assert raw.filter(F.col("id").isin(victims)).count() == 0
+    got = {
+        (r.id, r.tombstoned)
+        for r in ann_serve.read_takedown_reports(spark, reports).collect()
+    }
+    assert got == {(i, True) for i in victims}
+    assert not (
+        {r.candidate_id for r in query_ivf_index(queries, idx, nprobe="all").collect()}
+        & set(victims)
+    )
