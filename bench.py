@@ -119,8 +119,11 @@ BENCH_SHARE_BUDGET = {
     # the exact unmeasured-class blind spot the r10 decode tax
     # exploited. This row serves the default operating point AFTER
     # deleting ~1% of the index's ids, so the screen's cost is inside a
-    # banded measurement. Band ~2x the r13 quiet-profile share
-    # (tools/bench_profile_r13.json).
+    # banded measurement. Quiet share 6.9%/6.4% (the r13 quiet profile
+    # + quiet tail, tools/bench_profile_r13.json) → band 0.20 ≈ 2.9×
+    # headroom, matching the default row's ratio; the band fired
+    # ORGANICALLY during the r13 profiling session on a sustained tail
+    # burst (22% of headline, named) — recorded in the profile file.
     "x_ann_serve_debt": 0.20,
 }
 

@@ -406,3 +406,46 @@ def test_bench_serving_rows_use_median_of_five():
     assert "clearCache" in src.split("range(SERVE_REPS)")[1], (
         "clearCache must run between serving reps"
     )
+
+
+def test_bench_debt_serving_row_canary_goes_red():
+    """r12 verdict #2's red test: the tombstone screen is a permanent
+    serving-path node, and an unmeasured serving-cost class is exactly
+    how the r10 decode tax hid. The r13 profiles carry the
+    debt-bearing row (x_ann_serve_debt — the default operating point
+    at ~1% tombstone debt); this test pins that (a) every band-clean
+    recorded profile contains all three serving rows and passes the
+    budget table, (b) a synthetically inflated debt row (3× the quiet
+    figure — a screen-cost regression shape) trips the canary BY
+    NAME, and (c) the recorded polluted runs are preserved as
+    instrument receipts — including the run where the canary fired
+    ORGANICALLY on the debt row during a real box burst."""
+    import json
+
+    import bench
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "tools", "bench_profile_r13.json")) as f:
+        payload = json.load(f)
+    profiles = payload["profiles"]
+    assert len(profiles) >= 2
+    for p in profiles:
+        assert set(bench.SERVE_ROWS) <= set(p), "profile lost a serving row"
+        assert bench.check_budgets(p) == [], p
+    # screen-cost regression shape: the debt row inflating while the
+    # zero-debt rows hold (so total barely moves — a share canary is
+    # exactly what catches it). 4× ≈ the magnitude of the recorded
+    # organic fire (quiet 1.8 s → 7.8 s); a 3× stays inside the band's
+    # deliberate ~2.9× quiet headroom.
+    taxed = dict(profiles[0])
+    taxed["x_ann_serve_debt"] = taxed["x_ann_serve_debt"] * 4.0
+    violations = bench.check_budgets(taxed)
+    assert violations and "x_ann_serve_debt" in violations[0], violations
+    # the in-the-wild receipt: one recorded polluted run fired this
+    # exact canary organically (sustained burst across all five debt
+    # reps) — preserved outside the band-input list
+    polluted = payload.get("polluted_profiles", [])
+    assert any(
+        any("x_ann_serve_debt" in v for v in bench.check_budgets(p["queries"]))
+        for p in polluted
+    ), "the organic debt-canary receipt went missing"
