@@ -930,3 +930,79 @@ def test_takedown_receipts_survive_racing_compaction(
         {r.candidate_id for r in query_ivf_index(queries, idx, nprobe="all").collect()}
         & set(victims)
     )
+
+
+def test_takedown_then_resubmit_composes_through_both_drains(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The full takedown-then-resubmit story END-TO-END through the
+    STREAMING surfaces (r13 — the batch composition was pinned in
+    r12): (1) an admission wave carrying an exact copy of a stored
+    parent is REJECTED by the gate; (2) a takedown wave removes the
+    parent through the takedown drain; (3) a later admission wave
+    resubmitting the same content under a fresh id is ADMITTED — the
+    deleted parent no longer blocks it — and is immediately served at
+    rank 1 while the parent stays screened out. Three checkpointed
+    drains over one live index, deletes visible across drains at
+    wave boundaries."""
+    from retail_datawarehouse_spark.streaming.ann_serve import (
+        read_admission_reports,
+        read_takedown_reports,
+        run_admission_available_now,
+        run_takedown_available_now,
+    )
+
+    root = str(tmp_path)
+    corpus, _ = _fixture(spark, sf_correctness_dir)
+    idx = f"{root}/idx"
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    parent = corpus.limit(1).collect()[0]
+
+    adm_landing, adm_reports = f"{root}/adm_landing", f"{root}/adm_reports"
+    adm_ckpt = f"{root}/adm_ckpt"
+
+    def admit_wave(wave, rows):
+        qdf = spark.createDataFrame(
+            rows, "id long, emb array<double>"
+        ).select("id", F.col("emb").cast("array<float>").alias("emb"))
+        _land_wave(spark, root, adm_landing, wave, qdf)
+        run_admission_available_now(
+            spark, adm_landing, idx, adm_reports, threshold=0.99,
+            nprobe=4, checkpoint_dir=adm_ckpt,
+        )
+
+    # (1) the stored parent blocks its copy
+    admit_wave(0, [(9001, list(parent.emb))])
+    verdicts = {
+        (r.wave, r.id): r.admitted
+        for r in read_admission_reports(spark, adm_reports).collect()
+    }
+    assert verdicts[(0, 9001)] is False
+
+    # (2) takedown drain removes the parent
+    _land_takedown(spark, root, f"{root}/td_landing", 0, [parent.id])
+    run_takedown_available_now(
+        spark, f"{root}/td_landing", idx, f"{root}/td_reports",
+        checkpoint_dir=f"{root}/td_ckpt",
+    )
+    assert {
+        (r.id, r.tombstoned)
+        for r in read_takedown_reports(spark, f"{root}/td_reports").collect()
+    } == {(parent.id, True)}
+
+    # (3) the same content under a fresh id is now ADMITTED...
+    admit_wave(1, [(9002, list(parent.emb))])
+    verdicts = {
+        (r.wave, r.id): r.admitted
+        for r in read_admission_reports(spark, adm_reports).collect()
+    }
+    assert verdicts[(1, 9002)] is True
+    # ...and served at rank 1, with the deleted parent screened out
+    probe = spark.createDataFrame(
+        [(1, list(parent.emb))], "id long, emb array<double>"
+    )
+    served = query_ivf_index(probe, idx, nprobe="all")
+    got = {r.candidate_id for r in served.collect()}
+    assert 9002 in got and parent.id not in got
+    top1 = served.filter(F.col("rank") == 1).collect()[0]
+    assert top1.candidate_id == 9002
