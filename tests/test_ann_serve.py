@@ -1006,3 +1006,69 @@ def test_takedown_then_resubmit_composes_through_both_drains(
     assert 9002 in got and parent.id not in got
     top1 = served.filter(F.col("rank") == 1).collect()[0]
     assert top1.candidate_id == 9002
+
+
+def test_streaming_takedown_debt_drives_the_maintenance_policy(
+    spark, sf_correctness_dir, tmp_path
+):
+    """The debt POLICY LOOP closed over the streaming surface (r13):
+    takedown waves accumulate tombstone debt through the drain; the
+    autopilot sweep's ``max_tombstones`` trigger compacts it away
+    (physical removal, sidecar cleared, debt recounted to 0 in the
+    SAME report); serving is exact throughout; and the drain keeps
+    working against the POST-compaction generation (a later wave's
+    tombstones land in the new generation's sidecar). This is the
+    steady state a 100 TB corpus under continuous takedown runs:
+    debt bounded by policy, never by an operator remembering to
+    compact."""
+    from retail_datawarehouse_spark.operators.ann_index import (
+        maintain_ivf_index,
+    )
+    from retail_datawarehouse_spark.streaming.ann_serve import (
+        run_takedown_available_now,
+    )
+    from tests.test_ann_index import _brute_force
+
+    root = str(tmp_path)
+    corpus, queries = _fixture(spark, sf_correctness_dir)
+    idx = f"{root}/idx"
+    store_ivf_index(corpus, idx, cells=IVF_CELLS)
+    all_ids = [r.id for r in corpus.select("id").orderBy("id").collect()]
+    w0, w1 = all_ids[:3], all_ids[3:6]
+    landing, reports, ckpt = (
+        f"{root}/landing", f"{root}/reports", f"{root}/ckpt"
+    )
+    for wave, ids in ((0, w0), (1, w1)):
+        _land_takedown(spark, root, landing, wave, ids)
+    run_takedown_available_now(
+        spark, landing, idx, reports, checkpoint_dir=ckpt
+    )
+    # debt visible to the sweep; below-threshold sweep only reports
+    rep = maintain_ivf_index(
+        spark, idx, max_files_per_cell=99, max_tombstones=10
+    )
+    assert rep["tombstones"] == 6 and not rep["compacted"]
+    # the policy trigger: debt > max_tombstones → compaction, physical
+    # removal, and the SAME report already shows the cleared debt
+    rep = maintain_ivf_index(
+        spark, idx, max_files_per_cell=99, max_tombstones=4
+    )
+    assert rep["compacted"] and rep["tombstones"] == 0
+    raw = spark.read.parquet(f"{idx}/gen-1/cells")
+    assert raw.filter(F.col("id").isin(w0 + w1)).count() == 0
+    alive = corpus.filter(~F.col("id").isin(w0 + w1))
+    got = query_ivf_index(queries, idx, nprobe="all")
+    assert _rows(got) == _rows(_brute_force(alive, queries))
+    # the drain continues against the post-compaction generation
+    w2 = all_ids[6:8]
+    _land_takedown(spark, root, landing, 2, w2)
+    run_takedown_available_now(
+        spark, landing, idx, reports, checkpoint_dir=ckpt
+    )
+    side = spark.read.schema("id long").parquet(f"{idx}/gen-1/tombstones")
+    assert {r.id for r in side.collect()} == set(w2)
+    got2 = {
+        r.candidate_id
+        for r in query_ivf_index(queries, idx, nprobe="all").collect()
+    }
+    assert not (got2 & set(w0 + w1 + w2))
