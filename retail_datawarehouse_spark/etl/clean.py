@@ -144,6 +144,7 @@ def remove_collisions(
     df: DataFrame,
     id_col: str = "transaction_id",
     check_cols: tuple[str, ...] = ("Customer_ID", "Date_dt"),
+    broadcast_offenders: bool = True,
 ) -> DataFrame:
     """A4/F4 — drop ALL rows of any transaction whose id maps to >1
     distinct customer OR >1 distinct date (clean_data.py:73-92).
@@ -153,6 +154,14 @@ def remove_collisions(
     formulation shuffles only (id, partial distinct-sketches), then
     anti-joins the (small) offender set back — at 100 TB the offender
     side broadcasts and the fact side never shuffles.
+
+    ``broadcast_offenders`` (default True, r13) HINTS the anti-join's
+    build side: the offender relation is an aggregate output, so the
+    planner has no size estimate and falls back to a sort-merge anti
+    that shuffles the (wide) kept side — the exact shuffle this form
+    exists to avoid. The offender set is one id per COLLIDING
+    transaction, tiny on real data; pass False on inputs where
+    collisions are unbounded and let AQE pick at runtime.
     """
     present = [c for c in check_cols if c in df.columns]
     if not present:
@@ -166,6 +175,8 @@ def remove_collisions(
         term = F.col(f"_n_{c}") > 1
         cond = term if cond is None else (cond | term)
     offenders = df.groupBy(id_col).agg(*aggs).filter(cond).select(id_col)
+    if broadcast_offenders:
+        offenders = F.broadcast(offenders)
     return df.join(offenders, id_col, "left_anti")
 
 
@@ -242,6 +253,19 @@ def clean_pipeline(staging: DataFrame, final_columns: list[str]) -> DataFrame:
     Collision removal uses the window form: the staging input is a
     multi-table join, and the anti-join form would compute it twice
     (see :func:`remove_collisions_window` for the cost model).
+
+    Re-measured r13 (optimization round, guide §1): the broadcast-anti
+    alternative — offender subtree column-pruned to (id + check cols),
+    offender set broadcast so the kept side never shuffles — was tried
+    and measured on BOTH box states at sf0.1. Under CPU contention it
+    wins (5.0 s vs 7.4 s: the wide-payload exchange+sort is the
+    bottleneck); on a quiet 32-core box it LOSES (≈4.9 s vs ≈4.0 s
+    means over 3 paired runs: the join pipeline recompute costs more
+    than the one wide shuffle saves). The bench records quiet-box
+    numbers, so the window form stays — and the r5 measurement that
+    picked it is re-confirmed, now with the failure mode of the
+    alternative understood (double compute, not shuffle width, is its
+    cost here).
     """
     df = rename_columns(staging)
     df = drop_critical_nulls(df)

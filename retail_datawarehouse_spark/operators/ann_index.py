@@ -2141,9 +2141,17 @@ def query_ivf_index(
     # None (no deletes ever) is a zero-cost no-op.
     tombstones = h.tombstones
     score_col = "cosine" if metric == "cosine" else "score"
+    # ONE parquet relation per call (r13): the rerank tier reads the
+    # cell table twice (codes scan + shortlisted float scan); sharing
+    # the DataFrame shares its file index, so the cell-directory
+    # listing runs once per call instead of per scan. Column pruning is
+    # per-consumer (each scan node keeps its own ReadSchema), and the
+    # relation is created fresh per CALL — not cached on the handle —
+    # so intra-generation appends stay visible to the next call.
+    cells_rel = spark.read.parquet(h.cells_path)
     if not pq:
         stored = _without_tombstones(
-            spark.read.parquet(h.cells_path).select(
+            cells_rel.select(
                 F.col("id").alias("candidate_id"),
                 F.col("emb").alias("c_emb"),
                 F.col("n2").alias("c_n2"),
@@ -2160,7 +2168,7 @@ def query_ivf_index(
             f"{index_dir} was stored without pq=True — no codebook sidecar"
         )
     stored = _without_tombstones(
-        spark.read.parquet(h.cells_path).select(
+        cells_rel.select(
             F.col("id").alias("candidate_id"), "codes", "recon_n2", "cell"
         ),
         tombstones,
@@ -2219,7 +2227,7 @@ def query_ivf_index(
         .filter(F.col("_r") <= rerank)
         .select("query_id", "q_emb", "q_n2", "candidate_id", "cell")
     )
-    floats = spark.read.parquet(h.cells_path).select(
+    floats = cells_rel.select(
         F.col("id").alias("candidate_id"),
         F.col("emb").alias("c_emb"),
         F.col("n2").alias("c_n2"),
