@@ -1568,7 +1568,7 @@ def _suite_dual_coded(
     ONCE; consumers select their half.
 
     Bit-identity with the unfused forms (pinned by
-    tests/test_ann_index.py::test_suite_dual_coded_matches_unfused):
+    tests/test_operators.py::test_suite_dual_coded_matches_unfused):
     the codebooks are the same ``_pq_codebook``/``_residual_codebook``
     trains; ``picked``/``picked_r`` are the exact argmin expressions
     ``_pq_encode`` builds (same slice/struct tie-break); the residual
