@@ -42,6 +42,7 @@ def pagerank_fixed_point(
     edges: DataFrame,
     iters: int = PR_ITERS,
     dangling: str = "redistribute",
+    use_checkpoint: bool = False,
 ) -> DataFrame:
     """``iters`` PageRank rounds over directed multi-edges (u, v);
     returns (node, rq) with rq the fixed-point rank.
@@ -61,14 +62,24 @@ def pagerank_fixed_point(
     Materialization boundaries, all justified: edges+degrees and nodes
     persist once (five rounds would otherwise replay the self-join per
     round and per join side). Under redistribution each round's rank
-    frame ALSO persists: the dangling sum makes round i+1 reference
-    round i TWICE (link pass + dangling pass), and unpersisted lineage
-    would re-execute the whole chain per reference — 2^iters leaf
-    blowup. The dangling sum itself costs no join: the dangling flag
-    rides the rank frame, so it is a filter + map-side partial
-    aggregate over the cache. One (node, rq) int-pair frame per round is the standard
-    iterative-graph trade (GraphX does the same); at 100 TB that is
-    16 bytes/vertex/round, spill-safe."""
+    frame is LINEAGE-TRUNCATED (``localCheckpoint(eager=True)``; pass
+    ``use_checkpoint=True`` for the fault-tolerant reliable checkpoint
+    on a cluster — the same knob and rationale as
+    ``connected_components``): the dangling sum makes round i+1
+    reference round i TWICE (link pass + dangling pass), so a plain
+    ``persist()`` keeps execution O(rounds) but lets the LOGICAL plan
+    grow ~3× per round — measured r13 (optimization round): the
+    components entry's one cold invocation spent ~12 s of driver
+    analysis on the unrolled 5-round plan at sf0.01 (17.1 s → 4.6 s
+    end-to-end with truncation, values bit-identical; the returned
+    frame's plan shrinks from ~500 Exchange nodes to a leaf + final
+    projection). Same truncation discipline, same guide §3.3/§7.3
+    planning-cost class, as the star-contraction loop below. The
+    dangling sum itself costs no join: the dangling flag rides the
+    rank frame, so it is a filter + map-side partial aggregate over
+    the materialized round. One (node, rq) int-pair frame per round is
+    the standard iterative-graph trade (GraphX does the same); at
+    100 TB that is 16 bytes/vertex/round, spill-safe."""
     if dangling not in ("redistribute", "drop"):
         raise ValueError("dangling must be 'redistribute' or 'drop'")
     ced = (
@@ -125,7 +136,11 @@ def pagerank_fixed_point(
         "node", "_dang", F.lit(PR_Q).cast("long").alias("rq")
     )
     for _ in range(iters):
-        ranks = ranks.persist()
+        ranks = (
+            ranks.checkpoint(eager=True)
+            if use_checkpoint
+            else ranks.localCheckpoint(eager=True)
+        )
         # Dangling mass AND vertex count in ONE 1-row aggregate over
         # the cached frame (a separate N frame would cost a second
         # broadcast per round — broadcasts serialize on this chain, and
