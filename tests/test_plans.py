@@ -768,3 +768,55 @@ def test_hash_key_mode_dims_plan_no_unpartitioned_window(spark, sf_dir):
         assert "Window" in formatted_plan(fn(spark, sf_dir))
     assert shuffle_count(q_dim_customer(spark, sf_dir, key_mode="hash")) == 0
     assert shuffle_count(q_dim_product(spark, sf_dir, key_mode="hash")) == 0
+
+
+def test_q54_agg_and_window_share_one_exchange(spark, sf_dir):
+    """r13 optimization pin: the monthly aggregate and the lag window
+    are keyed compatibly (hash(cust) clusters (cust, month) too), so
+    the whole pipeline up to TakeOrdered runs on ONE exchange — a
+    regression back to separate agg/window exchanges fails here."""
+    df = builder("q54_rising_spend_customers")(spark, sf_dir)
+    assert shuffle_count(df) <= 1
+
+
+def test_q55_window_runs_on_pre_densification_exchange(spark, sf_dir):
+    """r13 optimization pin: the cumulative window's partitioning is
+    established on the customer side BEFORE the month densification —
+    the densified (customer × months) rows must never cross an
+    exchange. Structure: in the plan tree the Window must sit directly
+    on the join output (Sort allowed), not on an Exchange."""
+    import re
+
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(builder("q55_snapshot_lifetime_read")(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if re.search(r"\bWindow\b", ln)]
+    assert win_idx, tree
+    below_window = "\n".join(lines[win_idx[0] + 1 : win_idx[0] + 3])
+    assert "Exchange" not in below_window, tree
+
+
+def test_etl_collision_exchange_excludes_part_payload(spark, sf_dir):
+    """r13 optimization pin (guide §8 'move heavy bytes once'): the
+    collision window's exchange carries the 8-byte part KEY, never the
+    wide p_name/p_brand/p_type payload — those re-attach by broadcast
+    after the shuffle. The exchange's Input list must contain the key
+    and none of the payload columns."""
+    from retail_datawarehouse_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(builder("q_etl_clean_staging")(spark, sf_dir))
+    # the details section lists each Exchange with its Input columns;
+    # find the transaction_id hash exchange and check its width
+    blocks = [
+        b
+        for b in plan.split("\n\n")
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+        and "hashpartitioning(transaction_id" in b
+    ]
+    assert blocks, plan
+    for b in blocks:
+        assert "_part_key" in b, b
+        for payload in ("product_name", "Product_Brand", "Product_Type"):
+            assert payload not in b, b
