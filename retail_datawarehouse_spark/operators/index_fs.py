@@ -322,9 +322,18 @@ class ArrowFsCoordinator(PosixCoordinator):
             # than the settle between its free-check and its write");
             # the TokenLeaseCoordinator's _take uses the same
             # discipline, and a conditional-put store closes it fully.
+            # r14: confirm TWICE, one settle apart — same hold-path
+            # re-confirm discipline as TokenLeaseCoordinator._take. An
+            # undetected dual hold now needs the losing racer stalled
+            # past two settles (not one) between its free-check and
+            # its write; the window stays open in principle (only a
+            # conditional-put store closes it) but shrinks enough that
+            # a loaded box's scheduler jitter cannot hit it.
             time.sleep(self._LOCK_SETTLE)
             if self.read_text(path) == token:
-                break
+                time.sleep(self._LOCK_SETTLE)
+                if self.read_text(path) == token:
+                    break
             # lost the create race — the other writer holds it now
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -410,11 +419,15 @@ class TokenLeaseCoordinator(ArrowFsCoordinator):
       commit fence reports the loss.
 
     Honest residual races, stated up front: acquisition is still
-    write-then-confirm over a non-atomic store (two breakers of the
-    same expired lease race on last-write-wins; the ``settle`` delay
-    plus the confirm re-read shrinks but cannot close the window —
-    closing it needs a conditional-put primitive, e.g. S3
-    If-None-Match, which a deployment adds by overriding ``_take``),
+    write-then-confirm over a last-write-wins store (two breakers of
+    the same expired/free lease race; the ``settle`` delay plus TWO
+    settle-spaced confirm re-reads — r14 — shrink but cannot close the
+    window: an undetected dual hold now needs a racer stalled past two
+    settles between its free-check and its write. Closing it needs a
+    conditional-put primitive, e.g. S3 If-None-Match, which a
+    deployment adds by overriding ``_take``. Lease stamps themselves
+    are ATOMIC — tmp + rename, see ``_write_lease`` — so a reader can
+    never mistake an in-flight stamp for a free lock),
     the heartbeat's read-then-rewrite inherits the same last-write-wins
     window (a renewal racing a takeover can clobber the new holder's
     token — the NEW holder's fence then fails loudly at ITS commit;
@@ -484,24 +497,50 @@ class TokenLeaseCoordinator(ArrowFsCoordinator):
         except ValueError:
             return None
 
+    def _write_lease(self, path: str, token: str) -> None:
+        """Stamp ``token + fresh expiry`` ATOMICALLY: tmp file + move
+        (an atomic rename on local/SubTree trees; object stores have
+        atomic whole-object PUT, where the tmp hop is redundant but
+        harmless). A plain ``write_text`` truncates-then-writes, so a
+        polling acquirer reading MID-WRITE parsed the empty/partial
+        file as None — "free" — and took over a LIVE lease (the r13
+        driver-box contract flake's torn-read trigger). The tmp name
+        is per-writer (token prefix), so concurrent stampers never
+        collide on it; the rename keeps last-write-wins semantics."""
+        tmp = f"{path}.w-{token[:8]}"
+        self.write_text(tmp, f"{token} {self._clock() + self.lease_ttl}")
+        self.fs.move(tmp, path)
+
     def _take(self, path: str, token: str) -> bool:
-        """One acquisition attempt: write our lease, settle, confirm
-        by re-read (last-write-wins ⇒ at most one confirmer). The
-        override point for a store with conditional puts."""
-        self.write_text(path, f"{token} {self._clock() + self.lease_ttl}")
-        time.sleep(self._settle)
-        got = self._parse(self.read_text(path))
-        return got is not None and got[0] == token
+        """One acquisition attempt: stamp our lease (atomic — see
+        ``_write_lease``), then confirm by re-read TWICE, one settle
+        apart (last-write-wins ⇒ at most one confirmer per settle
+        window). The double confirm is the r14 hold-path re-confirm:
+        a racer that read the lock as free just before our stamp must
+        now stall past TWO settles — not one — between its free-check
+        and its write for both holders to confirm. Still probabilistic
+        (the class docstring's honest residual); the override point
+        for a store with conditional puts closes it fully."""
+        self._write_lease(path, token)
+        for _ in range(2):
+            time.sleep(self._settle)
+            got = self._parse(self.read_text(path))
+            if got is None or got[0] != token:
+                return False
+        return True
 
     @contextmanager
     def lock(self, index_dir: str, timeout: float = 120.0):
         path = f"{index_dir}/MAINTENANCE.lock"
         token = uuid.uuid4().hex
         deadline = time.monotonic() + timeout
+        garbled_since = None
         while True:
-            cur = self._parse(self.read_text(path))
+            raw = self.read_text(path)
+            cur = self._parse(raw)
             if cur is not None and cur[1] > self._clock():
                 # live lease held by someone — wait for expiry/release
+                garbled_since = None
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"could not acquire lease {path} within "
@@ -511,7 +550,28 @@ class TokenLeaseCoordinator(ArrowFsCoordinator):
                     )
                 time.sleep(self._settle)
                 continue
-            # free, expired, or unparseable: attempt takeover
+            if raw is not None and cur is None:
+                # EXISTING but unparseable (r14): with atomic lease
+                # stamps this is corruption from a crashed writer on a
+                # tearing store, never an in-flight write — but the
+                # conservative read is "possibly held". Treat it as
+                # contended for one full TTL before breaking it, so a
+                # torn read can never take over a live lease, while a
+                # genuinely corrupt leak still hands over within the
+                # same bound a crashed holder gets.
+                now_m = time.monotonic()
+                garbled_since = garbled_since or now_m
+                if now_m - garbled_since <= self.lease_ttl:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"could not acquire lease {path} within "
+                            f"{timeout}s — lease file present but "
+                            "unparseable (corrupt leak? it is broken "
+                            "only after a full TTL of persistence)"
+                        )
+                    time.sleep(self._settle)
+                    continue
+            # free, expired, or corrupt-past-TTL: attempt takeover
             if self._take(path, token):
                 break
             if time.monotonic() > deadline:
@@ -576,9 +636,7 @@ class TokenLeaseCoordinator(ArrowFsCoordinator):
                     # same last-write-wins window as acquisition; a
                     # conditional-put store closes both.
                     return
-                self.write_text(
-                    path, f"{token} {self._clock() + self.lease_ttl}"
-                )
+                self._write_lease(path, token)
             except Exception:
                 return
 

